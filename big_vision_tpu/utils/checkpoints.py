@@ -1,0 +1,193 @@
+"""Distributed checkpointing with a preemption-safe pointer protocol.
+
+Array I/O rides orbax/TensorStore (C++ under the hood, async, writes shards
+directly from each host's devices). On top we keep the reference's pointer
+protocol (big_vision/utils.py:865-999): a step's checkpoint lands in
+`{prefix}-{step:09d}[-tmp]`; once fully committed, `{prefix}-LAST` is
+atomically rewritten to name it and the previous `-tmp` is deleted. Resume
+always reads `-LAST`, so a job killed mid-write restarts from the previous
+complete checkpoint.
+
+Also provides `.npz` import/export for interop with published big_vision
+checkpoints (including the `path.npz:subtree` colon syntax, ref
+utils.py:172-227).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import shutil
+import threading
+
+import jax
+import numpy as np
+
+from big_vision_tpu.utils import trees
+
+__all__ = [
+    "CheckpointManager", "save_checkpoint", "load_checkpoint",
+    "last_checkpoint_dir", "npz_save", "npz_load", "load_params",
+]
+
+
+def _ocp():
+  import orbax.checkpoint as ocp  # heavy import, keep lazy
+  return ocp
+
+
+class CheckpointManager:
+  """Async sharded save with atomic -LAST pointer commit."""
+
+  def __init__(self):
+    ocp = _ocp()
+    self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    self._commit_thread = None
+
+  def save(self, pytree, prefix, step, *, keep=False):
+    """Starts an async save; returns immediately after device->host staging."""
+    self.wait_until_finished()
+    ocp = _ocp()
+    suffix = "" if keep else "-tmp"
+    path = os.path.abspath(f"{prefix}-{step:09d}{suffix}")
+    prev_tmp = None
+    last = last_checkpoint_dir(prefix)
+    if last and last.endswith("-tmp") and last != path:
+      prev_tmp = last
+
+    if os.path.exists(path):  # Re-save after preemption mid-commit.
+      shutil.rmtree(path)
+    self._ckptr.save(path, args=ocp.args.StandardSave(pytree))
+
+    def commit():
+      self._ckptr.wait_until_finished()
+      if jax.process_index() == 0:
+        _write_pointer(prefix, path)
+        if prev_tmp and os.path.exists(prev_tmp):
+          shutil.rmtree(prev_tmp)
+
+    self._commit_thread = threading.Thread(target=commit, daemon=True)
+    self._commit_thread.start()
+
+  def wait_until_finished(self):
+    if self._commit_thread is not None:
+      self._commit_thread.join()
+      self._commit_thread = None
+    self._ckptr.wait_until_finished()
+
+
+def _write_pointer(prefix, path):
+  """Atomically points {prefix}-LAST at `path` (write temp + rename)."""
+  pointer = f"{prefix}-LAST"
+  tmp_pointer = pointer + ".tmp"
+  with open(tmp_pointer, "w") as f:
+    f.write(os.path.basename(path))
+  os.replace(tmp_pointer, pointer)
+
+
+def last_checkpoint_dir(prefix):
+  """Returns the dir named by {prefix}-LAST, or None."""
+  pointer = f"{prefix}-LAST"
+  if not os.path.exists(pointer):
+    return None
+  with open(pointer) as f:
+    name = f.read().strip()
+  return os.path.join(os.path.dirname(prefix), name)
+
+
+def save_checkpoint(pytree, prefix, step, *, keep=False):
+  """One-shot blocking save (tests / final checkpoint)."""
+  mgr = CheckpointManager()
+  mgr.save(pytree, prefix, step, keep=keep)
+  mgr.wait_until_finished()
+
+
+def load_checkpoint(abstract_tree, path, *, regex=None):
+  """Restores a checkpoint directly into target shardings.
+
+  `abstract_tree` is a pytree of jax.ShapeDtypeStruct (with `.sharding` set
+  for sharded restore) or concrete arrays used as templates. With `regex`,
+  only matching leaves are read; the rest are returned unchanged (must then
+  be concrete arrays).
+  """
+  ocp = _ocp()
+  path = os.path.abspath(path)
+
+  def to_abstract(x):
+    if isinstance(x, jax.ShapeDtypeStruct):
+      return x
+    return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                sharding=getattr(x, "sharding", None))
+
+  if regex is None:
+    abstract = jax.tree.map(to_abstract, abstract_tree)
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    return ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
+
+  # Partial restore: read matching leaves to host, keep the rest as given.
+  # This is an init-time path (e.g. loading a sub-model); resume always goes
+  # through the full direct-to-shard branch above.
+  pat = re.compile(regex)
+  named, treedef = trees.tree_flatten_with_names(abstract_tree)
+  ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+  host_tree = ckptr.restore(path)  # numpy, replicated per process
+  host_flat = dict(trees.tree_flatten_with_names(host_tree)[0])
+  leaves = [host_flat[n] if pat.fullmatch(n) and n in host_flat else v
+            for n, v in named]
+  return treedef.unflatten(leaves)
+
+
+# --------------------------------------------------------------------------
+# npz interop with published big_vision checkpoints.
+# --------------------------------------------------------------------------
+
+
+def npz_save(pytree, fname):
+  """Saves a pytree of (host-gatherable) arrays as flat-named npz."""
+  named, _ = trees.tree_flatten_with_names(pytree)
+  flat = {name: jax.device_get(v) for name, v in named}
+  if jax.process_index() == 0:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: _np_compat(v) for k, v in flat.items()})
+    buf.seek(0)
+    os.makedirs(os.path.dirname(os.path.abspath(fname)), exist_ok=True)
+    with open(fname, "wb") as f:
+      f.write(buf.read())
+
+
+def _np_compat(x):
+  x = np.asarray(x)
+  return x
+
+
+def npz_load(fname, tree=None):
+  """Loads a flat npz into a nested dict (bf16 void-dtype recovered)."""
+  with open(fname, "rb") as f:
+    data = np.load(f, allow_pickle=False)
+    flat = {k: trees.recover_dtype(v) for k, v in data.items()}
+  out = trees.recover_tree(flat.keys(), flat.values())
+  if tree is not None:
+    missing, extra, _ = trees.tree_compare(tree, out)
+    assert not missing, f"Checkpoint is missing keys: {sorted(missing)[:20]}"
+    del extra
+  return out
+
+
+def load_params(ckpt, **kw):
+  """Loads params from npz/orbax; supports 'file.npz:sub/tree' selection."""
+  def unwrap(params):
+    # Published checkpoints often nest everything under a single "params".
+    if isinstance(params, dict) and set(params) == {"params"}:
+      return params["params"]
+    return params
+
+  if isinstance(ckpt, str) and ".npz:" in ckpt:
+    fname, subtree = ckpt.rsplit(":", 1)
+    return trees.tree_get(unwrap(npz_load(fname, **kw)), subtree)
+  if isinstance(ckpt, str) and ckpt.endswith(".npz"):
+    return unwrap(npz_load(ckpt, **kw))
+  if isinstance(ckpt, str) and os.path.isdir(ckpt):
+    raise ValueError(
+        "Directory checkpoints need an abstract tree; use load_checkpoint().")
+  raise ValueError(f"Don't know how to load params from {ckpt!r}")
