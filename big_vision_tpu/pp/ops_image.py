@@ -1,0 +1,338 @@
+"""Image preprocessing ops.
+
+Parity targets: reference big_vision/pp/ops_image.py (cited per op).
+
+Phase placement (see pp/utils.py):
+  * decode / decode_jpeg_and_inception_crop / inception_crop / resize_small /
+    resize_long — host (variable shapes, PIL/numpy).
+  * resize / random_crop / central_crop — dual; staticizers when sized.
+  * flip_lr / value-range variants / convert_to_video — device (jax, vmapped).
+"""
+
+from __future__ import annotations
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from big_vision_tpu.registry import Registry
+from big_vision_tpu.pp.utils import InKeyOutKey, PPOp, as_pp_op, maybe_repeat
+
+# TF resize method name -> (jax.image.resize method, PIL filter name).
+_METHODS = {
+    "bilinear": ("linear", "BILINEAR"),
+    "bicubic": ("cubic", "BICUBIC"),
+    "nearest": ("nearest", "NEAREST"),
+    "lanczos3": ("lanczos3", "LANCZOS"),
+    "lanczos5": ("lanczos5", "LANCZOS"),
+    "area": (None, "BOX"),  # area resize has no jax equivalent; host-only
+}
+
+
+def _clip_cast(img_f32, ref_dtype):
+  """TF-resize semantics: compute float, clip to dtype range, cast back."""
+  if np.issubdtype(ref_dtype, np.integer):
+    info = np.iinfo(ref_dtype)
+    img_f32 = jnp.clip(img_f32, info.min, info.max) if isinstance(
+        img_f32, jnp.ndarray) else np.clip(img_f32, info.min, info.max)
+  return img_f32.astype(ref_dtype)
+
+
+def _jax_resize(image, size, method, antialias):
+  jax_method, _ = _METHODS[method]
+  if jax_method is None:
+    raise ValueError(f"resize method {method!r} has no device impl")
+  dtype = image.dtype
+  out = jax.image.resize(
+      jnp.asarray(image, jnp.float32), (*size, image.shape[-1]),
+      method=jax_method, antialias=antialias)
+  return _clip_cast(out, dtype)
+
+
+def _pil_resize(image, size, method, antialias):
+  """Host resize via PIL; handles uint8 HWC images of any channel count."""
+  from PIL import Image
+  del antialias  # PIL filters are inherently antialiased where applicable.
+  _, pil_name = _METHODS[method]
+  pil_filter = getattr(Image.Resampling, pil_name)
+  image = np.asarray(image)
+  dtype = image.dtype
+  if dtype != np.uint8:
+    # PIL float support is single-channel only; go through jax eagerly.
+    if method == "area":
+      method = "bilinear"
+    return np.asarray(_jax_resize(image, size, method, antialias=True))
+  h, w = size
+  chans = [
+      np.asarray(Image.fromarray(image[..., c]).resize((w, h), pil_filter))
+      for c in range(image.shape[-1])
+  ]
+  return np.stack(chans, axis=-1).astype(dtype)
+
+
+@Registry.register("preprocess_ops.decode")
+def get_decode(channels=3, precise=False, key="image", inkey=None,
+               outkey=None):
+  """Decodes JPEG/PNG bytes to uint8 HWC (host). Ref ops_image.py:31."""
+  del precise  # PIL's decoder is the "precise" INTEGER_ACCURATE-style path.
+  from PIL import Image
+  ik, ok = inkey or key, outkey or key
+
+  def _decode(data):
+    img = Image.open(io.BytesIO(data[ik]))
+    img = img.convert({1: "L", 3: "RGB", 4: "RGBA"}[channels])
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+      arr = arr[:, :, None]
+    data = dict(data)
+    data[ok] = arr
+    return data
+
+  return PPOp(host_fn=_decode, phase="host", name="decode")
+
+
+@Registry.register("preprocess_ops.resize")
+def get_resize(size, method="bilinear", antialias=False, key="image",
+               inkey=None, outkey=None):
+  """Resizes to [H, W]; dual impl; staticizer. Ref :57."""
+  size = maybe_repeat(size, 2)
+  ik, ok = inkey or key, outkey or key
+
+  def _dev(data):
+    data = dict(data)
+    data[ok] = _jax_resize(data[ik], size, method, antialias)
+    return data
+
+  def _host(data):
+    data = dict(data)
+    data[ok] = _pil_resize(data[ik], size, method, antialias)
+    return data
+
+  fn = None if _METHODS[method][0] is None else _dev
+  return PPOp(fn=fn, host_fn=_host, staticizer=True, name="resize")
+
+
+def _host_resize_factor(image, factor, method, antialias):
+  h, w = image.shape[0], image.shape[1]
+  nh, nw = int(round(h * factor)), int(round(w * factor))
+  return _pil_resize(image, (nh, nw), method, antialias)
+
+
+@Registry.register("preprocess_ops.resize_small")
+def get_resize_small(smaller_size, method="area", antialias=False, key="image",
+                     inkey=None, outkey=None):
+  """Resizes the smaller side, keeping aspect (host). Ref :106."""
+  ik, ok = inkey or key, outkey or key
+
+  def _op(data):
+    img = np.asarray(data[ik])
+    factor = smaller_size / min(img.shape[0], img.shape[1])
+    data = dict(data)
+    data[ok] = _host_resize_factor(img, factor, method, antialias)
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="resize_small")
+
+
+@Registry.register("preprocess_ops.resize_long")
+def get_resize_long(longer_size, method="area", antialias=True, key="image",
+                    inkey=None, outkey=None):
+  """Resizes the longer side, keeping aspect (host). Ref :134."""
+  ik, ok = inkey or key, outkey or key
+
+  def _op(data):
+    img = np.asarray(data[ik])
+    factor = longer_size / max(img.shape[0], img.shape[1])
+    data = dict(data)
+    data[ok] = _host_resize_factor(img, factor, method, antialias)
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="resize_long")
+
+
+def _sample_inception_box(np_rng, h, w, area_min, area_max, ratio_min,
+                          ratio_max, max_tries=10):
+  """Samples a crop box with area/aspect in range (host RNG).
+
+  Same distribution family as tf.image.sample_distorted_bounding_box with
+  min_object_covered=0: uniform aspect in range, uniform area fraction;
+  falls back to the full image after `max_tries`.
+  """
+  area = h * w
+  for _ in range(max_tries):
+    target_area = np_rng.uniform(area_min, area_max) * area
+    aspect = np_rng.uniform(ratio_min, ratio_max)
+    cw = int(round(np.sqrt(target_area * aspect)))
+    ch = int(round(np.sqrt(target_area / aspect)))
+    if cw <= w and ch <= h and cw > 0 and ch > 0:
+      y0 = int(np_rng.integers(0, h - ch + 1))
+      x0 = int(np_rng.integers(0, w - cw + 1))
+      return y0, x0, ch, cw
+  return 0, 0, h, w
+
+
+@Registry.register("preprocess_ops.inception_crop")
+def get_inception_crop(size=None, area_min=5, area_max=100, method="bilinear",
+                       antialias=False, key="image", inkey=None, outkey=None):
+  """Random area+aspect crop (host), optional resize. Ref :158."""
+  ik, ok = inkey or key, outkey or key
+
+  def _op(data, np_rng):
+    img = np.asarray(data[ik])
+    y0, x0, ch, cw = _sample_inception_box(
+        np_rng, img.shape[0], img.shape[1],
+        area_min / 100, area_max / 100, 3. / 4, 4. / 3)
+    crop = img[y0:y0 + ch, x0:x0 + cw]
+    if size:
+      crop = _pil_resize(crop, maybe_repeat(size, 2), method, antialias)
+    data = dict(data)
+    data[ok] = crop
+    return data
+
+  return PPOp(host_fn=_op, phase="host", random=True,
+              staticizer=bool(size), name="inception_crop")
+
+
+@Registry.register("preprocess_ops.decode_jpeg_and_inception_crop")
+def get_decode_jpeg_and_inception_crop(
+    size=None, area_min=5, area_max=100, ratio_min=0.75, ratio_max=1.33,
+    method="bilinear", antialias=False, key="image", inkey=None, outkey=None):
+  """Fused decode + inception crop (host). Ref :197.
+
+  The reference uses crop-window JPEG decode to skip decoding discarded
+  pixels; here PIL's draft-mode downscale-on-decode gives a similar saving
+  when the crop is later resized to a small target.
+  """
+  from PIL import Image
+  ik, ok = inkey or key, outkey or key
+
+  def _op(data, np_rng):
+    img = Image.open(io.BytesIO(data[ik]))
+    w, h = img.size  # PIL reads the header only at this point.
+    y0, x0, ch, cw = _sample_inception_box(
+        np_rng, h, w, area_min / 100, area_max / 100, ratio_min, ratio_max)
+    img = img.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch))
+    crop = np.asarray(img, np.uint8)
+    if size:
+      crop = _pil_resize(crop, maybe_repeat(size, 2), method, antialias)
+    data = dict(data)
+    data[ok] = crop
+    return data
+
+  return PPOp(host_fn=_op, phase="host", random=True,
+              staticizer=bool(size), name="decode_jpeg_and_inception_crop")
+
+
+@Registry.register("preprocess_ops.random_crop")
+def get_random_crop(crop_size, key="image", inkey=None, outkey=None):
+  """Random fixed-size crop; dual impl; staticizer. Ref :245."""
+  ch, cw = maybe_repeat(crop_size, 2)
+  ik, ok = inkey or key, outkey or key
+
+  def _dev(data, rng):
+    img = jnp.asarray(data[ik])
+    ky, kx = jax.random.split(rng)
+    y0 = jax.random.randint(ky, (), 0, img.shape[0] - ch + 1)
+    x0 = jax.random.randint(kx, (), 0, img.shape[1] - cw + 1)
+    crop = jax.lax.dynamic_slice(
+        img, (y0, x0, 0), (ch, cw, img.shape[-1]))
+    data = dict(data)
+    data[ok] = crop
+    return data
+
+  def _host(data, np_rng):
+    img = np.asarray(data[ik])
+    y0 = int(np_rng.integers(0, img.shape[0] - ch + 1))
+    x0 = int(np_rng.integers(0, img.shape[1] - cw + 1))
+    data = dict(data)
+    data[ok] = img[y0:y0 + ch, x0:x0 + cw]
+    return data
+
+  return PPOp(fn=_dev, host_fn=_host, random=True, staticizer=True,
+              name="random_crop")
+
+
+@Registry.register("preprocess_ops.central_crop")
+def get_central_crop(crop_size=None, key="image", inkey=None, outkey=None):
+  """Center crop; dual when sized; largest-square variant is host. Ref :266."""
+  ik, ok = inkey or key, outkey or key
+  if crop_size:
+    ch, cw = maybe_repeat(crop_size, 2)
+
+    def _dev(data):
+      img = jnp.asarray(data[ik])
+      dy = (img.shape[0] - ch) // 2
+      dx = (img.shape[1] - cw) // 2
+      data = dict(data)
+      data[ok] = jax.lax.dynamic_slice(img, (dy, dx, 0),
+                                       (ch, cw, img.shape[-1]))
+      return data
+
+    def _host(data):
+      img = np.asarray(data[ik])
+      dy = (img.shape[0] - ch) // 2
+      dx = (img.shape[1] - cw) // 2
+      data = dict(data)
+      data[ok] = img[dy:dy + ch, dx:dx + cw]
+      return data
+
+    return PPOp(fn=_dev, host_fn=_host, staticizer=True, name="central_crop")
+
+  def _host_sq(data):
+    img = np.asarray(data[ik])
+    s = min(img.shape[0], img.shape[1])
+    dy = (img.shape[0] - s) // 2
+    dx = (img.shape[1] - s) // 2
+    data = dict(data)
+    data[ok] = img[dy:dy + s, dx:dx + s]
+    return data
+
+  return PPOp(host_fn=_host_sq, phase="host", name="central_crop")
+
+
+@Registry.register("preprocess_ops.flip_lr")
+@as_pp_op(random=True)
+@InKeyOutKey(random=True)
+def get_random_flip_lr():
+  """50% horizontal flip (device). Ref :295."""
+  def _flip(image, rng):
+    image = jnp.asarray(image)
+    flip = jax.random.bernoulli(rng)
+    return jnp.where(flip, image[:, ::-1, :], image)
+  return _flip
+
+
+@Registry.register("preprocess_ops.vgg_value_range")
+@as_pp_op()
+@InKeyOutKey()
+def get_vgg_value_range(
+    mean=(0.485 * 255, 0.456 * 255, 0.406 * 255),
+    std=(0.229 * 255, 0.224 * 255, 0.225 * 255)):
+  """Standard torchvision-style normalization. Ref :306."""
+  mean_t, std_t = jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32)
+  return lambda img: (jnp.asarray(img, jnp.float32) - mean_t) / std_t
+
+
+@Registry.register("preprocess_ops.clip_value_range")
+@as_pp_op()
+@InKeyOutKey()
+def get_clip_value_range():
+  """OpenAI-CLIP normalization constants. Ref :332."""
+  mean = jnp.asarray(
+      (0.48145466 * 255, 0.4578275 * 255, 0.40821073 * 255), jnp.float32)
+  std = jnp.asarray(
+      (0.26862954 * 255, 0.26130258 * 255, 0.27577711 * 255), jnp.float32)
+  return lambda img: (jnp.asarray(img, jnp.float32) - mean) / std
+
+
+@Registry.register("preprocess_ops.convert_to_video")
+@as_pp_op()
+@InKeyOutKey()
+def get_convert_to_video(num_frames):
+  """Image -> zero-padded video of `num_frames`. Ref :343."""
+  def _to_video(image):
+    image = jnp.asarray(image)[None]
+    return jnp.pad(image, [[0, num_frames - 1], [0, 0], [0, 0], [0, 0]])
+  return _to_video
