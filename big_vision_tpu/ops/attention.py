@@ -1,0 +1,57 @@
+"""Attention ops: one call-site, selectable implementation.
+
+`dot_product_attention(q, k, v)` takes [B, T, H, D] tensors. Implementations:
+  * "xla"   — einsum attention; XLA fuses well up to moderate T.
+  * "flash" — Pallas fused flash-attention kernel (ops/flash_attention.py),
+              O(T) memory, tiled for MXU/VMEM.
+  * "auto"  — flash when available & shapes suit the kernel, else xla.
+
+Softmax always accumulates in float32 regardless of the matmul dtype —
+bfloat16 logits lose too much for long rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _xla_attention(q, k, v, mask=None):
+  """Plain einsum attention; q,k,v: [B, T, H, D] -> [B, T, H, D]."""
+  depth = q.shape[-1]
+  q = q * (1.0 / np.sqrt(depth)).astype(q.dtype)
+  logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32)
+  if mask is not None:
+    logits = jnp.where(mask, logits, -1e30)
+  weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+  return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def _flash_available(q, mask):
+  if mask is not None:
+    return False  # masked variant arrives with the VLM family
+  try:
+    from big_vision_tpu.ops import flash_attention  # noqa: F401
+  except ImportError:
+    return False
+  b, t, h, d = q.shape
+  del b, h
+  return flash_attention.supports(t, d)
+
+
+def dot_product_attention(q, k, v, mask=None, impl="auto"):
+  """Multi-head attention core; shapes [B, T, H, D] (q may have Tq != Tkv).
+
+  `mask` is broadcastable to [B, H, Tq, Tkv], True = attend.
+  """
+  if impl == "auto":
+    impl = "flash" if _flash_available(q, mask) else "xla"
+  if impl == "flash":
+    from big_vision_tpu.ops import flash_attention
+    return flash_attention.flash_attention(q, k, v)
+  assert impl == "xla", f"Unknown attention impl {impl!r}"
+  return _xla_attention(q, k, v, mask)
