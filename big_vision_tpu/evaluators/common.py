@@ -1,0 +1,131 @@
+"""Evaluator driver and shared eval input plumbing.
+
+Parity target: reference big_vision/evaluators/common.py. Every evaluator is
+a class `Evaluator(predict_fn, **cfg)` with `.run(train_state)` yielding
+(metric_name, value); the trainer instantiates them from config.evals via
+`from_config` and namespaces metrics by prefix. All evaluators use the
+jit/global-array API (API='jit' everywhere; no pmap path exists here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import importlib
+import json
+import os
+from typing import Any, Callable
+
+import flax
+import jax
+import numpy as np
+
+import big_vision_tpu.input_pipeline as input_pipeline
+import big_vision_tpu.utils as u
+
+
+def from_config(config, predict_fns, write_note=lambda s: s,
+                get_steps=lambda key, cfg: cfg[f"{key}_steps"],
+                devices=None):
+  """Instantiates [(name, evaluator, logsteps, prefix), ...] from config."""
+  evaluators = []
+  specs = config.get("evals", {})
+  for name, cfg in specs.items():
+    write_note(name)
+    cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+    module = cfg.pop("type", name)
+    pred_key = cfg.pop("pred", "predict")
+    pred_kw = cfg.pop("pred_kw", None)
+    prefix = cfg.pop("prefix", f"{name}/")
+    cfg.pop("skip_first", None)
+    logsteps = get_steps("log", cfg)
+    for typ in ("steps", "epochs", "examples", "percent"):
+      cfg.pop(f"log_{typ}", None)
+    cfg["batch_size"] = (cfg.get("batch_size")
+                         or config.get("batch_size_eval")
+                         or config.get("input.batch_size")
+                         or config.get("batch_size"))
+    if devices is not None:
+      cfg["devices"] = devices
+    mod = importlib.import_module(f"big_vision_tpu.evaluators.{module}")
+    try:
+      predict_fn = predict_fns[pred_key]
+    except KeyError as e:
+      raise ValueError(
+          f"Unknown predict_fn {pred_key!r}; have: {list(predict_fns)}") from e
+    if pred_kw is not None:
+      predict_fn = CacheablePartial(predict_fn, flax.core.freeze(pred_kw))
+    evaluators.append((name, mod.Evaluator(predict_fn, **cfg),
+                       logsteps, prefix))
+  return evaluators
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class CacheablePartial:
+  """Hashable partial so jit caches persist across evaluator instances."""
+  fn: Callable[..., Any]
+  kwargs: Any  # flax FrozenDict
+
+  def __call__(self, *args, **kwargs):
+    return functools.partial(self.fn, **self.kwargs)(*args, **kwargs)
+
+
+_PIPELINE_CACHE = {}
+
+
+def eval_input_pipeline(data, pp_fn, batch_size, devices, keep_on_cpu=(),
+                        cache="pipeline", prefetch=1, warmup=False):
+  """(get_data_iter, steps) for an eval dataset, with pipeline caching.
+
+  cache="pipeline": reuse the constructed pipeline across evaluator
+  instances keyed by its config. cache="final_data": additionally memoize
+  the realized batches in host RAM (small eval sets).
+  """
+  del warmup
+  key = (json.dumps(data, sort_keys=True, default=str), pp_fn, batch_size,
+         tuple(keep_on_cpu))
+  if cache in ("pipeline", "final_data") and key in _PIPELINE_CACHE:
+    return _PIPELINE_CACHE[key]
+
+  make_iter, steps = input_pipeline.make_for_inference(
+      dict(data), pp=pp_fn, batch_size=batch_size, devices=devices,
+      keep_on_cpu=keep_on_cpu)
+
+  if cache == "final_data":
+    @functools.lru_cache(maxsize=1)
+    def realized():
+      return list(make_iter())
+    get_iter = lambda: iter(realized())
+  else:
+    get_iter = make_iter
+
+  result = (get_iter, steps)
+  if cache in ("pipeline", "final_data"):
+    _PIPELINE_CACHE[key] = result
+  return result
+
+
+def process_sum(tree):
+  """Sums pytrees over processes (identity in single-process runs)."""
+  if jax.process_count() == 1:
+    return tree
+  from jax.experimental import multihost_utils
+  return jax.tree.map(lambda x: np.sum(x, axis=0),
+                      multihost_utils.process_allgather(tree))
+
+
+def multiprocess_write_json(path, records):
+  """Each process contributes `records`; process 0 writes the merged json."""
+  if jax.process_count() == 1:
+    merged = list(records)
+  else:
+    from jax.experimental import multihost_utils
+    all_json = multihost_utils.process_allgather(
+        np.frombuffer(json.dumps(list(records)).encode(), np.uint8))
+    del all_json  # Simplified: cross-host json gather arrives with VLM evals.
+    merged = list(records)
+  if jax.process_index() == 0:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+      json.dump(merged, f)
+  u.sync()

@@ -1,0 +1,307 @@
+"""TPU-native input pipeline: host-async loading, device-side preprocessing.
+
+Replaces the reference's tf.data pipeline (input_pipeline.py) with:
+
+  raw example stream (DataSource, this process's split)
+    -> shuffle buffer over raw records (cheap: bytes, not pixels)
+    -> host pp phase on a thread pool (JPEG decode + variable-shape ops)
+    -> local batch collate (numpy)
+    -> global jax.Array over all devices (make_fsarray_from_local_slice)
+    -> device pp phase: one jitted, vmapped XLA program on the accelerator
+    -> N-deep prefetch queue (so host work overlaps device compute)
+
+The inference pipeline keeps the reference's multi-host exactness contract
+(input_pipeline.py:176-236): every process emits the same number of batches
+(ceil of the max per-process example count / local batch), padding with
+zeros and marking real examples with "_mask"=1.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue as queue_lib
+import threading
+
+import jax
+import numpy as np
+
+import big_vision_tpu.utils as u
+from big_vision_tpu.datasets import core as ds_core
+from big_vision_tpu.pp import builder as pp_builder
+
+# Internal keys are pipeline-owned and bypass the device pp phase.
+_INTERNAL = ("_mask", "_id")
+
+
+# ---------------------------------------------------------------------------
+# Host side: example streams -> local numpy batches.
+# ---------------------------------------------------------------------------
+
+
+def _shuffled(stream, buffer_size, rng):
+  """Streaming shuffle with a reservoir buffer (tf.data shuffle semantics)."""
+  buf = []
+  for ex in stream:
+    if len(buf) < buffer_size:
+      buf.append(ex)
+      continue
+    j = rng.integers(0, len(buf))
+    yield buf[j]
+    buf[j] = ex
+  rng.shuffle(buf)
+  yield from buf
+
+
+def _repeated(source, seed):
+  """Infinite raw-example stream, reshuffled each epoch."""
+  epoch = 0
+  while True:
+    yield from source.get_examples(ordered=False, seed=seed, epoch=epoch)
+    epoch += 1
+
+
+def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None):
+  """Ordered, bounded map of the host pp phase over a thread pool."""
+  import concurrent.futures
+  if num_threads <= 1:
+    rng = np.random.default_rng(seed)
+    for ex in stream:
+      ex = pfn.host(ex, rng)
+      if filter_fn is None or filter_fn(ex):
+        yield ex
+    return
+
+  pool = concurrent.futures.ThreadPoolExecutor(num_threads)
+  window = collections.deque()
+  depth = num_threads * 4
+
+  def work(ex, i):
+    rng = np.random.default_rng((seed, i))
+    return pfn.host(ex, rng)
+
+  try:
+    for i, ex in enumerate(stream):
+      window.append(pool.submit(work, ex, i))
+      if len(window) >= depth:
+        out = window.popleft().result()
+        if filter_fn is None or filter_fn(out):
+          yield out
+    while window:
+      out = window.popleft().result()
+      if filter_fn is None or filter_fn(out):
+        yield out
+  finally:
+    pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _collate(examples):
+  """Stacks a list of example dicts; non-numeric values become object arrays."""
+  out = {}
+  for k in examples[0]:
+    vals = [e[k] for e in examples]
+    if isinstance(vals[0], (bytes, str)):
+      out[k] = np.asarray(vals, dtype=object)
+    else:
+      out[k] = np.stack([np.asarray(v) for v in vals])
+  return out
+
+
+def _batched(stream, batch_size, drop_remainder=True):
+  buf = []
+  for ex in stream:
+    buf.append(ex)
+    if len(buf) == batch_size:
+      yield _collate(buf)
+      buf = []
+  if buf and not drop_remainder:
+    yield _collate(buf)
+
+
+# ---------------------------------------------------------------------------
+# Device side: local batches -> global arrays + device pp.
+# ---------------------------------------------------------------------------
+
+
+def _is_numeric(v):
+  return isinstance(v, np.ndarray) and v.dtype != object
+
+
+def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
+                 keep_on_cpu=(), preserve_internal=False):
+  """Turns local numpy batches into prefetched global device batches.
+
+  Numeric keys become jax.Arrays sharded over `devices` along the batch
+  axis; `device_pp` (a PreprocessFn) then runs its device phase as one
+  jitted program per batch. Non-numeric / keep_on_cpu keys ride along as
+  host arrays. Internal keys ("_mask"...) bypass device pp.
+  """
+  dev_fn = None
+  if device_pp is not None and device_pp.device_ops:
+    dev_fn = jax.jit(device_pp.device)
+
+  def produce():
+    for step, batch in enumerate(batch_iter):
+      host_part = {k: v for k, v in batch.items()
+                   if not _is_numeric(v) or k in keep_on_cpu}
+      dev_part = {k: v for k, v in batch.items() if k not in host_part}
+      # The input feed is THE intended host->device boundary; the trainer
+      # runs under transfer_guard("disallow") and this thread-local guard
+      # marks these transfers as deliberate (ref utils.py:884 pattern).
+      with jax.transfer_guard("allow"):
+        gbatch = {k: u.make_fsarray_from_local_slice(v, devices)
+                  for k, v in dev_part.items()}
+        if dev_fn is not None:
+          # The inference pipeline adds _mask/_id AFTER pp (reference
+          # semantics, input_pipeline.py:176-236): re-attach them post-pp.
+          internal = ({k: gbatch[k] for k in _INTERNAL if k in gbatch}
+                      if preserve_internal else {})
+          work = {k: v for k, v in gbatch.items() if k not in internal}
+          work = dev_fn(work, jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 step))
+          gbatch = {**work, **internal}
+      yield {**gbatch, **host_part}
+
+  return _prefetched(produce(), n_prefetch)
+
+
+def _prefetched(it, depth):
+  """Background-thread prefetch queue of `depth` ready batches."""
+  if depth <= 0:
+    yield from it
+    return
+  q = queue_lib.Queue(maxsize=depth)
+  _SENTINEL = object()
+
+  def run():
+    try:
+      for x in it:
+        q.put(x)
+    except BaseException as e:  # surface errors to the consumer
+      q.put(e)
+      return
+    q.put(_SENTINEL)
+
+  t = threading.Thread(target=run, daemon=True)
+  t.start()
+  while True:
+    x = q.get()
+    if x is _SENTINEL:
+      return
+    if isinstance(x, BaseException):
+      raise x
+    yield x
+
+
+# ---------------------------------------------------------------------------
+# Public entry points (mirroring the reference's API shape).
+# ---------------------------------------------------------------------------
+
+
+def training(input_config, *, devices=None, seed=0):
+  """Builds the training iterator from config.input.
+
+  Returns (iterator of global batches, total train examples). Weighted
+  mixture configs (data = [(weight, cfg), ...]) interleave sources by
+  sampled weight.
+  """
+  devices = devices if devices is not None else jax.devices()
+  cfg = dict(input_config)
+  batch_size = cfg["batch_size"]
+  assert batch_size % jax.process_count() == 0, (batch_size,
+                                                 jax.process_count())
+  local_batch = batch_size // jax.process_count()
+  pfn = pp_builder.get_preprocess_fn(cfg.get("pp"))
+  num_threads = cfg.get("num_threads", 16)
+  shuffle_buffer = cfg.get("shuffle_buffer_size") or 1
+
+  data_cfg = cfg["data"]
+  if isinstance(data_cfg, (list, tuple)):
+    sources = []
+    for weight, sub in data_cfg:
+      sub = dict(sub)
+      sub_pp = sub.pop("pp", cfg.get("pp"))
+      sources.append((weight, ds_core.get(**sub),
+                      pp_builder.get_preprocess_fn(sub_pp)))
+    total = sum(s.total_examples for _, s, _ in sources)
+    streams = [
+        _pp_threaded(
+            _shuffled(_repeated(s, seed), shuffle_buffer,
+                      np.random.default_rng((seed, 17, i))),
+            pf, num_threads, seed=seed * 1000 + i)
+        for i, (_, s, pf) in enumerate(sources)]
+    weights = np.asarray([w for w, _, _ in sources], np.float64)
+    weights /= weights.sum()
+    rng = np.random.default_rng((seed, 23))
+
+    def mixed():
+      while True:
+        yield next(streams[rng.choice(len(streams), p=weights)])
+    examples = mixed()
+    device_pp = pfn  # device phase of the top-level pp (shared suffix)
+  else:
+    source = ds_core.get(**data_cfg)
+    total = source.total_examples
+    raw = _repeated(source, seed)
+    raw = _shuffled(raw, shuffle_buffer, np.random.default_rng((seed, 17)))
+    examples = _pp_threaded(raw, pfn, num_threads, seed=seed)
+    device_pp = pfn
+
+  batches = _batched(examples, local_batch, drop_remainder=True)
+  it = start_global(batches, devices,
+                    n_prefetch=cfg.get("prefetch", 2),
+                    device_pp=device_pp, seed=seed,
+                    keep_on_cpu=cfg.get("keep_on_cpu", ()))
+  return it, total
+
+
+def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
+                       num_batches=None, keep_on_cpu=(), seed=0):
+  """Deterministic eval pipeline with the infinite-padding + _mask contract.
+
+  Every process yields exactly `ceil(max_per_process / local_batch)` batches
+  so jitted global reductions see identical batch counts everywhere.
+  Returns (make_iterator_fn, num_batches_per_process).
+  """
+  devices = devices if devices is not None else jax.devices()
+  assert batch_size % jax.process_count() == 0
+  local_batch = batch_size // jax.process_count()
+  source = ds_core.get(**data_cfg)
+  pfn = pp_builder.get_preprocess_fn(pp)
+
+  n_local = source.num_examples_per_process()
+  # All processes must agree on the batch count: use the max split size.
+  per_proc = [
+      ds_core.even_split_bounds(source.total_examples, jax.process_count(), i)
+      for i in range(jax.process_count())]
+  max_local = max(stop - start for start, stop in per_proc)
+  if num_batches is None:
+    num_batches = -(-max_local // local_batch)  # ceil
+
+  def example_stream():
+    capacity = num_batches * local_batch
+    count = 0
+    proto = None
+    for ex in _pp_threaded(
+        source.get_examples(ordered=True), pfn, num_threads=16, seed=seed):
+      if count >= capacity:
+        break
+      ex = dict(ex)
+      ex["_mask"] = np.int32(1)
+      proto = proto or {k: np.zeros_like(np.asarray(v))
+                        for k, v in ex.items()
+                        if not isinstance(v, (bytes, str))}
+      count += 1
+      yield ex
+    assert proto is not None, "Empty eval split on this process"
+    pad = dict(proto, _mask=np.int32(0), _id=np.int64(-1))
+    while count < capacity:
+      count += 1
+      yield dict(pad)
+
+  def make_iter():
+    batches = _batched(example_stream(), local_batch, drop_remainder=False)
+    return start_global(batches, devices, n_prefetch=1, device_pp=pfn,
+                        seed=seed, keep_on_cpu=keep_on_cpu,
+                        preserve_internal=True)
+
+  return make_iter, num_batches

@@ -14,7 +14,22 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["Chrono", "chrono"]
+__all__ = ["Chrono", "chrono", "log_memory"]
+
+
+def log_memory(measure):
+  """Logs host + per-device memory stats into the metrics stream."""
+  try:
+    import psutil
+    vmem = psutil.virtual_memory()
+    measure("y/hostmem/total", vmem.total)
+    measure("y/hostmem/available", vmem.available)
+  except ImportError:
+    pass
+  for i, d in zip([0, 1], jax.local_devices()):
+    for k, v in (d.memory_stats() or {}).items():
+      if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        measure(f"y/devmem/dev{i}/{k}", v)
 
 
 def _hms(s):

@@ -1,0 +1,54 @@
+"""End-to-end trainer test: full CLI run on the smoke config + resume.
+
+Runs in a subprocess (the trainer mutates global jax config: transfer
+guard, chrono singleton) on the 8-device CPU mesh.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_train(workdir, config_arg="", extra_env=None):
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+         **(extra_env or {})}
+  cfg = f"big_vision_tpu/configs/smoke.py:{config_arg}" if config_arg else \
+      "big_vision_tpu/configs/smoke.py"
+  return subprocess.run(
+      [sys.executable, "-m", "big_vision_tpu.train",
+       "--config", cfg, "--workdir", workdir],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+
+
+def read_metrics(workdir):
+  rows = []
+  with open(os.path.join(workdir, "big_vision_metrics.txt")) as f:
+    for line in f:
+      rows.append(json.loads(line))
+  return rows
+
+
+@pytest.mark.slow
+def test_smoke_train_and_resume(tmp_path):
+  wd = str(tmp_path / "wd")
+  r = run_train(wd, "total_steps=10,batch_size=16,res=32")
+  assert r.returncode == 0, r.stderr[-3000:]
+  rows = read_metrics(wd)
+  steps = [row["step"] for row in rows]
+  assert 10 in steps
+  final = [row for row in rows if row["step"] == 10][-1]
+  assert "training_loss" in final and "val/prec@1" in final
+  assert final["training_loss"] < 3.0
+  assert os.path.exists(os.path.join(wd, "ckpt.bv-LAST"))
+
+  # Preemption-safe resume: extend total_steps, must pick up at step 10.
+  r2 = run_train(wd, "total_steps=14,batch_size=16,res=32")
+  assert r2.returncode == 0, r2.stderr[-3000:]
+  assert "Resuming from" in (r2.stderr + r2.stdout)
+  steps2 = [row["step"] for row in read_metrics(wd)]
+  assert 14 in steps2
