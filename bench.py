@@ -1,0 +1,114 @@
+"""North-star benchmark: ViT-B/16 224px training images/sec/chip.
+
+Runs the REAL stack end to end on the local accelerator: synthetic-JPEG
+DataSource -> host decode+inception-crop threads -> device pp (flip,
+value_range, onehot) -> bf16 ViT-B/16 fwd/bwd -> Adam update. Measures
+steady-state throughput and the input-pipeline stall fraction, and prints
+ONE JSON line:
+
+  {"metric": ..., "value": imgs/sec/chip, "unit": "img/s",
+   "vs_baseline": fraction of the 95%-of-bf16-roofline target}
+
+The reference publishes no images/sec number (BASELINE.md), so the baseline
+here is the physics: ViT-B/16 train ~= 3 x 17.6 GFLOPs/img; a v5e chip has
+~197 bf16 TFLOP/s -> roofline ~3730 img/s/chip; target = 0.95 * roofline.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+  import big_vision_tpu.input_pipeline as ip
+  import big_vision_tpu.optim as bv_optim
+  import big_vision_tpu.utils as u
+  from big_vision_tpu.models import vit
+  import big_vision_tpu.pp.ops_general  # noqa: F401
+  import big_vision_tpu.pp.ops_image  # noqa: F401
+
+  n_chips = jax.device_count()
+  batch = 256 * n_chips
+  res = 224
+
+  train_iter, _ = ip.training(dict(
+      data=dict(name="synthetic", n=16384, num_classes=1000, h=256, w=320,
+                unique_images=512),
+      batch_size=batch,
+      shuffle_buffer_size=1024,
+      num_threads=32,
+      prefetch=4,
+      pp=(f"decode_jpeg_and_inception_crop({res})|flip_lr|value_range(-1, 1)"
+          "|onehot(1000, key='label', key_result='labels')"
+          "|keep('image', 'labels')"),
+  ), seed=0)
+
+  model = vit.Model(num_classes=1000, variant="B/16", posemb="sincos2d",
+                    pool_type="gap", dtype_mm="bfloat16")
+  rng = jax.random.PRNGKey(0)
+  params = jax.jit(
+      lambda k: model.init(k, jnp.zeros((1, res, res, 3)))["params"])(rng)
+  tx, _ = bv_optim.make(
+      dict(optax_name="scale_by_adam", optax=dict(mu_dtype="bfloat16"),
+           lr=1e-3, wd=1e-4,
+           schedule=dict(warmup_steps=100, decay_type="cosine")),
+      params, sched_kw=dict(total_steps=10_000, batch_size=batch,
+                            data_size=1_281_167))
+  opt = jax.jit(tx.init)(params)
+
+  @jax.jit
+  def step_fn(params, opt, batch):
+    def loss_fn(p):
+      logits, _ = model.apply({"params": p}, batch["image"], train=True)
+      return u.softmax_xent(logits=logits, labels=batch["labels"])
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt = tx.update(grads, opt, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt, loss
+
+  # Warmup: compile + let the pipeline fill.
+  for _ in range(8):
+    b = next(train_iter)
+    params, opt, loss = step_fn(params, opt, b)
+  jax.block_until_ready(loss)
+
+  # Timed run.
+  steps = 30
+  stall = 0.0
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    s0 = time.perf_counter()
+    b = next(train_iter)
+    stall += time.perf_counter() - s0
+    params, opt, loss = step_fn(params, opt, b)
+  jax.block_until_ready(loss)
+  dt = time.perf_counter() - t0
+
+  imgs_per_sec = batch * steps / dt
+  imgs_per_sec_chip = imgs_per_sec / n_chips
+  stall_pct = 100.0 * stall / dt
+
+  # Physics baseline (see module docstring).
+  flops_per_img_train = 3 * 17.6e9
+  peak = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+          "TPU v4": 275e12, "TPU v5p": 459e12}.get(
+              jax.devices()[0].device_kind, 197e12)
+  target = 0.95 * peak / flops_per_img_train
+
+  print(json.dumps({
+      "metric": "vit_b16_224px_train_images_per_sec_per_chip",
+      "value": round(imgs_per_sec_chip, 2),
+      "unit": "img/s/chip",
+      "vs_baseline": round(imgs_per_sec_chip / target, 4),
+      "input_stall_pct": round(stall_pct, 2),
+      "device": jax.devices()[0].device_kind,
+      "global_batch": batch,
+  }))
+
+
+if __name__ == "__main__":
+  main()

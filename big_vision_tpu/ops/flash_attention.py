@@ -1,0 +1,308 @@
+"""Fused flash attention for TPU (Pallas).
+
+Online-softmax attention with O(T) memory: never materializes the [T, T]
+score matrix in HBM. Forward + custom VJP, optional causal masking, and
+transparent padding to MXU-friendly block sizes (ViT's T=196/197 work).
+
+Layout: public API takes [B, T, H, D] (like ops/attention.py); kernels run
+on [BH, T, D] with a grid over (batch*heads, query blocks). K/V for one
+head live in VMEM whole (fine up to T ~ 4k at D=128); the kv loop is a
+fori_loop over kv blocks with running max/sum accumulators in f32.
+
+Softmax statistics are kept as LSE for the backward pass, which recomputes
+P per block (standard flash backward; FLOPs for HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU backend; tests run interpret mode on CPU.
+  from jax.experimental.pallas import tpu as pltpu
+  _VMEM = pltpu.VMEM
+except ImportError:  # pragma: no cover
+  pltpu = None
+  _VMEM = None
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_KV = 128
+NEG_INF = -1e30
+
+
+def supports(t, d):
+  """Shape gate used by ops.attention's auto dispatch."""
+  return d <= 256 and t >= 16
+
+
+def _interpret():
+  return jax.default_backend() != "tpu"
+
+
+def _bspec(block, idx):
+  if _VMEM is None:
+    return pl.BlockSpec(block, idx)
+  return pl.BlockSpec(block, idx, memory_space=_VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv,
+                seq_q, seq_kv, causal, block_q):
+  qi = pl.program_id(1)
+  q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
+  bq, d = q.shape
+  nkv = k_ref.shape[1] // block_kv
+
+  row_ids = qi * block_q + jax.lax.broadcasted_iota(
+      jnp.int32, (bq, block_kv), 0)
+
+  def body(j, carry):
+    m, l, acc = carry
+    k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+    v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bkv]
+    col_ids = j * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_kv), 1)
+    mask = (col_ids < seq_kv) & (row_ids < seq_q)
+    if causal:
+      mask &= col_ids <= row_ids
+    s = jnp.where(mask, s, NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m - m_new)
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return m_new, l_new, acc_new
+
+  m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+  l0 = jnp.zeros((bq, 1), jnp.float32)
+  acc0 = jnp.zeros((bq, d), jnp.float32)
+  m, l, acc = jax.lax.fori_loop(0, nkv, body, (m0, l0, acc0))
+
+  l_safe = jnp.where(l == 0, 1.0, l)
+  o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+  lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, *, scale, causal, block_q, block_kv, seq_q, seq_kv):
+  """q,k,v: [BH, Tq_pad, D], [BH, Tkv_pad, D]; returns (o, lse)."""
+  bh, tq, d = q.shape
+  tkv = k.shape[1]
+  grid = (bh, tq // block_q)
+  kernel = functools.partial(
+      _fwd_kernel, scale=scale, block_kv=block_kv, causal=causal,
+      seq_q=seq_q, seq_kv=seq_kv, block_q=block_q)
+  return pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[
+          _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
+          _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
+          _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
+      ],
+      out_specs=[
+          _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
+          # LSE lives as [BH, 1, Tq]: TPU block tiling requires the last two
+          # block dims divisible by (8, 128) or equal to the array dims.
+          _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+          jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32),
+      ],
+      interpret=_interpret(),
+  )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                   scale, block_kv, seq_q, seq_kv, causal, block_q):
+  qi = pl.program_id(1)
+  q = q_ref[0].astype(jnp.float32) * scale
+  do = do_ref[0].astype(jnp.float32)
+  lse = lse_ref[0, 0][:, None]
+  delta = delta_ref[0, 0][:, None]
+  bq, d = q.shape
+  nkv = k_ref.shape[1] // block_kv
+  row_ids = qi * block_q + jax.lax.broadcasted_iota(
+      jnp.int32, (bq, block_kv), 0)
+
+  def body(j, dq):
+    k = k_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+    v = v_ref[0, pl.ds(j * block_kv, block_kv), :].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col_ids = j * block_kv + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_kv), 1)
+    mask = (col_ids < seq_kv) & (row_ids < seq_q)
+    if causal:
+      mask &= col_ids <= row_ids
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+
+  dq = jax.lax.fori_loop(0, nkv, body, jnp.zeros((bq, d), jnp.float32))
+  dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_q, seq_q, seq_kv, causal,
+                    block_kv):
+  ki = pl.program_id(1)
+  k = k_ref[0].astype(jnp.float32)  # [bkv, d]
+  v = v_ref[0].astype(jnp.float32)
+  bkv, d = k.shape
+  nq = q_ref.shape[1] // block_q
+  col_ids = ki * block_kv + jax.lax.broadcasted_iota(
+      jnp.int32, (block_q, bkv), 1)
+
+  def body(i, carry):
+    dk, dv = carry
+    q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+    do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+    lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    row_ids = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, bkv), 0)
+    mask = (col_ids < seq_kv) & (row_ids < seq_q)
+    if causal:
+      mask &= col_ids <= row_ids
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    return dk_new, dv_new
+
+  dk0 = jnp.zeros((bkv, d), jnp.float32)
+  dv0 = jnp.zeros((bkv, d), jnp.float32)
+  dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+  dk_ref[0] = dk.astype(dk_ref.dtype)
+  dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, *, scale, causal, block_q, block_kv,
+         seq_q, seq_kv):
+  bh, tq, d = q.shape
+  tkv = k.shape[1]
+  delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                  axis=-1)[:, None, :]  # [BH, 1, Tq]
+
+  dq = pl.pallas_call(
+      functools.partial(_bwd_dq_kernel, scale=scale, block_kv=block_kv,
+                        seq_q=seq_q, seq_kv=seq_kv,
+                        causal=causal, block_q=block_q),
+      grid=(bh, tq // block_q),
+      in_specs=[
+          _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
+          _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
+          _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
+          _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
+          _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+          _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+      ],
+      out_specs=_bspec((1, block_q, d), lambda b, i: (b, i, 0)),
+      out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+      interpret=_interpret(),
+  )(q, k, v, do, lse, delta)
+
+  dk, dv = pl.pallas_call(
+      functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                        seq_q=seq_q, seq_kv=seq_kv,
+                        causal=causal, block_kv=block_kv),
+      grid=(bh, tkv // block_kv),
+      in_specs=[
+          _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
+          _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+          _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+      ],
+      out_specs=[
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((bh, tkv, d), k.dtype),
+          jax.ShapeDtypeStruct((bh, tkv, d), v.dtype),
+      ],
+      interpret=_interpret(),
+  )(q, k, v, do, lse, delta)
+  return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API with padding + custom VJP.
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x, t_pad):
+  t = x.shape[1]
+  if t == t_pad:
+    return x
+  return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attend(q, k, v, causal, block_q, block_kv):
+  return _attend_fwd(q, k, v, causal, block_q, block_kv)[0]
+
+
+def _attend_fwd(q, k, v, causal, block_q, block_kv):
+  seq_q, seq_kv = q.shape[1], k.shape[1]
+  scale = 1.0 / np.sqrt(q.shape[-1])
+  tq_pad = -(-seq_q // block_q) * block_q
+  tkv_pad = -(-seq_kv // block_kv) * block_kv
+  qp, kp, vp = _pad_to(q, tq_pad), _pad_to(k, tkv_pad), _pad_to(v, tkv_pad)
+  o, lse = _fwd(qp, kp, vp, scale=scale, causal=causal, block_q=block_q,
+                block_kv=block_kv, seq_q=seq_q, seq_kv=seq_kv)
+  return o[:, :seq_q], (qp, kp, vp, o, lse, seq_q, seq_kv, scale)
+
+
+def _attend_bwd(causal, block_q, block_kv, res, g):
+  qp, kp, vp, o, lse, seq_q, seq_kv, scale = res
+  dop = _pad_to(g, qp.shape[1])
+  dq, dk, dv = _bwd(qp, kp, vp, o, lse, dop, scale=scale, causal=causal,
+                    block_q=block_q, block_kv=block_kv,
+                    seq_q=seq_q, seq_kv=seq_kv)
+  return dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv]
+
+
+_attend.defvjp(_attend_fwd, _attend_bwd)
+
+
+def flash_attention(q, k, v, *, causal=False, block_q=None, block_kv=None):
+  """Fused attention; q,k,v: [B, T, H, D] (Tq may differ from Tkv)."""
+  b, tq, h, d = q.shape
+  tkv = k.shape[1]
+  block_q = block_q or min(DEFAULT_BLOCK_Q, max(16, tq))
+  block_kv = block_kv or min(DEFAULT_BLOCK_KV, max(16, tkv))
+
+  def to_bh(x):
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+
+  o = _attend(to_bh(q), to_bh(k), to_bh(v), causal, block_q, block_kv)
+  return jnp.transpose(o.reshape(b, h, tq, d), (0, 2, 1, 3))

@@ -61,6 +61,15 @@ def infer_opt_sharding(tx, params_shape, params_sharding, repl_sharding):
 
 
 def main(argv=None, *, config=None, workdir=None):
+  prev_guard = getattr(jax.config, "jax_transfer_guard", None) or "allow"
+  try:
+    return _main(argv, config=config, workdir=workdir)
+  finally:
+    # Don't leak the strict guard into callers (tests, notebooks, drivers).
+    jax.config.update("jax_transfer_guard", prev_guard)
+
+
+def _main(argv=None, *, config=None, workdir=None):
   del argv
   if config is None:
     config = flags.FLAGS.config

@@ -64,7 +64,7 @@ def create_learning_rate_schedule(total_steps, batch_size=None, data_size=None,
     if scale_with_batchsize:  # Goyal et al. linear scaling rule (ref bs 256).
       lr = lr * batch_size / 256.0
 
-    progress = (step - warmup) / float(total_steps - warmup)
+    progress = (step - warmup) / float(max(total_steps - warmup, 1))
     progress = jnp.clip(progress, 0.0, 1.0)
     if decay_type in ("linear", "polynomial"):
       power = kw.get("power", 1)

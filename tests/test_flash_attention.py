@@ -1,0 +1,91 @@
+"""Flash attention vs reference einsum attention (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_vision_tpu.ops import attention, flash_attention
+
+
+def rand_qkv(b=2, t=48, h=2, d=32, tkv=None, seed=0):
+  rs = np.random.RandomState(seed)
+  tkv = tkv or t
+  q = jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+  k = jnp.asarray(rs.randn(b, tkv, h, d), jnp.float32)
+  v = jnp.asarray(rs.randn(b, tkv, h, d), jnp.float32)
+  return q, k, v
+
+
+def ref_attention(q, k, v, causal=False):
+  mask = None
+  if causal:
+    tq, tkv = q.shape[1], k.shape[1]
+    mask = jnp.tril(jnp.ones((tq, tkv), bool))[None, None]
+  return attention._xla_attention(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize("t", [16, 48, 196, 197])
+def test_forward_matches_xla(t):
+  q, k, v = rand_qkv(t=t)
+  out = flash_attention.flash_attention(q, k, v, block_q=32, block_kv=32)
+  want = ref_attention(q, k, v)
+  np.testing.assert_allclose(out, want, atol=2e-5, rtol=1e-4)
+
+
+def test_forward_causal():
+  q, k, v = rand_qkv(t=64)
+  out = flash_attention.flash_attention(q, k, v, causal=True,
+                                        block_q=32, block_kv=32)
+  want = ref_attention(q, k, v, causal=True)
+  np.testing.assert_allclose(out, want, atol=2e-5, rtol=1e-4)
+
+
+def test_cross_attention_shapes():
+  q, k, v = rand_qkv(t=16, tkv=80)
+  out = flash_attention.flash_attention(q, k, v, block_q=16, block_kv=32)
+  want = ref_attention(q, k, v)
+  np.testing.assert_allclose(out, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_xla(causal):
+  q, k, v = rand_qkv(b=1, t=40, h=2, d=16)
+
+  def loss_flash(q, k, v):
+    o = flash_attention.flash_attention(q, k, v, causal=causal,
+                                        block_q=16, block_kv=16)
+    return jnp.sum(o * jnp.cos(o))
+
+  def loss_ref(q, k, v):
+    o = ref_attention(q, k, v, causal=causal)
+    return jnp.sum(o * jnp.cos(o))
+
+  g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+  for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+    np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=1e-3,
+                               err_msg=f"d{name} mismatch")
+
+
+def test_bf16_forward_close():
+  q, k, v = rand_qkv(t=64)
+  qb, kb, vb = jax.tree.map(lambda x: x.astype(jnp.bfloat16), (q, k, v))
+  out = flash_attention.flash_attention(qb, kb, vb, block_q=32, block_kv=32)
+  want = ref_attention(q, k, v)
+  np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                             atol=3e-2, rtol=3e-2)
+
+
+def test_vit_uses_flash_when_impl_forced():
+  """MHA module with attn_impl='flash' must agree with impl='xla'."""
+  from big_vision_tpu.models import vit
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 50, 32), jnp.float32)
+  mha_x = vit.MultiHeadAttention(num_heads=2, attn_impl="xla")
+  mha_f = vit.MultiHeadAttention(num_heads=2, attn_impl="flash")
+  p = mha_x.init(jax.random.PRNGKey(0), x, x)["params"]
+  yx = mha_x.apply({"params": p}, x, x)
+  yf = mha_f.apply({"params": p}, x, x)
+  np.testing.assert_allclose(yf, yx, atol=2e-5, rtol=1e-4)
