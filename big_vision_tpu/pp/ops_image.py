@@ -65,6 +65,9 @@ def _pil_resize(image, size, method, antialias):
       method = "bilinear"
     return np.asarray(_jax_resize(image, size, method, antialias=True))
   h, w = size
+  if image.shape[-1] == 3:  # fast path: one RGB resize
+    return np.asarray(
+        Image.fromarray(image).resize((w, h), pil_filter), dtype)
   chans = [
       np.asarray(Image.fromarray(image[..., c]).resize((w, h), pil_filter))
       for c in range(image.shape[-1])
@@ -72,20 +75,33 @@ def _pil_resize(image, size, method, antialias):
   return np.stack(chans, axis=-1).astype(dtype)
 
 
+def _is_jpeg(b):
+  return isinstance(b, bytes) and b[:3] == b"\xff\xd8\xff"
+
+
 @Registry.register("preprocess_ops.decode")
 def get_decode(channels=3, precise=False, key="image", inkey=None,
                outkey=None):
-  """Decodes JPEG/PNG bytes to uint8 HWC (host). Ref ops_image.py:31."""
-  del precise  # PIL's decoder is the "precise" INTEGER_ACCURATE-style path.
+  """Decodes JPEG/PNG bytes to uint8 HWC (host). Ref ops_image.py:31.
+
+  JPEGs go through the native libjpeg-turbo path (GIL-free, bit-exact with
+  PIL); other formats and channel counts fall back to PIL.
+  """
+  del precise  # Both paths use the INTEGER_ACCURATE-style IDCT.
   from PIL import Image
+  from big_vision_tpu import native
   ik, ok = inkey or key, outkey or key
 
   def _decode(data):
-    img = Image.open(io.BytesIO(data[ik]))
-    img = img.convert({1: "L", 3: "RGB", 4: "RGBA"}[channels])
-    arr = np.asarray(img, np.uint8)
-    if arr.ndim == 2:
-      arr = arr[:, :, None]
+    raw = data[ik]
+    if channels == 3 and _is_jpeg(raw) and native.available():
+      arr = native.decode_crop_resize(raw)
+    else:
+      img = Image.open(io.BytesIO(raw))
+      img = img.convert({1: "L", 3: "RGB", 4: "RGBA"}[channels])
+      arr = np.asarray(img, np.uint8)
+      if arr.ndim == 2:
+        arr = arr[:, :, None]
     data = dict(data)
     data[ok] = arr
     return data
@@ -201,22 +217,36 @@ def get_decode_jpeg_and_inception_crop(
     method="bilinear", antialias=False, key="image", inkey=None, outkey=None):
   """Fused decode + inception crop (host). Ref :197.
 
-  The reference uses crop-window JPEG decode to skip decoding discarded
-  pixels; here PIL's draft-mode downscale-on-decode gives a similar saving
-  when the crop is later resized to a small target.
+  Uses the native libjpeg-turbo crop-window decode (+ fused IDCT downscale
+  and bilinear resize, big_vision_tpu/native/dataio.cc) so discarded pixels
+  are never decoded; falls back to PIL when the native lib is unavailable
+  or the input isn't JPEG.
   """
   from PIL import Image
+  from big_vision_tpu import native
   ik, ok = inkey or key, outkey or key
+  use_native_resize = size and method == "bilinear" and not antialias
 
   def _op(data, np_rng):
-    img = Image.open(io.BytesIO(data[ik]))
-    w, h = img.size  # PIL reads the header only at this point.
-    y0, x0, ch, cw = _sample_inception_box(
-        np_rng, h, w, area_min / 100, area_max / 100, ratio_min, ratio_max)
-    img = img.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch))
-    crop = np.asarray(img, np.uint8)
-    if size:
-      crop = _pil_resize(crop, maybe_repeat(size, 2), method, antialias)
+    raw = data[ik]
+    if _is_jpeg(raw) and native.available():
+      h, w = native.jpeg_size(raw)
+      y0, x0, ch, cw = _sample_inception_box(
+          np_rng, h, w, area_min / 100, area_max / 100, ratio_min, ratio_max)
+      out_size = maybe_repeat(size, 2) if use_native_resize else None
+      crop = native.decode_crop_resize(raw, crop=(y0, x0, ch, cw),
+                                       out_size=out_size)
+      if size and not use_native_resize:
+        crop = _pil_resize(crop, maybe_repeat(size, 2), method, antialias)
+    else:
+      img = Image.open(io.BytesIO(raw))
+      w, h = img.size  # PIL reads the header only at this point.
+      y0, x0, ch, cw = _sample_inception_box(
+          np_rng, h, w, area_min / 100, area_max / 100, ratio_min, ratio_max)
+      img = img.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch))
+      crop = np.asarray(img, np.uint8)
+      if size:
+        crop = _pil_resize(crop, maybe_repeat(size, 2), method, antialias)
     data = dict(data)
     data[ok] = crop
     return data
