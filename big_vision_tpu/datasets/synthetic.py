@@ -15,8 +15,8 @@ import numpy as np
 from big_vision_tpu.datasets import core
 
 
-@functools.lru_cache(maxsize=64)
-def _jpeg_bytes(seed, h, w):
+@functools.lru_cache(maxsize=None)  # one entry per unique image: must never
+def _jpeg_bytes(seed, h, w):        # thrash, re-encoding costs ~10ms/image
   from PIL import Image
   rng = np.random.default_rng(seed)
   arr = rng.integers(0, 255, (h, w, 3), np.uint8)
