@@ -43,7 +43,7 @@ class Evaluator:
   def run(self, train_state):
     ncorrect, loss, nseen = 0, 0, 0
     for _, batch in zip(range(self.steps), self.get_data_iter()):
-      batch = dict(batch)
+      batch, _ = common.split_batch(batch)
       labels, mask = batch.pop(self.label_key), batch.pop("_mask")
       batch.pop("_id", None)
       nc, l, ns = jax.device_get(

@@ -105,6 +105,13 @@ def eval_input_pipeline(data, pp_fn, batch_size, devices, keep_on_cpu=(),
   return result
 
 
+def split_batch(batch):
+  """(device_part, host_part): jitted eval fns must only see jax Arrays."""
+  dev = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
+  host = {k: v for k, v in batch.items() if k not in dev}
+  return dev, host
+
+
 def process_sum(tree):
   """Sums pytrees over processes (identity in single-process runs)."""
   if jax.process_count() == 1:

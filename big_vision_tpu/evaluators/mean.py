@@ -39,6 +39,7 @@ class Evaluator:
   def run(self, train_state):
     sums, nseen = None, 0
     for _, batch in zip(range(self.steps), self.get_data_iter()):
+      batch, _ = common.split_batch(batch)
       batch_sums, batch_n = jax.device_get(self.eval_fn(train_state, batch))
       nseen += batch_n
       sums = (batch_sums if sums is None else

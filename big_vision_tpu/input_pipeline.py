@@ -66,7 +66,8 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None):
   if num_threads <= 1:
     rng = np.random.default_rng(seed)
     for ex in stream:
-      ex = pfn.host(ex, rng)
+      with jax.transfer_guard("allow"):
+        ex = pfn.host(ex, rng)
       if filter_fn is None or filter_fn(ex):
         yield ex
     return
@@ -77,7 +78,10 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None):
 
   def work(ex, i):
     rng = np.random.default_rng((seed, i))
-    return pfn.host(ex, rng)
+    # Host-phase ops may execute eager jax on CPU (device-capable ops that
+    # sit before a host-only op); those transfers are intentional.
+    with jax.transfer_guard("allow"):
+      return pfn.host(ex, rng)
 
   try:
     for i, ex in enumerate(stream):

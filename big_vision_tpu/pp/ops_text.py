@@ -1,0 +1,108 @@
+"""Text preprocessing ops (host phase: strings live on the host).
+
+Parity target: reference pp/ops_text.py. The `tokenize` op reproduces the
+reference's eos modes exactly (ops_text.py:114-205):
+
+  eos="none":   tokens, truncated/padded to max_len, no eos.
+  eos="yes":    tokens + eos, truncated to max_len (eos may be cut).
+  eos="sticky": last kept token is ALWAYS eos (contrastive "last" pooling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from big_vision_tpu.registry import Registry
+from big_vision_tpu.pp.tokenizer import get_tokenizer
+from big_vision_tpu.pp.utils import PPOp
+
+
+def _pad_tokens(ids, max_len, pad_value, eos_token, force_eos):
+  ids = list(ids)
+  if force_eos:
+    if len(ids) >= max_len:
+      ids = ids[:max_len - 1] + [eos_token]
+  ids = ids[:max_len]
+  return np.asarray(ids + [pad_value] * (max_len - len(ids)), np.int32)
+
+
+@Registry.register("preprocess_ops.tokenize")
+def get_pp_tokenize(max_len, eos, model="c4_en", lower=True,
+                    sample_if_multi=True, pad_value="<pad>", add_bos=False,
+                    key=None, inkey=None, outkey="labels"):
+  """Tokenizes data[inkey] into int32 [max_len] (host op). Ref :114."""
+  if eos not in ("yes", "none", "sticky"):
+    raise ValueError(f"Invalid eos mode {eos!r}")
+  tokenizer = get_tokenizer(model)
+  if isinstance(pad_value, str):
+    pad_value = tokenizer.string_to_id(pad_value)
+  ik = key or inkey
+  ok = key or outkey
+  assert ik, "tokenize needs key= or inkey="
+
+  def _tokenize_one(txt):
+    if isinstance(txt, bytes):
+      txt = txt.decode()
+    if lower:
+      txt = txt.lower()
+    ids = tokenizer.to_int(txt, bos=add_bos, eos=eos != "none")
+    return _pad_tokens(ids, max_len, pad_value, tokenizer.eos_token,
+                       force_eos=eos == "sticky")
+
+  def _op(data, np_rng):
+    data = dict(data)
+    txt = data[ik]
+    if sample_if_multi and isinstance(txt, (list, tuple, np.ndarray)):
+      txt = txt[int(np_rng.integers(0, len(txt)))] if len(txt) else ""
+      data[ok] = _tokenize_one(txt)
+    elif isinstance(txt, (list, tuple, np.ndarray)):
+      data[ok] = np.stack([_tokenize_one(t) for t in txt])
+    else:
+      data[ok] = _tokenize_one(txt)
+    return data
+
+  return PPOp(host_fn=_op, phase="host", random=True, staticizer=True,
+              name="tokenize")
+
+
+@Registry.register("preprocess_ops.lower")
+def get_lower(key="text", inkey=None, outkey=None):
+  """Lowercases a string field. Ref :239."""
+  ik, ok = inkey or key, outkey or key
+
+  def _op(data):
+    data = dict(data)
+    v = data[ik]
+    data[ok] = v.decode().lower() if isinstance(v, bytes) else str(v).lower()
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="lower")
+
+
+@Registry.register("preprocess_ops.strfmt")
+def get_strfmt(template, outkey="text"):
+  """Formats a string template with fields from the data dict. Ref :250."""
+
+  def _op(data):
+    data = dict(data)
+    fields = {k: (v.decode() if isinstance(v, bytes) else v)
+              for k, v in data.items() if not k.startswith("_")}
+    data[outkey] = template.format(**fields)
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="strfmt")
+
+
+@Registry.register("preprocess_ops.coco_captions")
+def get_coco_captions(outkey="captions"):
+  """Lifts nested COCO 'captions/text' to a flat key. Ref :206."""
+
+  def _op(data):
+    data = dict(data)
+    caps = data["captions"]
+    if isinstance(caps, dict):
+      caps = caps["text"]
+    data[outkey] = caps
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="coco_captions")

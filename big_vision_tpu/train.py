@@ -296,6 +296,9 @@ def _main(argv=None, *, config=None, workdir=None):
     mw.step_start(step)
     with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
       batch = next(train_iter)
+      # Host-side keys (strings, keep_on_cpu) are for eval/debug paths;
+      # the jitted update only sees device arrays.
+      batch = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
       with nn.logical_axis_rules(sharding_rules), mesh:
         train_state, measurements = update_fn(train_state, rng_loop, batch)
 
