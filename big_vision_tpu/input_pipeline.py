@@ -143,6 +143,11 @@ def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
   if device_pp is not None and device_pp.device_ops:
     dev_fn = jax.jit(device_pp.device)
 
+  # Stage the host work (decode/collate) in its own thread so it overlaps
+  # with the h2d transfers below (which mostly wait on DMA/network IO).
+  if n_prefetch > 0:
+    batch_iter = _prefetched(batch_iter, max(n_prefetch, 1))
+
   def produce():
     for step, batch in enumerate(batch_iter):
       host_part = {k: v for k, v in batch.items()

@@ -49,6 +49,7 @@ def _load():
       lib.bvt_jpeg_size.restype = ctypes.c_int
       lib.bvt_decode_crop_resize.restype = ctypes.c_int
       lib.bvt_decode_crop_resize_batch.restype = ctypes.c_int
+      lib.bvt_decode_crop_resize_yuv420.restype = ctypes.c_int
       _LIB = lib
     except (OSError, subprocess.CalledProcessError):
       _LIB = False
@@ -90,6 +91,32 @@ def decode_crop_resize(data: bytes, crop=None, out_size=None) -> np.ndarray:
   if rc:
     raise ValueError("JPEG decode failed")
   return out
+
+
+def decode_crop_resize_yuv420(data: bytes, crop, out: int):
+  """YUV420 fast path: returns (y [out,out], uv [2,out//2,out//2]) uint8.
+
+  Raises ValueError if the JPEG isn't YCbCr 4:2:0/4:4:4 (caller should use
+  decode_crop_resize then).
+  """
+  lib = _load()
+  assert out % 2 == 0, out
+  y0, x0, ch, cw = crop if crop is not None else (0, 0, 0, 0)
+  y_out = np.empty((out, out), np.uint8)
+  uv_out = np.empty((2, out // 2, out // 2), np.uint8)
+  rc = lib.bvt_decode_crop_resize_yuv420(
+      data, len(data), y0, x0, ch, cw, out,
+      y_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      uv_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+  if rc == 2:
+    raise _NotYuv420()
+  if rc:
+    raise ValueError("JPEG decode failed")
+  return y_out, uv_out
+
+
+class _NotYuv420(ValueError):
+  pass
 
 
 def decode_crop_resize_batch(datas, crops, out_size, nthreads=None):

@@ -255,6 +255,78 @@ def get_decode_jpeg_and_inception_crop(
               staticizer=bool(size), name="decode_jpeg_and_inception_crop")
 
 
+@Registry.register("preprocess_ops.decode_jpeg_and_inception_crop_yuv")
+def get_decode_jpeg_and_inception_crop_yuv(
+    size, area_min=5, area_max=100, ratio_min=0.75, ratio_max=1.33,
+    key="image", inkey=None, outkey=None):
+  """YUV420 fast-path variant of decode_jpeg_and_inception_crop.
+
+  Decodes only the JPEG's raw YCbCr planes (skipping libjpeg's chroma
+  upsampling + RGB conversion), crops+resizes them on host, and emits
+  `{out}_y` [S,S] + `{out}_uv` [2,S/2,S/2] uint8. Pair with the
+  `yuv420_to_rgb` device op, which reconstitutes RGB on the accelerator:
+  half the host->HBM bytes and ~35% less host decode work. Pixels differ
+  slightly from the RGB path (chroma resampled at 1/2 res - the same
+  information the JPEG actually stores).
+  """
+  from big_vision_tpu import native
+  ik = inkey or key
+  ok = outkey or key
+  assert size % 2 == 0, size
+
+  def _op(data, np_rng):
+    raw = data[ik]
+    h, w = native.jpeg_size(raw)
+    y0, x0, ch, cw = _sample_inception_box(
+        np_rng, h, w, area_min / 100, area_max / 100, ratio_min, ratio_max)
+    data = dict(data)
+    try:
+      y, uv = native.decode_crop_resize_yuv420(raw, (y0, x0, ch, cw), size)
+      data.pop(ik, None)
+      data[f"{ok}_y"], data[f"{ok}_uv"] = y, uv
+    except ValueError:  # not a 420/444 YCbCr jpeg: plain RGB fallback
+      rgb = native.decode_crop_resize(raw, crop=(y0, x0, ch, cw),
+                                      out_size=(size, size))
+      data.pop(ik, None)
+      data[f"{ok}_y"] = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                         + 0.114 * rgb[..., 2]).astype(np.uint8)
+      small = rgb[::2, ::2].astype(np.float32)
+      cb = 128 + (small[..., 2] - (0.299 * small[..., 0]
+                                   + 0.587 * small[..., 1]
+                                   + 0.114 * small[..., 2])) * 0.564
+      cr = 128 + (small[..., 0] - (0.299 * small[..., 0]
+                                   + 0.587 * small[..., 1]
+                                   + 0.114 * small[..., 2])) * 0.713
+      data[f"{ok}_uv"] = np.stack(
+          [np.clip(cb, 0, 255), np.clip(cr, 0, 255)]).astype(np.uint8)
+    return data
+
+  return PPOp(host_fn=_op, phase="host", random=True, staticizer=True,
+              name="decode_jpeg_and_inception_crop_yuv")
+
+
+@Registry.register("preprocess_ops.yuv420_to_rgb")
+def get_yuv420_to_rgb(key="image"):
+  """Device op: {key}_y + {key}_uv -> {key} RGB float32 in [0, 255].
+
+  BT.601 full-range YCbCr (what JPEG stores); chroma upsampled 2x bilinear.
+  """
+  def _op(data):
+    data = dict(data)
+    y = jnp.asarray(data.pop(f"{key}_y"), jnp.float32)
+    uv = jnp.asarray(data.pop(f"{key}_uv"), jnp.float32)
+    s = y.shape[0]
+    up = jax.image.resize(uv, (2, s, s), method="linear")
+    cb, cr = up[0] - 128.0, up[1] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    data[key] = jnp.clip(jnp.stack([r, g, b], -1), 0.0, 255.0)
+    return data
+
+  return PPOp(fn=_op, name="yuv420_to_rgb")
+
+
 @Registry.register("preprocess_ops.random_crop")
 def get_random_crop(crop_size, key="image", inkey=None, outkey=None):
   """Random fixed-size crop; dual impl; staticizer. Ref :245."""
