@@ -48,7 +48,7 @@ def main():
   ), seed=0)
 
   model = vit.Model(num_classes=1000, variant="B/16", posemb="sincos2d",
-                    pool_type="gap", dtype_mm="bfloat16")
+                    pool_type="gap", dtype_mm="bfloat16", attn_impl="xla")
   rng = jax.random.PRNGKey(0)
   params = jax.jit(
       lambda k: model.init(k, jnp.zeros((1, res, res, 3)))["params"])(rng)

@@ -40,7 +40,10 @@ def _flash_available(q, mask):
     return False
   b, t, h, d = q.shape
   del b, h
-  return flash_attention.supports(t, d)
+  # Policy: XLA attention wins for short sequences (ViT at 224px); the
+  # flash kernel's O(T) memory matters from ~1k tokens. Until the kernel
+  # is tuned to parity at short T, auto only picks it for long sequences.
+  return t >= 1024 and flash_attention.supports(t, d)
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto"):

@@ -93,6 +93,34 @@ def get_strfmt(template, outkey="text"):
   return PPOp(host_fn=_op, phase="host", name="strfmt")
 
 
+@Registry.register("preprocess_ops.clip_i1k_label_names")
+def get_clip_i1k_label_names(key="label", outkey="labels"):
+  """Maps an i1k label id to its CLIP class-name string. Ref :217."""
+  from big_vision_tpu.datasets import imagenet as imagenet_data
+  names = imagenet_data.clip_imagenet_class_names()
+
+  def _op(data):
+    data = dict(data)
+    data[outkey] = names[int(data[key])]
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="clip_i1k_label_names")
+
+
+@Registry.register("preprocess_ops.i21k_label_names")
+def get_i21k_label_names(key="label", outkey="labels"):
+  """Maps an i21k label id to its class-name string. Ref :228."""
+  from big_vision_tpu.datasets import imagenet as imagenet_data
+  names = imagenet_data.imagenet21k_class_names()
+
+  def _op(data):
+    data = dict(data)
+    data[outkey] = names[int(data[key])]
+    return data
+
+  return PPOp(host_fn=_op, phase="host", name="i21k_label_names")
+
+
 @Registry.register("preprocess_ops.coco_captions")
 def get_coco_captions(outkey="captions"):
   """Lifts nested COCO 'captions/text' to a flat key. Ref :206."""
