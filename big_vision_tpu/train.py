@@ -83,6 +83,10 @@ def _main(argv=None, *, config=None, workdir=None):
   # All host<->device transfers must be explicit.
   jax.config.update("jax_transfer_guard", "disallow")
 
+  # Import pp op modules named by the config (registry side-effects).
+  for m in config.get("pp_modules", ["ops_general", "ops_image", "autoaugment"]):
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+
   mw = u.MetricWriter(workdir if jax.process_index() == 0 else None,
                       echo=config.get("log_training_verbose", True))
   chrono = u.chrono

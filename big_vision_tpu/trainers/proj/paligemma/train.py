@@ -1,13 +1,12 @@
-"""SigLIP trainer: sigmoid contrastive image-text pretraining.
+"""PaliGemma trainer: prefix-LM fine-tuning of image+text.
 
-Parity target: reference trainers/proj/image_text/siglip.py, with the
-chunked global-batch loss the reference leaves as a TODO (:19) implemented
-over the ICI ring (parallel/contrastive.py). `config.loss_impl`:
-  "chunked" (default) — ring ppermute, O(B*B/D) peak memory;
-  "global"            — full [B, B] logits (reference OSS behavior).
+Parity target: reference trainers/proj/paligemma/train.py (masked CE over
+`mask_loss` :343-372, two-part init via model.load on shapes, predict_fns
+for decode evals).
 
-Run: python -m big_vision_tpu.trainers.proj.image_text.siglip \
-    --config ...siglip.py --workdir ...
+Batch contract (from pp): image, text int32[B,T], mask_ar int32[B,T],
+mask_loss f32[B,T] (1 where the token contributes to the loss, typically
+the suffix), optional mask_input (defaults to text != pad).
 """
 
 from __future__ import annotations
@@ -29,7 +28,7 @@ import big_vision_tpu.input_pipeline as input_pipeline
 import big_vision_tpu.optim as bv_optim
 import big_vision_tpu.sharding as bv_sharding
 import big_vision_tpu.utils as u
-from big_vision_tpu.parallel import contrastive
+from big_vision_tpu.models.proj.paligemma import predict_fns as pg_predict
 
 import big_vision_tpu.pp.ops_general  # noqa: F401
 import big_vision_tpu.pp.ops_image  # noqa: F401
@@ -57,7 +56,7 @@ def _main(argv=None, *, config=None, workdir=None):
   jax.config.update("jax_transfer_guard", "disallow")
 
   # Import pp op modules named by the config (registry side-effects).
-  for m in config.get("pp_modules", ["ops_general", "ops_image", "ops_text"]):
+  for m in config.get("pp_modules", ["ops_general", "ops_image", "ops_text", "proj.paligemma.ops"]):
     importlib.import_module(f"big_vision_tpu.pp.{m}")
 
   mw = u.MetricWriter(workdir if jax.process_index() == 0 else None,
@@ -71,12 +70,11 @@ def _main(argv=None, *, config=None, workdir=None):
   mesh = u.create_device_mesh(config.get("mesh", [("data", -1)]))
   devices_flat = mesh.devices.flatten()
   repl_sharding = NamedSharding(mesh, P())
-  data_axis = mesh.axis_names[0]
-  sharding_rules = config.get("sharding_rules", [("act_batch", data_axis)])
-  strategy = config.get("sharding_strategy", [(".*", "replicate")])
+  sharding_rules = config.get("sharding_rules", [("act_batch", "data")])
+  strategy = config.get("sharding_strategy",
+                        [(".*", "fsdp(axis='data')")])
 
   batch_size = config.input.batch_size
-  assert batch_size % jax.device_count() == 0
   with jax.transfer_guard("allow"):
     train_iter, ntrain_img = input_pipeline.training(
         config.input, devices=devices_flat, seed=config.get("seed", 0))
@@ -87,14 +85,14 @@ def _main(argv=None, *, config=None, workdir=None):
                 steps_per_epoch=ntrain_img / batch_size)
 
   model_mod = importlib.import_module(
-      f"big_vision_tpu.models.{config.get('model_name', 'proj.image_text.two_towers')}")
+      f"big_vision_tpu.models.{config.get('model_name', 'proj.paligemma.paligemma')}")
   model = model_mod.Model(**config.get("model", {}))
 
   def init(rng):
-    image_shape, text_shape = config.init_shapes
-    dummy_img = jnp.zeros(image_shape, jnp.float32)
-    dummy_txt = jnp.zeros(text_shape, jnp.int32)
-    return model.init(rng, dummy_img, dummy_txt)["params"]
+    img_shape, txt_shape = config.init_shapes
+    img = jnp.zeros(img_shape, jnp.float32)
+    txt = jnp.zeros(txt_shape, jnp.int32)
+    return model.init(rng, img, txt, jnp.ones_like(txt))["params"]
 
   rng, rng_init = jax.random.split(rng)
   with nn.logical_axis_rules(sharding_rules):
@@ -124,9 +122,6 @@ def _main(argv=None, *, config=None, workdir=None):
   with jax.transfer_guard("allow"):
     rng_loop = u.reshard(rng_loop, repl_sharding)
 
-  loss_impl = config.get("loss_impl", "chunked")
-  chunked_loss = contrastive.siglip_loss_fn(mesh, data_axis)
-
   @functools.partial(
       jax.jit, donate_argnums=(0,),
       out_shardings=(train_state_sharding, repl_sharding))
@@ -135,29 +130,29 @@ def _main(argv=None, *, config=None, workdir=None):
         rng, bv_optim.get_count(train_state["opt"], jittable=True))
 
     def loss_fn(params):
-      zimg, ztxt, out = model.apply(
-          {"params": params}, batch["image"], batch["labels"],
-          train=True, rngs={"dropout": step_rng})
-      t = out["t"][0]
-      b = out.get("b", jnp.zeros((1,)))[0]
-      if loss_impl == "chunked":
-        loss = chunked_loss(zimg, ztxt, t, b)
-      else:
-        loss = contrastive.global_siglip_loss(zimg, ztxt, t, b)
-      return loss, out
+      text_logits, _ = model.apply(
+          {"params": params}, batch["image"], batch["text"],
+          batch["mask_ar"], train=True, rngs={"dropout": step_rng})
+      # Next-token prediction: logits at t predict token t+1.
+      logp = jax.nn.log_softmax(text_logits[:, :-1])
+      targets = batch["text"][:, 1:]
+      mask_loss = batch["mask_loss"][:, 1:]
+      token_nll = -jnp.take_along_axis(
+          logp, targets[..., None], axis=-1)[..., 0]
+      norm = jnp.clip(jnp.sum(mask_loss, axis=-1), 1e-6)
+      per_example = jnp.sum(token_nll * mask_loss, axis=-1) / norm
+      return jnp.mean(per_example)
 
     params, opt = train_state["params"], train_state["opt"]
-    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
-    measurements = {"training_loss": loss, "t": out["t"][0],
+    measurements = {"training_loss": loss,
                     "l2_grads": optax.global_norm(grads),
                     "l2_params": optax.global_norm(params)}
-    if "b" in out:
-      measurements["b"] = out["b"][0]
     return {"params": params, "opt": opt}, measurements
 
-  # Resume / init ladder.
+  # Resume / two-part init.
   first_step = 0
   ckpt_steps = get_steps("ckpt", default=None)
   ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
@@ -187,20 +182,23 @@ def _main(argv=None, *, config=None, workdir=None):
           config.get("model", {}), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
-  # Predict fns for evaluators (retrieval / zero-shot / contrastive).
-  def predict_fn(train_state, batch, **kw):
-    zimg, ztxt, out = model.apply(
-        {"params": train_state["params"]},
-        batch.get("image"), batch.get("labels"), **kw)
-    return zimg, ztxt, out
+  # Predict fns: raw logits for perplexity, jitted decode for transfers.
+  pfns = pg_predict.make_predict_fns(
+      model, **config.get("decode", dict(max_decode_len=64, eos_token=1)))
 
-  predict_fns = {
-      "predict": predict_fn,
-      "img": lambda ts, batch, **kw: predict_fn(
-          ts, {"image": batch["image"]}, **kw),
-      "txt": lambda ts, batch, **kw: predict_fn(
-          ts, {"labels": batch["labels"]}, **kw),
-  }
+  def perplexity_fn(train_state, batch):
+    text_logits, _ = model.apply(
+        {"params": train_state["params"]}, batch["image"], batch["text"],
+        batch["mask_ar"])
+    logp = jax.nn.log_softmax(text_logits[:, :-1])
+    targets = batch["text"][:, 1:]
+    mask_loss = batch["mask_loss"][:, 1:]
+    token_nll = -jnp.take_along_axis(
+        logp, targets[..., None], axis=-1)[..., 0]
+    norm = jnp.clip(jnp.sum(mask_loss, axis=-1), 1e-6)
+    return {"perplexity": jnp.sum(token_nll * mask_loss, axis=-1) / norm}
+
+  predict_fns = {"perplexity": perplexity_fn, **pfns}
 
   @functools.cache
   def evaluators():
@@ -225,20 +223,17 @@ def _main(argv=None, *, config=None, workdir=None):
         chrono.resume()
 
   log_steps = get_steps("log_training", default=50)
-  u.write_note("Starting SigLIP training loop...")
+  u.write_note("Starting PaliGemma training loop...")
   if total_steps == 0:
     run_evals(0, final=True)
 
   step = first_step
   for step in range(first_step + 1, total_steps + 1):
     mw.step_start(step)
-    with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
-      batch = next(train_iter)
-      # Host-side keys (strings, keep_on_cpu) are for eval/debug paths;
-      # the jitted update only sees device arrays.
-      batch = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
-      with nn.logical_axis_rules(sharding_rules), mesh:
-        train_state, measurements = update_fn(train_state, rng_loop, batch)
+    batch = next(train_iter)
+    batch = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
+    with nn.logical_axis_rules(sharding_rules), mesh:
+      train_state, measurements = update_fn(train_state, rng_loop, batch)
 
     if (log_steps and step % log_steps == 0) or step == total_steps:
       with jax.transfer_guard("allow"):

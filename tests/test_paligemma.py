@@ -1,0 +1,190 @@
+"""Gemma / PaliGemma tests on the tiny test variant."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_vision_tpu.models.ppp import gemma
+from big_vision_tpu.models.proj.paligemma import (gemma_bv, paligemma,
+                                                  predict_fns)
+
+VOCAB = 256
+
+
+def tiny_lm(scan=True):
+  cfg = gemma.get_config("gemma_test")
+  cfg.scan = scan
+  model = gemma.Model(**cfg)
+  toks = jnp.ones((2, 8), jnp.int32)
+  params = model.init(jax.random.PRNGKey(0), toks)["params"]
+  return model, params
+
+
+def test_gemma_forward_shapes():
+  model, params = tiny_lm()
+  toks = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % VOCAB
+  logits, out = model.apply({"params": params}, toks)
+  assert logits.shape == (2, 8, VOCAB)
+  assert out["pre_logits"].shape == (2, 8, 32)
+
+
+def test_gemma_causality():
+  """Changing a future token must not change past logits."""
+  model, params = tiny_lm()
+  t1 = jnp.asarray([[5, 6, 7, 8, 9, 10, 11, 12]], jnp.int32)
+  t2 = t1.at[0, 5].set(99)
+  l1, _ = model.apply({"params": params}, t1)
+  l2, _ = model.apply({"params": params}, t2)
+  np.testing.assert_allclose(l1[0, :5], l2[0, :5], atol=1e-5)
+  assert not np.allclose(l1[0, 5], l2[0, 5], atol=1e-5)
+
+
+def test_gemma_scan_matches_loop():
+  cfg = gemma.get_config("gemma_test")
+  cfg.scan = True
+  m_scan = gemma.Model(**cfg)
+  toks = jnp.ones((1, 6), jnp.int32) * 3
+  p_scan = m_scan.init(jax.random.PRNGKey(0), toks)["params"]
+  # Convert stacked scan params to per-layer and run the loop model.
+  cfg2 = gemma.get_config("gemma_test")
+  cfg2.scan = False
+  m_loop = gemma.Model(**cfg2)
+  p_loop = jax.tree.map(lambda x: x, p_scan)
+  stacked = p_loop["layers"]
+  p_loop["layers"] = {
+      str(i): jax.tree.map(lambda x, i=i: x[i], stacked) for i in range(2)}
+  l_scan, _ = m_scan.apply({"params": p_scan}, toks)
+  l_loop, _ = m_loop.apply({"params": p_loop}, toks)
+  np.testing.assert_allclose(l_scan, l_loop, atol=1e-5)
+
+
+def test_gemma2_softcap_and_postnorms():
+  cfg = gemma.get_config("gemma_test")
+  cfg.final_logits_softcap = 30.0
+  cfg.attn_logits_softcap = 50.0
+  cfg.post_norms = True
+  model = gemma.Model(**cfg)
+  toks = jnp.ones((1, 4), jnp.int32)
+  params = model.init(jax.random.PRNGKey(0), toks)["params"]
+  logits, _ = model.apply({"params": params}, toks)
+  assert float(jnp.max(jnp.abs(logits))) <= 30.0
+
+
+def test_make_attn_mask():
+  input_mask = jnp.asarray([[1, 1, 1, 1, 0]], bool)
+  mask_ar = jnp.asarray([[0, 0, 1, 1, 1]], jnp.int32)
+  m = np.asarray(paligemma.make_attn_mask(input_mask, mask_ar))[0]
+  # Prefix tokens (0, 1) attend to each other bidirectionally.
+  assert m[0, 1] and m[1, 0]
+  # AR token 2 attends to prefix + itself, not to 3.
+  assert m[2, 0] and m[2, 2] and not m[2, 3]
+  assert m[3, 2] and m[3, 3]
+  # Nothing attends to padding (4), and padding attends to nothing.
+  assert not m[:, 4].any() and not m[4, :].any()
+
+
+def make_tiny_pg():
+  model = paligemma.Model(
+      img=dict(variant="mu/16", pool_type="none", posemb="sincos2d",
+               head_zeroinit=False),
+      llm=dict(variant="gemma_test", scan=True, cache_dtype=None))
+  img = jnp.zeros((2, 16, 16, 3))
+  txt = jnp.ones((2, 6), jnp.int32)
+  mask_ar = jnp.ones((2, 6), jnp.int32)
+  params = model.init(jax.random.PRNGKey(0), img, txt, mask_ar)["params"]
+  return model, params, img, txt
+
+
+def test_paligemma_forward():
+  model, params, img, txt = make_tiny_pg()
+  logits, out = model.apply({"params": params}, img, txt,
+                            jnp.ones_like(txt))
+  assert logits.shape == (2, 6, VOCAB)
+  assert out["img/zimg"].shape[0] == 2
+
+
+def test_prefill_extend_matches_full_forward():
+  """The fast KV-cache path must reproduce the full-recompute logits."""
+  model, params, img, txt = make_tiny_pg()
+  variables = {"params": params}
+  input_mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+  mask_ar = jnp.ones_like(txt)
+
+  (x, full_mask, full_ar), _ = model.apply(
+      variables, img, txt, input_mask=input_mask, mask_ar=mask_ar,
+      method=model.embed_image_and_text)
+
+  logits_pre, cache = model.apply(
+      variables, x, full_mask, full_ar, cache_size=x.shape[1] + 4,
+      method=model.prefill_cache, mutable=["cache"])
+
+  # Oracle: full forward; last valid position logits.
+  attn = paligemma.make_attn_mask(full_mask, full_ar)
+  logits_all, _ = model.apply(variables, x, attn,
+                              method=lambda m, x, mask: m._llm(x, mask=mask))
+  last = np.asarray(jnp.sum(full_mask, axis=1)) - 1
+  want = np.stack([np.asarray(logits_all)[i, last[i]] for i in range(2)])
+  np.testing.assert_allclose(np.asarray(logits_pre)[:, 0], want, atol=1e-4)
+
+  # Extend by one token; compare against recomputing with appended token.
+  new_tok = jnp.asarray([[7], [9]], jnp.int32)
+  emb = model.apply(variables, new_tok, method=model.embed_text)[0]
+  logits_ext, _ = model.apply({**variables, **cache}, emb,
+                              method=model.extend_cache, mutable=["cache"])
+  # Oracle: append the token at the first padding slot per example.
+  txt2 = np.array(txt)  # writable copies
+  im2 = np.array(input_mask)
+  for i in range(2):
+    pos = int(im2[i].sum())
+    if pos < txt2.shape[1]:
+      txt2[i, pos] = int(new_tok[i, 0])
+      im2[i, pos] = True
+    else:
+      txt2 = np.pad(txt2, ((0, 0), (0, 1)))
+      txt2[i, -1] = int(new_tok[i, 0])
+      im2 = np.pad(im2, ((0, 0), (0, 1)), constant_values=False)
+      im2[i, -1] = True
+  # Simplest consistent oracle: both examples get same new length by
+  # padding; rebuild and take the last valid position.
+  txt2 = jnp.asarray(txt2)
+  im2 = jnp.asarray(im2)
+  ar2 = jnp.ones_like(txt2)
+  (x2, fm2, fa2), _ = model.apply(
+      variables, img, txt2, input_mask=im2, mask_ar=ar2,
+      method=model.embed_image_and_text)
+  attn2 = paligemma.make_attn_mask(fm2, fa2)
+  logits_all2, _ = model.apply(variables, x2, attn2,
+                               method=lambda m, x, mask: m._llm(x, mask=mask))
+  last2 = np.asarray(jnp.sum(fm2, axis=1)) - 1
+  want2 = np.stack([np.asarray(logits_all2)[i, last2[i]] for i in range(2)])
+  np.testing.assert_allclose(np.asarray(logits_ext)[:, 0], want2, atol=1e-4)
+
+
+def test_jitted_decode_runs_and_stops_at_eos():
+  model, params, img, txt = make_tiny_pg()
+  fns = predict_fns.make_predict_fns(model, max_decode_len=8, eos_token=1,
+                                     sampler="greedy")
+  batch = {"image": img, "text": txt,
+           "mask_input": jnp.ones_like(txt, bool),
+           "mask_ar": jnp.zeros_like(txt)}
+  tokens, logp = fns["decode_with_logp"]({"params": params}, batch)
+  assert tokens.shape == (2, 8)
+  assert logp.shape == (2,)
+  # Greedy decode is deterministic.
+  tokens2 = fns["decode"]({"params": params}, batch)
+  np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
+
+
+def test_samplers():
+  logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+  rng = jax.random.PRNGKey(0)
+  assert int(predict_fns.get_sampler("greedy")(logits, rng)[0]) == 1
+  t = predict_fns.get_sampler("temperature(0.0001)")(logits, rng)
+  assert int(t[0]) == 1
+  n = predict_fns.get_sampler("nucleus(0.1)")(logits, rng)
+  assert int(n[0]) == 1  # tiny p keeps only the argmax
+  k = predict_fns.get_sampler("topk(1)")(logits, rng)
+  assert int(k[0]) == 1
