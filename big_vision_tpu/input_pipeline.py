@@ -131,7 +131,8 @@ def _is_numeric(v):
 
 
 def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
-                 keep_on_cpu=(), preserve_internal=False):
+                 keep_on_cpu=(), preserve_internal=False,
+                 preserve_keys=()):
   """Turns local numpy batches into prefetched global device batches.
 
   Numeric keys become jax.Arrays sharded over `devices` along the batch
@@ -162,8 +163,10 @@ def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
         if dev_fn is not None:
           # The inference pipeline adds _mask/_id AFTER pp (reference
           # semantics, input_pipeline.py:176-236): re-attach them post-pp.
-          internal = ({k: gbatch[k] for k in _INTERNAL if k in gbatch}
-                      if preserve_internal else {})
+          # Pipeline-generated keys (sequence packing) are preserved too.
+          protected = ((_INTERNAL if preserve_internal else ())
+                       + tuple(preserve_keys))
+          internal = {k: gbatch[k] for k in protected if k in gbatch}
           work = {k: v for k, v in gbatch.items() if k not in internal}
           work = dev_fn(work, jax.random.fold_in(jax.random.PRNGKey(seed),
                                                  step))
@@ -255,11 +258,23 @@ def training(input_config, *, devices=None, seed=0):
     examples = _pp_threaded(raw, pfn, num_threads, seed=seed)
     device_pp = pfn
 
+  preserve_keys = ()
+  if pack := cfg.get("pack"):
+    # Sequence packing: combine short (tokenized) examples into full rows
+    # with _segmentation/_position keys (datasets/sequence_packing.py).
+    # Those generated keys survive the device pp phase (a trailing keep()
+    # in the pp string cannot know about them).
+    from big_vision_tpu.datasets import sequence_packing
+    examples = sequence_packing.pack_examples(examples, dict(pack))
+    preserve_keys = tuple(f"{k}_{s}" for k in dict(pack)
+                          for s in ("segmentation", "position"))
+
   batches = _batched(examples, local_batch, drop_remainder=True)
   it = start_global(batches, devices,
                     n_prefetch=cfg.get("prefetch", 2),
                     device_pp=device_pp, seed=seed,
-                    keep_on_cpu=cfg.get("keep_on_cpu", ()))
+                    keep_on_cpu=cfg.get("keep_on_cpu", ()),
+                    preserve_keys=preserve_keys)
   return it, total
 
 

@@ -295,9 +295,16 @@ def _main(argv=None, *, config=None, workdir=None):
   if total_steps == 0:  # eval-only mode (the load_and_eval pattern)
     run_evals(0, final=True)
 
+  prof_sess = None
+  prof_dir = (os.path.join(workdir, "plugins", "profile")
+              if workdir and config.get("profile") else None)
+
   step = first_step
   for step in range(first_step + 1, total_steps + 1):
     mw.step_start(step)
+    if prof_dir:
+      prof_sess = u.startstop_prof(prof_sess, step, first_step, log_steps,
+                                   logdir=prof_dir)
     with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
       batch = next(train_iter)
       # Host-side keys (strings, keep_on_cpu) are for eval/debug paths;

@@ -20,3 +20,4 @@ from big_vision_tpu.utils.mesh import *  # noqa: F401,F403
 from big_vision_tpu.utils.chrono import *  # noqa: F401,F403
 from big_vision_tpu.utils.writers import *  # noqa: F401,F403
 from big_vision_tpu.utils.checkpoints import *  # noqa: F401,F403
+from big_vision_tpu.utils.profiling import *  # noqa: F401,F403
