@@ -70,5 +70,7 @@ class AddPositionEmbs(nn.Module):
       if is_initialized:
         i = cache_index.value
         cache_index.value = i + 1
-        pe = jax.lax.dynamic_slice(posemb, (0, i, 0), (1, 1, emb_dim))
+        pe = jax.lax.dynamic_slice(
+            posemb, (jnp.int32(0), i.astype(jnp.int32), jnp.int32(0)),
+            (1, 1, emb_dim))
     return inputs + pe

@@ -181,6 +181,14 @@ def get_reshape(new_shape):
   return lambda x: jnp.reshape(jnp.asarray(x), new_shape)
 
 
+@Registry.register("preprocess_ops.tile")
+@as_pp_op()
+@InKeyOutKey()
+def get_tile(reps):
+  """Tiles a tensor by `reps` (ours; no reference counterpart)."""
+  return lambda x: jnp.tile(jnp.asarray(x), reps)
+
+
 @Registry.register("preprocess_ops.setdefault")
 def get_setdefault(key, value):
   """Sets `key` to `value` if missing or empty (host; dynamic). Ref :272."""

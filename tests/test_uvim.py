@@ -1,0 +1,128 @@
+"""UViM stage-I VQ-VAE, stage-II VTT and the sampling decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from big_vision_tpu.models.proj.uvim import decode, vit as uvit, vtt
+
+
+def make_vqvae():
+  model = uvit.Model(
+      inputs={"labels": (4,)}, outputs={"labels": (4,)},
+      input_size=(16, 16), patch_size=(4, 4), code_len=4, width=32,
+      enc_depth=1, dec_depth=1, num_heads=2, dict_size=16)
+  x = {"labels": jnp.zeros((2, 16, 4), jnp.float32)}
+  variables = model.init(
+      {"params": jax.random.PRNGKey(0), "state": jax.random.PRNGKey(1),
+       "vqvae": jax.random.PRNGKey(2)}, x)
+  return model, variables, x
+
+
+def test_vqvae_forward_and_quantization():
+  model, variables, x = make_vqvae()
+  logits, out = model.apply(variables, x)
+  assert logits["labels"].shape == (2, 16, 4)
+  assert out["code"].shape == (2, 4)
+  assert out["bottleneck_q"].shape[-1] == 32
+  # Quantized vectors are actual codewords.
+  e = np.asarray(model.apply(variables, method=model.get_codewords))
+  q = np.asarray(out["bottleneck_q"]).reshape(-1, 32)
+  for row in q:
+    assert np.min(np.linalg.norm(e - row, axis=1)) < 1e-5
+
+
+def test_vqvae_train_updates_codebook():
+  model, variables, x = make_vqvae()
+  x = {"labels": jnp.asarray(
+      np.random.RandomState(0).randn(2, 16, 4), jnp.float32)}
+  _, new_state = model.apply(
+      variables, x, train=True, update_dict=True,
+      rngs={"vqvae": jax.random.PRNGKey(3),
+            "dropout": jax.random.PRNGKey(4)},
+      mutable=["state"])
+  old_counts = np.asarray(variables["state"]["counts"])
+  new_counts = np.asarray(new_state["state"]["counts"])
+  assert not np.allclose(old_counts, new_counts)
+  # No dead codewords after the revival loop.
+  assert np.all(new_counts >= uvit.Model.min_count)
+
+
+def test_quantize_straight_through_grad():
+  e = jnp.asarray(np.random.RandomState(0).randn(8, 4), jnp.float32)
+
+  def f(x):
+    xq, _ = uvit.quantize(x, e)
+    return jnp.sum(xq ** 2)
+
+  x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 4), jnp.float32)
+  g = jax.grad(f)(x)
+  assert g.shape == x.shape
+  assert not np.allclose(np.asarray(g), 0)  # straight-through passes grads
+
+
+def make_vtt():
+  model = vtt.Model(patches={"size": (4, 4)}, num_heads=2, num_layers=1,
+                    mlp_dim=32, emb_dim=16, vocab_size=32, seq_len=6,
+                    input_size=(16, 16))
+  img = jnp.zeros((2, 16, 16, 3))
+  txt = jnp.ones((2, 6), jnp.int32)
+  params = model.init(jax.random.PRNGKey(0), img, txt)["params"]
+  return model, params, img, txt
+
+
+def test_vtt_forward():
+  model, params, img, txt = make_vtt()
+  logits = model.apply({"params": params}, img, txt)
+  assert logits.shape == (2, 6, 32)
+
+
+def test_vtt_causality():
+  model, params, img, txt = make_vtt()
+  t1 = jnp.asarray([[3, 4, 5, 6, 7, 8]], jnp.int32)
+  t2 = t1.at[0, 4].set(30)
+  l1 = model.apply({"params": params}, img[:1], t1)
+  l2 = model.apply({"params": params}, img[:1], t2)
+  # shift_right: logits at positions <= 4 only see tokens < 4.
+  np.testing.assert_allclose(l1[0, :4], l2[0, :4], atol=1e-5)
+
+
+def test_decode_sampling():
+  model, params, img, txt = make_vtt()
+  del txt
+  prompts = jnp.zeros((2, 6), jnp.int32)
+  seqs, scores, logprobs = decode.temperature_sampling(
+      {"params": params}, img, prompts, jax.random.PRNGKey(0),
+      model=model, num_samples=3, temperature=1.0, eos_token=1)
+  assert seqs.shape == (2, 3, 6)
+  assert scores.shape == (2, 3)
+  assert logprobs.shape == (2, 3, 6)
+  # Scores sorted worst-first.
+  assert np.all(np.diff(np.asarray(scores), axis=1) >= 0)
+
+
+def test_decode_argmax_matches_full_forward():
+  """Greedy decode via cache must equal greedy rollout via full forward."""
+  model, params, img, _ = make_vtt()
+  # LogitsDense is zero-init -> all logits tie; perturb so greedy is
+  # well-defined.
+  params = jax.tree.map(lambda x: x, params)
+  params["decoder"]["LogitsDense"]["kernel"] = jnp.asarray(
+      np.random.RandomState(7).randn(16, 32) * 0.5, jnp.float32)
+  prompts = jnp.zeros((1, 5), jnp.int32)
+  seqs, _, _ = decode.argmax_sampling(
+      {"params": params}, img[:1], prompts, jax.random.PRNGKey(0),
+      model=model, num_samples=1, eos_token=-1)  # no eos: full rollout
+  got = np.asarray(seqs)[0, 0]
+
+  # Oracle: token-by-token greedy using the non-cached full forward.
+  toks = np.zeros(5, np.int32)
+  for i in range(5):
+    logits = model.apply({"params": params}, img[:1],
+                         jnp.asarray(toks[None]))
+    nxt = int(jnp.argmax(logits[0, i]))
+    toks[i] = nxt
+    if i + 1 < 5:
+      pass
+  np.testing.assert_array_equal(got, toks)
