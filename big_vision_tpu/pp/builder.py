@@ -35,6 +35,12 @@ class PreprocessFn:
     first_static = next(
         (i for i, op in enumerate(ops) if op.staticizer), -1)
     self.host_end = max(last_host, first_static)
+    # Structural ops (keep/drop/flatten/...) directly after the host phase
+    # stay on the host: they may resolve nested dicts or variable shapes
+    # that cannot cross the batch-collation boundary.
+    while (self.host_end + 1 < len(ops) and self.host_end >= 0
+           and ops[self.host_end + 1].structural):
+      self.host_end += 1
 
   @property
   def host_ops(self):

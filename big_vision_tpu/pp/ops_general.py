@@ -86,7 +86,7 @@ def get_onehot(depth, key="labels", key_result=None, multi=True, on=1.0,
 
 def _structural(fn):
   """Pure-python dict manipulation: identical on host and device."""
-  return PPOp(fn=fn, host_fn=fn)
+  return PPOp(fn=fn, host_fn=fn, structural=True)
 
 
 @Registry.register("preprocess_ops.keep")

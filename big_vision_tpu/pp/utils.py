@@ -48,6 +48,7 @@ class PPOp:
   phase: str = "auto"
   staticizer: bool = False
   random: bool = False
+  structural: bool = False  # pure dict plumbing; can run in either phase
   name: str = ""
 
   def run_host(self, data, np_rng):
