@@ -122,17 +122,53 @@ def process_sum(tree):
 
 
 def multiprocess_write_json(path, records):
-  """Each process contributes `records`; process 0 writes the merged json."""
+  """Each process contributes `records`; process 0 writes the merged json.
+
+  Returns the merged records (on every process), like the reference
+  (evaluators/common.py:208), so callers can score them on host 0.
+  """
   if jax.process_count() == 1:
     merged = list(records)
   else:
+    # Gather variable-length json blobs: pad byte arrays to the global max.
     from jax.experimental import multihost_utils
-    all_json = multihost_utils.process_allgather(
-        np.frombuffer(json.dumps(list(records)).encode(), np.uint8))
-    del all_json  # Simplified: cross-host json gather arrives with VLM evals.
-    merged = list(records)
-  if jax.process_index() == 0:
+    blob = np.frombuffer(json.dumps(list(records)).encode(), np.uint8)
+    n = int(np.max(multihost_utils.process_allgather(
+        np.asarray(len(blob)))))
+    padded = np.zeros(n + 1, np.uint8)
+    padded[:len(blob)] = blob
+    padded[-1] = 0
+    lens = multihost_utils.process_allgather(np.asarray(len(blob)))
+    blobs = multihost_utils.process_allgather(padded)
+    merged = []
+    for row, ln in zip(np.atleast_2d(blobs), np.atleast_1d(lens)):
+      merged.extend(json.loads(bytes(row[:int(ln)]).decode()))
+  if path and jax.process_index() == 0:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
       json.dump(merged, f)
   u.sync()
+  return merged
+
+
+def resolve_outfile(outfile, split="", **kw):
+  """Expands {workdir}/{split}/... placeholders; None if not resolvable.
+
+  Ref: evaluators/common.py:177. Skips (returns None) when the template
+  needs a workdir but none was given — common for local/smoke runs.
+  """
+  if not outfile:
+    return None
+  workdir = None
+  try:
+    from absl import flags
+    if flags.FLAGS.is_parsed():
+      workdir = getattr(flags.FLAGS, "workdir", None)
+  except Exception:  # pylint: disable=broad-except
+    pass
+  if "{workdir}" in outfile and not workdir:
+    return None
+  return outfile.format(
+      workdir=workdir,
+      split="".join(c if c not in "[]%:" else "_" for c in (split or "")),
+      step=getattr(u.chrono, "prev_step", None), **kw)

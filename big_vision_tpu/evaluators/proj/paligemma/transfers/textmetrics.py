@@ -1,0 +1,152 @@
+"""Host-side text metrics shared by the PaliGemma transfer evaluators.
+
+Self-contained numpy/python implementations (the image has neither
+`editdistance` nor `pycocoevalcap`):
+  * levenshtein / anls_metric — ANLS as in DocVQA (arXiv:1907.00490 Eq 1;
+    ref transfers/vqa.py:141).
+  * BLEU-4, ROUGE-L, CIDEr-D — the COCO captioning metrics
+    (arXiv:1504.00325), matching the pycocoevalcap formulas the reference
+    calls in transfers/coco_caption.py. Tokenization is a PTB-lite
+    (lowercase, punctuation stripped) — scores track but are not
+    bit-identical to the java PTBTokenizer.
+"""
+
+from __future__ import annotations
+
+import collections
+import math
+import re
+
+
+def levenshtein(a: str, b: str) -> int:
+  """Iterative two-row edit distance."""
+  if len(a) < len(b):
+    a, b = b, a
+  if not b:
+    return len(a)
+  prev = list(range(len(b) + 1))
+  for i, ca in enumerate(a, 1):
+    cur = [i]
+    for j, cb in enumerate(b, 1):
+      cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                     prev[j - 1] + (ca != cb)))
+    prev = cur
+  return prev[-1]
+
+
+def anls_metric(target: str, prediction: str, theta: float = 0.5):
+  """Average Normalized Levenshtein Similarity (per-pair term)."""
+  if target:
+    nld = levenshtein(target, prediction) / max(len(target),
+                                                len(prediction))
+    return 1 - nld if nld < theta else 0
+  return float(prediction == "")
+
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def ptb_lite_tokenize(s: str) -> list[str]:
+  """Lowercase, strip punctuation, split on whitespace."""
+  return _PUNCT_RE.sub("", s.lower()).split()
+
+
+def _ngrams(tokens, n):
+  return collections.Counter(
+      tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def bleu4(gts: dict, res: dict) -> float:
+  """Corpus-level BLEU-4 with closest-reference length penalty."""
+  log_precisions = []
+  for n in range(1, 5):
+    match, total = 0, 0
+    for iid, hyps in res.items():
+      hyp = _ngrams(hyps[0], n)
+      refs = [_ngrams(r, n) for r in gts[iid]]
+      for gram, cnt in hyp.items():
+        match += min(cnt, max((r[gram] for r in refs), default=0))
+      total += sum(hyp.values())
+    log_precisions.append(
+        math.log(match / total) if match and total else -math.inf)
+  hyp_len = sum(len(h[0]) for h in res.values())
+  ref_len = sum(
+      min((len(r) for r in gts[iid]),
+          key=lambda l, h=len(res[iid][0]): (abs(l - h), l))
+      for iid in res)
+  bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+  score = bp * math.exp(sum(log_precisions) / 4)
+  return 0.0 if math.isinf(score) or math.isnan(score) else score
+
+
+def _lcs_len(a, b):
+  if len(a) < len(b):
+    a, b = b, a
+  prev = [0] * (len(b) + 1)
+  for ca in a:
+    cur = [0]
+    for j, cb in enumerate(b, 1):
+      cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+    prev = cur
+  return prev[-1]
+
+
+def rouge_l(gts: dict, res: dict, beta: float = 1.2) -> float:
+  """Mean over examples of max-over-references ROUGE-L F-measure."""
+  scores = []
+  for iid, hyps in res.items():
+    hyp = hyps[0]
+    best = 0.0
+    for ref in gts[iid]:
+      lcs = _lcs_len(hyp, ref)
+      if lcs == 0 or not hyp or not ref:
+        continue
+      prec, rec = lcs / len(hyp), lcs / len(ref)
+      best = max(best, ((1 + beta ** 2) * prec * rec)
+                 / (rec + beta ** 2 * prec))
+    scores.append(best)
+  return sum(scores) / max(len(scores), 1)
+
+
+def cider_d(gts: dict, res: dict, n_max: int = 4,
+            sigma: float = 6.0) -> float:
+  """CIDEr-D (arXiv:1411.5726): tf-idf n-gram cosine + length gaussian."""
+  # Document frequencies over the reference corpus.
+  dfs = [collections.Counter() for _ in range(n_max)]
+  for refs in gts.values():
+    for n in range(n_max):
+      seen = set()
+      for ref in refs:
+        seen |= set(_ngrams(ref, n + 1))
+      for g in seen:
+        dfs[n][g] += 1
+  log_num_imgs = math.log(max(len(gts), 1))
+
+  def tfidf_vec(tokens, n):
+    counts = _ngrams(tokens, n + 1)
+    length = sum(counts.values())
+    vec, norm_sq = {}, 0.0
+    for g, cnt in counts.items():
+      idf = log_num_imgs - math.log(max(dfs[n][g], 1))
+      w = (cnt / length) * idf if length else 0.0
+      vec[g] = w
+      norm_sq += w * w
+    return vec, math.sqrt(norm_sq)
+
+  scores = []
+  for iid, hyps in res.items():
+    hyp = hyps[0]
+    score_n = [0.0] * n_max
+    for n in range(n_max):
+      hv, hn = tfidf_vec(hyp, n)
+      for ref in gts[iid]:
+        rv, rn = tfidf_vec(ref, n)
+        # Clipped dot product (the "-D" modification).
+        dot = sum(min(w, rv.get(g, 0.0)) * rv.get(g, 0.0)
+                  for g, w in hv.items())
+        sim = dot / (hn * rn) if hn and rn else 0.0
+        delta = len(hyp) - len(ref)
+        sim *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+        score_n[n] += sim / len(gts[iid])
+    scores.append(10.0 * sum(score_n) / n_max)
+  return sum(scores) / max(len(scores), 1)

@@ -311,9 +311,10 @@ def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
         break
       ex = dict(ex)
       ex["_mask"] = np.int32(1)
-      proto = proto or {k: np.zeros_like(np.asarray(v))
-                        for k, v in ex.items()
-                        if not isinstance(v, (bytes, str))}
+      proto = proto or {
+          k: (b"" if isinstance(v, bytes) else "" if isinstance(v, str)
+              else np.zeros_like(np.asarray(v)))
+          for k, v in ex.items()}
       count += 1
       yield ex
     assert proto is not None, "Empty eval split on this process"

@@ -90,6 +90,13 @@ def make_fsarray_from_local_slice(local_slice, global_devices):
 
 def get_local_slice_from_fsarray(global_array):
   """Inverse of make_fsarray_from_local_slice: this host's rows as numpy."""
+  if not isinstance(global_array, jax.Array):
+    return np.asarray(global_array)
+  if not hasattr(global_array.sharding, "mesh"):
+    # Single-device / replicated arrays (common in tests and single-chip
+    # runs): the whole array IS the local slice.
+    assert global_array.is_fully_addressable
+    return jax.device_get(global_array)
   for shard in global_array.addressable_shards:
     assert all(idx == slice(None) for idx in shard.index[1:]), (
         f"Only leading-axis sharding supported, got {shard.index}")
