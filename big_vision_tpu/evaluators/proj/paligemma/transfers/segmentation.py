@@ -220,4 +220,5 @@ def get_reconstruct_masks(model):
     return Decoder().apply({"params": params}, quantized)
 
   cpu = jax.local_devices(backend="cpu")[0]
-  return jax.jit(reconstruct_masks, device=cpu)
+  jitted = jax.jit(reconstruct_masks)
+  return lambda idx: jitted(jax.device_put(jnp.asarray(idx), cpu))
