@@ -20,6 +20,23 @@ import big_vision_tpu.utils as u
 from big_vision_tpu.models import common, vit
 
 
+def _linear_resize_mat_1d(n_in, n_out):
+  """[n_out, n_in] matrix of jax.image.resize(method="linear").
+
+  Triangle kernel over half-pixel-centered coordinates, widened by the
+  scale factor when downsampling (antialias), weights normalized — pure
+  numpy so it is computable at trace time (constants are traced too in
+  recent jax, so building it via jax.image.resize inside jit fails).
+  """
+  scale = n_out / n_in
+  # Input-space sample position of each output pixel.
+  x = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+  s = max(1.0, 1.0 / scale)  # kernel width (antialias on downsample)
+  j = np.arange(n_in, dtype=np.float64)
+  w = np.maximum(0.0, 1.0 - np.abs(x[:, None] - j[None, :]) / s)
+  return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def resample_patchemb(old, new_hw):
   """PI-resize of a patch-embedding kernel [h, w, c_in, width]."""
   assert len(old.shape) == 4, "Four dimensions expected"
@@ -27,19 +44,16 @@ def resample_patchemb(old, new_hw):
   if tuple(old.shape[:2]) == tuple(new_hw):
     return old
 
-  def resize(x, new_shape):
-    return jax.image.resize(x, new_shape, "linear")
-
   def get_resize_mat(old_shape, new_shape):
-    mat = []
-    for i in range(int(np.prod(old_shape))):
-      basis = np.zeros(old_shape, np.float32)
-      basis[np.unravel_index(i, old_shape)] = 1.0
-      mat.append(np.asarray(resize(jnp.asarray(basis),
-                                   new_shape)).reshape(-1))
-    return np.stack(mat).T
+    # 2-D separable resize = kron of the two 1-D resize matrices; columns
+    # are the resized basis kernels, as in the reference (vit.py:30).
+    mh = _linear_resize_mat_1d(old_shape[0], new_shape[0])
+    mw = _linear_resize_mat_1d(old_shape[1], new_shape[1])
+    return np.kron(mh, mw)  # [prod(new), prod(old)] acting on flat kernels
 
   resize_mat = get_resize_mat(old.shape[:2], new_hw)
+  # PI-resize: pseudo-inverse of the transposed resize operator, so that
+  # resampled-kernel @ resized-patch ~= kernel @ patch (ref vit.py:45).
   resize_mat_pinv = np.linalg.pinv(resize_mat.T)
 
   def resample_kernel(kernel):

@@ -1,0 +1,257 @@
+"""FlexiViT trainer: each step samples flexi args (e.g. seqhw) at random.
+
+Parity target: reference trainers/proj/flexi/train.py. The flexi args
+(patch size / sequence length) are static shape parameters, so each
+distinct combination jit-compiles its own update program once (XLA cache)
+— the per-step host-side sampling then just dispatches to the right
+compiled program. One jitted SPMD program per combination, global arrays,
+no pmap.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib
+import os
+
+from absl import app, flags
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from ml_collections import config_flags
+import numpy as np
+import optax
+
+import big_vision_tpu.evaluators.common as eval_common
+import big_vision_tpu.input_pipeline as input_pipeline
+import big_vision_tpu.optim as bv_optim
+import big_vision_tpu.sharding as bv_sharding
+import big_vision_tpu.trainers.proj.flexi.common as flexi
+import big_vision_tpu.utils as u
+
+NamedSharding = jax.sharding.NamedSharding
+P = jax.sharding.PartitionSpec
+
+
+def main(argv=None, *, config=None, workdir=None):
+  prev_guard = getattr(jax.config, "jax_transfer_guard", None) or "allow"
+  try:
+    return _main(argv, config=config, workdir=workdir)
+  finally:
+    jax.config.update("jax_transfer_guard", prev_guard)
+
+
+def _main(argv=None, *, config=None, workdir=None):
+  del argv
+  if config is None:
+    config = flags.FLAGS.config
+    workdir = flags.FLAGS.workdir
+  if os.environ.get("BV_JAX_INIT"):
+    jax.distributed.initialize()
+  jax.config.update("jax_transfer_guard", "disallow")
+
+  for m in config.get("pp_modules", ["ops_general", "ops_image"]):
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+
+  mw = u.MetricWriter(workdir if jax.process_index() == 0 else None,
+                      echo=config.get("log_training_verbose", True))
+  chrono = u.chrono
+  chrono.inform(measure=mw.measure, write_note=u.write_note)
+  with jax.transfer_guard("allow"):
+    rng = jax.random.PRNGKey(config.get("seed", 0))
+
+  mesh = u.create_device_mesh(config.get("mesh", [("data", -1)]))
+  devices_flat = mesh.devices.flatten()
+  repl_sharding = NamedSharding(mesh, P())
+  sharding_rules = config.get("sharding_rules", [("act_batch", "data")])
+  strategy = config.get("sharding_strategy", [(".*", "replicate")])
+
+  batch_size = config.input.batch_size
+  with jax.transfer_guard("allow"):
+    train_iter, ntrain_img = input_pipeline.training(
+        config.input, devices=devices_flat, seed=config.get("seed", 0))
+  total_steps = u.steps("total", config, ntrain_img, batch_size)
+  def get_steps(name, default=ValueError, cfg=config):
+    return u.steps(name, cfg, ntrain_img, batch_size, total_steps, default)
+  chrono.inform(first_step=0, total_steps=total_steps, global_bs=batch_size,
+                steps_per_epoch=ntrain_img / batch_size)
+
+  model_mod = importlib.import_module(
+      f"big_vision_tpu.models.{config.get('model_name', 'proj.flexi.vit')}")
+  model = model_mod.Model(num_classes=config.num_classes,
+                          **config.get("model", {}))
+
+  flexi_argnames = sorted(config.flexi)
+
+  def init(rng):
+    shape = tuple(config.init_shapes[0])
+    dummy = jnp.zeros(shape, jnp.float32)
+    return model.init(rng, dummy)["params"]
+
+  rng, rng_init = jax.random.split(rng)
+  with nn.logical_axis_rules(sharding_rules):
+    params_shape = jax.eval_shape(init, rng_init)
+  tx, sched_fns = bv_optim.make(
+      config, nn.unbox(params_shape),
+      sched_kw=dict(total_steps=total_steps, batch_size=batch_size,
+                    data_size=ntrain_img))
+  with nn.logical_axis_rules(sharding_rules):
+    params_sharding = bv_sharding.infer_sharding(params_shape, strategy,
+                                                 mesh)
+  from big_vision_tpu.train import infer_opt_sharding
+  opt_sharding = infer_opt_sharding(tx, nn.unbox(params_shape),
+                                    params_sharding, repl_sharding)
+  train_state_sharding = {"params": params_sharding, "opt": opt_sharding}
+
+  with jax.transfer_guard("allow"):
+    rng_init = u.reshard(rng_init, repl_sharding)
+  params = nn.unbox(jax.jit(init, out_shardings=params_sharding)(rng_init))
+  opt = jax.jit(tx.init, out_shardings=opt_sharding)(params)
+  train_state = {"params": params, "opt": opt}
+  del params, opt
+
+  rng, rng_loop = jax.random.split(rng)
+  with jax.transfer_guard("allow"):
+    rng_loop = u.reshard(rng_loop, repl_sharding)
+
+  # One compiled update program per flexi-arg combination: args are static
+  # (they select shapes), so the jit cache keys on them automatically.
+  @functools.partial(
+      jax.jit, donate_argnums=(0,),
+      static_argnames=tuple(flexi_argnames),
+      out_shardings=(train_state_sharding, repl_sharding))
+  def update_fn(train_state, rng, batch, **flexi_kw):
+    measurements = {}
+    step_rng = jax.random.fold_in(
+        rng, bv_optim.get_count(train_state["opt"], jittable=True))
+    images, labels = batch["image"], batch["labels"]
+
+    if config.get("mixup") and config.mixup.p:
+      step_rng, (images, labels), _ = u.mixup(step_rng, images, labels,
+                                              **config.mixup)
+
+    _, rng_model = jax.random.split(step_rng)
+
+    def loss_fn(params):
+      logits, _ = model.apply(
+          {"params": params}, images, train=True,
+          rngs={"dropout": rng_model}, **flexi_kw)
+      return getattr(u, config.get("loss", "sigmoid_xent"))(
+          logits=logits, labels=labels)
+
+    params, opt = train_state["params"], train_state["opt"]
+    l, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt = tx.update(grads, opt, params)
+    params = optax.apply_updates(params, updates)
+
+    gs = jax.tree.leaves(bv_optim.replace_frozen(config.schedule, grads,
+                                                 0.))
+    measurements["l2_grads"] = jnp.sqrt(sum(jnp.vdot(g, g) for g in gs))
+    measurements["training_loss"] = l
+    return {"params": params, "opt": opt}, measurements
+
+  def predict_fn(train_state, batch, **flexi_kw):
+    logits, out = model.apply({"params": train_state["params"]},
+                              batch["image"], **flexi_kw)
+    return logits, out
+
+  # Resume / init.
+  first_step = 0
+  ckpt_steps = get_steps("ckpt", default=None)
+  ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
+  ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
+  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+    with jax.transfer_guard("allow"):
+      abstract = jax.tree.map(
+          lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+          train_state, train_state_sharding)
+      loaded = u.load_checkpoint(
+          {**abstract, "chrono": jax.ShapeDtypeStruct((4,), np.float64)},
+          last)
+      chrono.load(loaded.pop("chrono"))
+      train_state = loaded
+      first_step = bv_optim.get_count(train_state["opt"])
+    chrono.inform(first_step=first_step)
+  elif config.get("model_init"):
+    with jax.transfer_guard("allow"):
+      loaded = model_mod.load(
+          jax.device_get(train_state["params"]), config.model_init,
+          config.get("model", {}), **config.get("model_load", {}))
+      train_state["params"] = u.reshard(loaded, params_sharding)
+
+  @functools.cache
+  def evaluators():
+    return eval_common.from_config(
+        config, flexi.mkpredictfns(predict_fn, config.flexi,
+                                   "predict_{x}"),
+        write_note=u.write_note,
+        get_steps=lambda key, cfg: u.steps(
+            key, cfg, ntrain_img, batch_size, total_steps, default=None),
+        devices=list(devices_flat))
+
+  last_eval = {}
+
+  def run_evals(step, final=False):
+    for (name, evaluator, log_steps, prefix) in evaluators():
+      due = final or (log_steps and step % log_steps == 0)
+      if due and last_eval.get(name) != step:
+        last_eval[name] = step
+        chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+        with nn.logical_axis_rules(sharding_rules), \
+             jax.transfer_guard("allow"), mesh:
+          for key, value in evaluator.run(train_state):
+            mw.measure(f"{prefix}{key}", value)
+        chrono.resume()
+
+  log_steps = get_steps("log_training", default=50)
+  u.write_note("Starting FlexiViT training loop...")
+  step = first_step
+  for step in range(first_step + 1, total_steps + 1):
+    mw.step_start(step)
+    batch = next(train_iter)
+    batch = {k: v for k, v in batch.items() if isinstance(v, jax.Array)}
+
+    np_rng = flexi.mkrng(-1, -1, step)
+    flexi_kw = {n: int(flexi.choice(config.flexi[n].v, config.flexi[n].p,
+                                    np_rng))
+                for n in flexi_argnames}
+
+    with nn.logical_axis_rules(sharding_rules), mesh:
+      train_state, measurements = update_fn(train_state, rng_loop, batch,
+                                            **flexi_kw)
+
+    if (log_steps and step % log_steps == 0) or step == total_steps:
+      with jax.transfer_guard("allow"):
+        for name, value in measurements.items():
+          v = mw.measure(name, value)
+          if name == "training_loss" and not np.isfinite(v):
+            raise RuntimeError(f"Loss became {v} at step {step}")
+        chrono.tick(step)
+
+    if (ckpt_mgr and ckpt_steps
+        and (step % ckpt_steps == 0 or step == total_steps)):
+      chrono.pause(wait_for=jax.tree.leaves(train_state))
+      with jax.transfer_guard("allow"):
+        ckpt_mgr.save({**train_state, "chrono": u.put_cpu(chrono.save())},
+                      ckpt_prefix, step)
+      chrono.resume()
+
+    run_evals(step)
+    mw.step_end()
+
+  if total_steps > 0:
+    run_evals(step, final=True)
+  if ckpt_mgr:
+    ckpt_mgr.wait_until_finished()
+  mw.close()
+  u.sync()
+  return train_state
+
+
+if __name__ == "__main__":
+  config_flags.DEFINE_config_file("config", None, "Config.",
+                                  lock_config=True)
+  flags.DEFINE_string("workdir", default=None, help="Work unit directory.")
+  jax.config.parse_flags_with_absl()
+  flags.mark_flags_as_required(["config"])
+  app.run(lambda argv: (main(argv), None)[-1])
