@@ -1,0 +1,20 @@
+"""PaliGemma transfer to ST-VQA (scene text).
+
+Parity target: reference configs/proj/paligemma/transfers/stvqa.py
+(dataset/prompt/split/hyperparameter recipe). Requires the stvqa
+dataset to be available to the data layer (tfds-gated in this image).
+"""
+
+from big_vision_tpu.configs.proj.paligemma.transfers import common as c7n
+
+
+def get_config(arg=None):
+  return c7n.vqa_task_config(
+      arg, data_name="stvqa",
+      prefix="answer en {question}",
+      suffix_pp="choice_no_replacement(inkey='answers', outkey='suffix')",
+      pp_before=("lower(key='answers')",),
+      train_split="train", final_train_split="train+val",
+      eval_splits=[("minival", "val"), ("eval", "test")],
+      text_len=48, total_epochs=3, lr=1e-5, wd=1e-6,
+      prefix_name="stvqa")

@@ -204,6 +204,58 @@ def get_setdefault(key, value):
   return PPOp(host_fn=_setdefault, phase="host", name="setdefault")
 
 
+@Registry.register("preprocess_ops.rag_tensor")
+def get_rag_tensor(*keys):
+  """Config-parity no-op: marks keys as ragged (ref :197).
+
+  The reference wraps values in tf.RaggedTensor so tf.data can batch them;
+  this pipeline's host phase carries variable-length values natively (as
+  lists / object arrays), so nothing needs to happen here.
+  """
+  del keys
+  return _structural(lambda data: data)
+
+
+@Registry.register("preprocess_ops.choice_no_replacement")
+def get_choice_no_replacement(key=None, inkey=None, outkey=None):
+  """Picks one entry per key, cycling without replacement per example.
+
+  Like choice(n='single'), but an example (identified by `_id`) seen N
+  times cycles through all entries before repeating, with a fresh order
+  per cycle (ref :375). Keeps a host-RAM seen-counter; not
+  preemption-robust (same caveat as the reference).
+  """
+  inkeys = maybe_repeat(inkey or key, 1)
+  outkeys = maybe_repeat(outkey or key, 1)
+  outkeys = [ok.format(key=ik) for ok, ik in zip(outkeys, inkeys)]
+
+  import collections
+  counter = collections.defaultdict(lambda: -1)
+  instance_seed = np.random.SeedSequence().entropy % (2 ** 31)
+
+  def _choice(data):
+    data = dict(data)
+    first = np.asarray(data[inkeys[0]])
+    assert first.ndim > 0, (
+        f"choice_no_replacement on scalar key(s) {inkeys}")
+    nitems = len(first)
+    for k in inkeys:
+      assert len(data[k]) == nitems, f"ragged keys {inkeys}"
+
+    example_id = int(np.asarray(data["_id"]))
+    counter[example_id] += 1
+    count = counter[example_id]
+    shuffle_epoch, shuffle_offset = count // nitems, count % nitems
+    rng = np.random.default_rng(
+        (instance_seed, example_id, shuffle_epoch))
+    index = int(rng.permutation(nitems)[shuffle_offset])
+    for ik, ok in zip(inkeys, outkeys):
+      data[ok] = np.asarray(data[ik])[index]
+    return data
+
+  return PPOp(host_fn=_choice, phase="host", name="choice_no_replacement")
+
+
 @Registry.register("preprocess_ops.choice")
 def get_choice(n="single", key=None, fewer_ok=False, inkey=None, outkey=None):
   """Samples the same `n` random entries of all keys (host). Ref :284."""
