@@ -1,0 +1,50 @@
+"""Train the GIVT ViT-VAE on COCO panoptic maps.
+
+Parity target: reference configs/proj/givt/vae_coco_panoptic.py.
+"""
+
+import ml_collections as mlc
+
+import big_vision_tpu.configs.common as bvcc
+
+
+def get_config(arg=None):
+  arg = bvcc.parse_arg(arg, res=512, patch_size=16, runlocal=False)
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_epochs = 500
+
+  config.input = dict(
+      data=dict(name="coco/2017_panoptic", split="train[4096:]"),
+      batch_size=1024 if not arg.runlocal else 8,
+      shuffle_buffer_size=25_000 if not arg.runlocal else 10,
+      pp=("decode|coco_panoptic"
+          "|concat(['semantics', 'instances'], 'labels')"
+          "|randu('fliplr')|det_fliplr(key='image')"
+          "|det_fliplr(key='labels')"
+          "|inception_box|crop_box(key='image')|crop_box(key='labels')"
+          f"|resize({arg.res})"
+          f"|resize({arg.res}, key='labels', method='nearest')"
+          "|value_range(-1, 1)|make_canonical|keep('image', 'labels')"),
+  )
+  config.pp_modules = ["ops_general", "ops_image", "proj.uvim.pp_ops"]
+  config.log_training_steps = 50
+  config.ckpt_steps = 1000
+
+  config.model_name = "proj.givt.vit"
+  config.model = dict(
+      input_size=(arg.res, arg.res),
+      patch_size=(arg.patch_size, arg.patch_size),
+      code_len=256, width=768, enc_depth=6, dec_depth=12,
+      mlp_dim=3072, num_heads=12, codeword_dim=16,
+      bottleneck_resize=True,
+      inout_specs={"semantics": (0, 134), "instances": (1, 100)})
+  config.beta = 2.5e-4
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 1e-6
+  config.schedule = dict(decay_type="cosine", warmup_steps=4_000)
+  config.grad_clip_norm = 1.0
+  config.evals = {}
+  return config
