@@ -138,9 +138,100 @@ def _decode_jit(params, batch, rng, *, model, max_decode_len, eos_token,
   return tokens, logp
 
 
+def _gather_beams(tree, flat_idx):
+  """Reorders the leading (flattened beam) axis of every cache leaf."""
+  return jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), tree)
+
+
+def _beam_decode_jit(params, batch, *, model, max_decode_len, eos_token,
+                     beam_size, mask_key="mask_input"):
+  """Jitted beam search: prefill once, expand to B*K rows, loop on device.
+
+  Follows the reference's beam decode semantics (finished beams keep
+  their score and emit padding); the whole search is one XLA program —
+  the per-step cache reorder is a gather over the beam axis.
+  """
+  images, text = batch["image"], batch["text"]
+  input_mask = batch.get(mask_key)
+  if input_mask is None:
+    input_mask = jnp.full(text.shape, True)
+  mask_ar = batch.get("mask_ar")
+  if mask_ar is None:
+    mask_ar = jnp.zeros_like(text)
+
+  variables = {"params": params}
+  (x, full_mask, full_ar), _ = model.apply(
+      variables, images, text, input_mask=input_mask.astype(bool),
+      mask_ar=mask_ar, method=model.embed_image_and_text)
+
+  cache_size = x.shape[1] + max_decode_len
+  logits, cache_vars = model.apply(
+      variables, x, full_mask, full_ar, cache_size=cache_size,
+      method=model.prefill_cache, mutable=["cache"])
+
+  b = x.shape[0]
+  k = beam_size
+  vocab = logits.shape[-1]
+  neg_inf = -1e10
+
+  # Initial expansion: top-k first tokens per example.
+  lp0 = jax.nn.log_softmax(logits[:, -1, :], axis=-1)  # [B, V]
+  scores, tok0 = jax.lax.top_k(lp0, k)  # [B, K] each
+  done = tok0 == eos_token
+  tokens = jnp.zeros((b, k, max_decode_len), jnp.int32)
+  tokens = tokens.at[:, :, 0].set(jnp.where(done, 0, tok0))
+
+  # Replicate the cache: row b -> rows b*K..b*K+K-1.
+  rep_idx = jnp.repeat(jnp.arange(b), k)
+  cache = _gather_beams(cache_vars, rep_idx)
+  last_tok = tok0.reshape(b * k)
+
+  def cond(carry):
+    i, done, *_ = carry
+    return jnp.logical_and(i < max_decode_len, ~jnp.all(done))
+
+  def body(carry):
+    i, done, scores, tokens, cache, last_tok = carry
+    emb = model.apply(variables, last_tok[:, None],
+                      method=model.embed_text)[0]
+    new_logits, cache = model.apply(
+        {**variables, **cache}, emb, method=model.extend_cache,
+        mutable=["cache"])
+    lp = jax.nn.log_softmax(new_logits[:, -1, :], axis=-1)  # [B*K, V]
+    lp = lp.reshape(b, k, vocab)
+
+    # Finished beams may only "continue" with pad (id 0) at no cost.
+    done_row = jnp.full((vocab,), neg_inf).at[0].set(0.0)
+    lp = jnp.where(done[:, :, None], done_row[None, None, :], lp)
+
+    cand = (scores[:, :, None] + lp).reshape(b, k * vocab)
+    scores, flat = jax.lax.top_k(cand, k)  # [B, K]
+    parent = flat // vocab  # [B, K] beam index
+    tok = flat % vocab
+
+    # Reorder histories and cache by parent beam.
+    tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+    done = jnp.take_along_axis(done, parent, axis=1)
+    flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+    cache = _gather_beams(cache, flat_parent)
+
+    tokens = tokens.at[:, :, i].set(jnp.where(done, 0, tok))
+    done = jnp.logical_or(done, tok == eos_token)
+    return (i + 1, done, scores, tokens, cache, tok.reshape(b * k))
+
+  init = (jnp.asarray(1), done, scores, tokens, cache, last_tok)
+  _, done, scores, tokens, _, _ = jax.lax.while_loop(cond, body, init)
+
+  best = jnp.argmax(scores, axis=-1)  # [B]
+  out_tokens = jnp.take_along_axis(
+      tokens, best[:, None, None], axis=1)[:, 0]
+  out_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+  return out_tokens, out_scores
+
+
 def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
-                     sampler="greedy", best_of_n=1):
-  """Returns {"logits", "decode", "decode_with_logp"} predict fns."""
+                     sampler="greedy", best_of_n=1, beam_size=2):
+  """Returns {"logits", "decode", "decode_with_logp", "beam_decode"}."""
 
   @functools.partial(jax.jit, static_argnames=())
   def logits_fn(train_state, batch):
@@ -171,5 +262,14 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
   def decode(train_state, batch, rng=None):
     return decode_with_logp(train_state, batch, rng)[0]
 
+  beam_core = jax.jit(functools.partial(
+      _beam_decode_jit, model=model, max_decode_len=max_decode_len,
+      eos_token=eos_token, beam_size=beam_size))
+
+  def beam_decode(train_state, batch, rng=None):
+    del rng  # Beam search is deterministic.
+    return beam_core(train_state["params"], batch)[0]
+
   return {"logits": logits_fn, "decode": decode,
-          "decode_with_logp": decode_with_logp}
+          "decode_with_logp": decode_with_logp,
+          "beam_decode": beam_decode}

@@ -188,3 +188,30 @@ def test_samplers():
   assert int(n[0]) == 1  # tiny p keeps only the argmax
   k = predict_fns.get_sampler("topk(1)")(logits, rng)
   assert int(k[0]) == 1
+
+
+def test_beam_decode_beats_or_matches_greedy():
+  """Beam-1 equals greedy; larger beams never have lower sequence logp."""
+  model, params, img, txt = make_tiny_pg()
+  batch = {"image": img, "text": txt,
+           "mask_input": jnp.ones_like(txt, bool),
+           "mask_ar": jnp.zeros_like(txt)}
+
+  fns1 = predict_fns.make_predict_fns(model, max_decode_len=6, eos_token=1,
+                                      sampler="greedy", beam_size=1)
+  greedy_tokens, greedy_logp = fns1["decode_with_logp"]({"params": params},
+                                                        batch)
+  beam1 = fns1["beam_decode"]({"params": params}, batch)
+  np.testing.assert_array_equal(np.asarray(beam1),
+                                np.asarray(greedy_tokens))
+
+  fns3 = predict_fns.make_predict_fns(model, max_decode_len=6, eos_token=1,
+                                      beam_size=3)
+  beam3, scores3 = jax.jit(
+      lambda p, b: predict_fns._beam_decode_jit(
+          p, b, model=model, max_decode_len=6, eos_token=1,
+          beam_size=3))(params, batch)
+  assert beam3.shape == (2, 6)
+  # Beam search maximizes sequence logp: >= greedy's, up to numerics.
+  assert np.all(np.asarray(scores3) >= np.asarray(greedy_logp) - 1e-4)
+  del fns3
