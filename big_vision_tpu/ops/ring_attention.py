@@ -1,0 +1,110 @@
+"""Ring attention: sequence-parallel attention over a mesh axis.
+
+The reference has no sequence/context parallelism (SURVEY.md §2.2/§5); it
+only annotates activations with the `act_len` logical axis. This module
+supplies the TPU-native long-sequence path the survey calls for: shard the
+sequence over a mesh axis, keep Q local, and rotate K/V blocks around the
+ring with `lax.ppermute`, accumulating the exact softmax online
+(flash-attention style running max/denominator). Peak memory per device is
+O(T_local^2) instead of O(T^2), and the K/V rotation rides the ICI ring
+concurrently with compute.
+
+Use inside shard_map (see `ring_attention_sharded` for the wrapper):
+
+  out = ring_attention(q, k, v, axis_name="seq")   # [B, T_loc, H, D]
+
+Causal masking uses global positions derived from `jax.lax.axis_index`,
+so prefix-LM/causal semantics match unsharded attention exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+  from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+  from jax.experimental.shard_map import shard_map as _shard_map
+
+P = jax.sharding.PartitionSpec
+
+
+def _block_attn(q, k, v, bias):
+  """Unnormalized block attention: returns (num, running_max, denom).
+
+  q: [B, Tq, H, D], k/v: [B, Tk, H, D], bias: [Tq, Tk] additive (-inf
+  for masked). Outputs: num [B, Tq, H, D], m/l [B, Tq, H].
+  """
+  scale = q.shape[-1] ** -0.5
+  logits = jnp.einsum("bqhd,bkhd->bqhk", q, k) * scale
+  logits = logits + bias[None, :, None, :]
+  m = jnp.max(logits, axis=-1)
+  # Guard fully-masked rows (all -inf): exp(-inf - -inf) would be NaN.
+  m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+  p = jnp.exp(logits - m_safe[..., None])
+  p = jnp.where(jnp.isneginf(logits), 0.0, p)
+  num = jnp.einsum("bqhk,bkhd->bqhd", p, v)
+  l = jnp.sum(p, axis=-1)
+  return num, m_safe, l
+
+
+def ring_attention(q, k, v, *, axis_name, causal=False):
+  """Exact attention over a sequence sharded on `axis_name`.
+
+  Args: q, k, v: [B, T_local, H, D] per-device blocks (inside shard_map).
+  Returns: [B, T_local, H, D] attention output for the local queries.
+  """
+  n = lax.axis_size(axis_name)
+  my_idx = lax.axis_index(axis_name)
+  t_loc = q.shape[1]
+  perm = [(i, (i + 1) % n) for i in range(n)]  # send K/V to next device
+
+  def bias_for(kv_idx):
+    if not causal:
+      return jnp.zeros((t_loc, t_loc), q.dtype)
+    q_pos = my_idx * t_loc + jnp.arange(t_loc)
+    k_pos = kv_idx * t_loc + jnp.arange(t_loc)
+    return jnp.where(q_pos[:, None] >= k_pos[None, :], 0.0, -jnp.inf)
+
+  def combine(acc, blk):
+    o, m, l = acc
+    o_b, m_b, l_b = blk
+    new_m = jnp.maximum(m, m_b)
+    s, s_b = jnp.exp(m - new_m), jnp.exp(m_b - new_m)
+    return (o * s[..., None] + o_b * s_b[..., None],
+            new_m, l * s + l_b * s_b)
+
+  def body(i, carry):
+    o, m, l, kk, vv = carry
+    kv_idx = (my_idx - i) % n  # whose K/V block we hold at step i
+    blk = _block_attn(q, kk, vv, bias_for(kv_idx))
+    o, m, l = combine((o, m, l), blk)
+    kk = lax.ppermute(kk, axis_name, perm)
+    vv = lax.ppermute(vv, axis_name, perm)
+    return o, m, l, kk, vv
+
+  # pvary: the carry becomes device-varying inside the loop (it depends
+  # on axis_index), so the initial value must be marked varying too.
+  o0 = jnp.zeros_like(q)  # already device-varying (derived from q)
+  m0 = lax.pvary(jnp.full(q.shape[:-1], -jnp.inf, q.dtype), (axis_name,))
+  l0 = lax.pvary(jnp.zeros(q.shape[:-1], q.dtype), (axis_name,))
+  o, _, l, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v))
+  return o / jnp.maximum(l, 1e-30)[..., None]
+
+
+def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
+                           causal=False):
+  """Global-array entry point: shard T over `seq_axis` and run the ring.
+
+  q, k, v: [B, T, H, D] global arrays; T must divide by the axis size.
+  """
+  spec = P(None, seq_axis, None, None)
+  fn = _shard_map(
+      functools.partial(ring_attention, axis_name=seq_axis,
+                        causal=causal),
+      mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+  return fn(q, k, v)
