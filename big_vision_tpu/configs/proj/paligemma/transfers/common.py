@@ -202,7 +202,8 @@ def caption_task_config(arg, *, data_name, suffix_pp, train_split,
   for name, split in eval_splits:
     c.evals[f"{prefix_name}/{name}"] = dict(
         type="proj.paligemma.transfers.coco_caption",
-        pred="decode", pred_kw={"max_decode_len": text_len},
+        # Captioning evals decode with beam search (ref uses beam_size 2-3).
+        pred="beam_decode", pred_kw={"max_decode_len": text_len},
         log_percent=0.1, tokenizer=TOKENIZER,
         data=dict(name=data_name, split=split),
         pp_fn="|".join([*captions_pp, pp_eval]))

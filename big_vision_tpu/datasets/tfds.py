@@ -21,18 +21,19 @@ def _builder(name, data_dir):
   try:
     import tensorflow_datasets as tfds
   except ImportError as e:
+    from big_vision_tpu.datasets import catalog
     raise ImportError(
         "tensorflow_datasets is not installed in this image. Use the "
         "'synthetic', 'jsonl', 'imagefolder' or 'arrays' data sources, or "
-        "install tfds to read TFDS datasets.") from e
+        "install tfds to read TFDS datasets. "
+        + catalog.describe(name)) from e
   return tfds.builder(name, data_dir=data_dir, try_gcs=True)
 
 
 class DataSource(core.DataSource):
 
   def __init__(self, name, split="train", data_dir=None, skip_decode=("image",)):
-    import tensorflow_datasets as tfds  # noqa: F401 (gate)
-    self.builder = _builder(name, data_dir)
+    self.builder = _builder(name, data_dir)  # Gated (clear ImportError).
     self.split = split
     self.skip_decode = skip_decode
     info_split = self.builder.info.splits[split]
