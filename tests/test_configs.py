@@ -67,3 +67,37 @@ def test_vit_s16_i1k_config_builds():
   cfg = vit_s16_i1k.get_config()
   assert cfg.input.batch_size == 1024
   assert cfg.total_epochs == 90
+
+
+def test_all_configs_construct():
+  """Every config module under configs/ must build via get_config."""
+  import importlib
+  import pathlib
+
+  root = pathlib.Path(__file__).parent.parent / "big_vision_tpu/configs"
+  skip_args = {  # Configs whose get_config takes no arg string.
+      "bit_i21k", "proj.scaling_laws.train_vit_g",
+      "proj.reward_tune.detection_reward",
+  }
+  gated = set()  # Video configs raise NotImplementedError by design.
+  n = 0
+  for path in sorted(root.rglob("*.py")):
+    rel = path.relative_to(root).with_suffix("")
+    mod_name = ".".join(rel.parts)
+    if rel.name in ("__init__", "common", "common_fewshot"):
+      continue
+    if "transfers.common" in mod_name or mod_name.endswith(".common"):
+      continue
+    mod = importlib.import_module(f"big_vision_tpu.configs.{mod_name}")
+    if not hasattr(mod, "get_config"):
+      continue
+    try:
+      c = (mod.get_config() if mod_name in skip_args
+           else mod.get_config(""))
+    except NotImplementedError:
+      gated.add(mod_name)  # e.g. video transfers needing a data loader
+      continue
+    assert c is not None, mod_name
+    n += 1
+  assert n >= 55, f"only {n} configs constructed"
+  assert all("cap" in g or "qa" in g for g in gated), gated
