@@ -10,7 +10,6 @@ tools/eval_only.py.
 
 import importlib
 
-import ml_collections as mlc
 
 import big_vision_tpu.configs.common as bvcc
 

@@ -8,10 +8,8 @@ values), computed on CPU.
 
 from __future__ import annotations
 
-import functools
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import big_vision_tpu.utils as u

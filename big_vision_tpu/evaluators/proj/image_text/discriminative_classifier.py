@@ -8,7 +8,6 @@ embeddings, re-normalize; classify eval images by cosine similarity.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import common

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import enum
 import itertools
-from typing import Any, Literal, Mapping, Optional, Sequence
+from typing import Literal, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ TPU-native differences from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -12,12 +12,11 @@ the Jet flow on top stays exactly invertible.
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping, Sequence
+from typing import Any, Sequence
 
 import einops
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models.proj.givt import vae

@@ -8,7 +8,6 @@ eos tracking (no per-token host syncs).
 
 from __future__ import annotations
 
-from typing import Any
 
 import flax
 import jax

@@ -12,8 +12,6 @@ bfloat16 logits lose too much for long rows.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

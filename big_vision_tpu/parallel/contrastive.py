@@ -14,8 +14,6 @@ jax.grad through the shard_mapped loss yields exact gradients.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ the TF randaug path, so selected ops always apply).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

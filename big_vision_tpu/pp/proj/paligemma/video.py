@@ -13,7 +13,7 @@ import numpy as np
 
 from big_vision_tpu.registry import Registry
 from big_vision_tpu.pp.ops_image import _pil_resize
-from big_vision_tpu.pp.utils import InKeyOutKey, PPOp, as_pp_op
+from big_vision_tpu.pp.utils import PPOp
 
 
 @Registry.register("preprocess_ops.video_decode")

@@ -9,7 +9,6 @@ checkpoints without a training loop:
 
 from __future__ import annotations
 
-import functools
 import importlib
 
 from absl import app, flags
