@@ -93,3 +93,43 @@ def test_pp_fused_inception_crop_shape():
   pfn = builder.get_preprocess_fn("decode_jpeg_and_inception_crop(224)")
   out = pfn.host({"image": data}, np.random.default_rng(0))
   assert out["image"].shape == (224, 224, 3)
+
+
+def test_yuv420_path_matches_rgb_decode():
+  """YUV fast path + device conversion ~= RGB decode (chroma-subsampled)."""
+  import io
+
+  import jax
+  import numpy as np
+  from PIL import Image
+
+  from big_vision_tpu.pp import builder
+  import big_vision_tpu.pp.ops_image  # noqa: F401
+
+  rs = np.random.RandomState(0)
+  # Smooth image: chroma subsampling differences stay small.
+  base = rs.randint(0, 255, (8, 10, 3), np.uint8)
+  img = np.asarray(Image.fromarray(base).resize((320, 256),
+                                                Image.BILINEAR))
+  buf = io.BytesIO()
+  Image.fromarray(img).save(buf, format="JPEG", quality=95)
+  raw = buf.getvalue()
+
+  # Identical crop box: area 100% + ratio 1 makes the box deterministic
+  # enough; use central-crop-free full decode via resize instead.
+  pfn_yuv = builder.get_preprocess_fn(
+      "decode_jpeg_and_inception_crop_yuv(128, area_min=100,"
+      " area_max=100, ratio_min=1.0, ratio_max=1.0)|yuv420_to_rgb")
+  pfn_rgb = builder.get_preprocess_fn(
+      "decode_jpeg_and_inception_crop(128, area_min=100, area_max=100,"
+      " ratio_min=1.0, ratio_max=1.0)")
+  out_yuv = pfn_yuv({"image": raw}, np.random.default_rng(3))
+  out_rgb = pfn_rgb({"image": raw}, np.random.default_rng(3))
+
+  got = np.asarray(out_yuv["image"], np.float32)
+  want = np.asarray(out_rgb["image"], np.float32)
+  assert got.shape == want.shape == (128, 128, 3)
+  # Chroma is stored at half resolution in the JPEG itself; the two
+  # reconstructions must agree closely on a smooth image.
+  assert np.mean(np.abs(got - want)) < 3.0
+  assert np.percentile(np.abs(got - want), 99) < 12.0
