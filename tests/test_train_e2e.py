@@ -52,3 +52,16 @@ def test_smoke_train_and_resume(tmp_path):
   assert "Resuming from" in (r2.stderr + r2.stdout)
   steps2 = [row["step"] for row in read_metrics(wd)]
   assert 14 in steps2
+
+
+@pytest.mark.slow
+def test_graft_entry_multichip_dryrun(tmp_path):
+  """The driver contract: dryrun_multichip must compile+run on 8 devices."""
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+  r = subprocess.run(
+      [sys.executable, "-c",
+       "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+  assert r.returncode == 0, r.stderr[-3000:]
+  assert "OK" in r.stdout
