@@ -155,6 +155,7 @@ class Attention(nn.Module):
   query_pre_attn_norm: str
   attn_logits_softcap: Optional[float]
   cache_dtype: Optional[str] = None
+  attn_impl: str = "xla"
 
   def setup(self):
     if self.num_kv_heads == self.num_heads:
@@ -173,7 +174,8 @@ class Attention(nn.Module):
         w_init=trunc_norm_init(in_axis=(0, 1), out_axis=(2,)))
 
   @nn.compact
-  def __call__(self, x, positions, attn_mask, decode, deterministic=True):
+  def __call__(self, x, positions, attn_mask, decode, deterministic=True,
+               seg=None):
     if self.num_kv_heads == self.num_heads:
       q, k, v = self.qkv_einsum("BSD,3KDH->3BSKH", x)
     else:
@@ -192,6 +194,21 @@ class Attention(nn.Module):
     if decode:
       k, v = _update_kv_cache(self, k, v, cache_size=attn_mask.shape[-1],
                               cache_dtype=self.cache_dtype)
+
+    if (self.attn_impl == "flash" and not decode and seg is not None
+        and not self.attn_logits_softcap):
+      # Fused one-shot flash path (training): `seg` encodes the same
+      # prefix-LM mask as attn_mask (see ops/flash_attention.py). The
+      # kernel applies 1/sqrt(head_dim); q is already pre-normalized, so
+      # cancel the kernel's scale.
+      from big_vision_tpu.ops import flash_attention as _fa
+      if self.num_kv_heads != self.num_heads:
+        rep = self.num_heads // self.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+      qf = (q * (self.head_dim ** 0.5)).astype(v.dtype)
+      encoded = _fa.flash_attention(qf, k, v, seg=seg)
+      return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
 
     b, t, n, h = q.shape
     kk = self.num_kv_heads
@@ -245,6 +262,7 @@ class Block(nn.Module):
   dropout: float = 0.0
   dropout_bdims: tuple = ()
   cache_dtype: Optional[str] = None
+  attn_impl: str = "xla"
 
   def setup(self):
     self.pre_attention_norm = RMSNorm()
@@ -253,7 +271,8 @@ class Block(nn.Module):
         features=self.embed_dim, head_dim=self.head_dim,
         cache_dtype=self.cache_dtype,
         query_pre_attn_norm=self.query_pre_attn_norm,
-        attn_logits_softcap=self.attn_logits_softcap)
+        attn_logits_softcap=self.attn_logits_softcap,
+        attn_impl=self.attn_impl)
     self.pre_ffw_norm = RMSNorm()
     self.mlp = FeedForward(features=self.embed_dim,
                            hidden_dim=self.hidden_dim)
@@ -266,10 +285,10 @@ class Block(nn.Module):
       self.post_ffw_norm = RMSNorm()
 
   def __call__(self, x, unused_scan_arg, positions, attn_mask, decode,
-               deterministic=True):
+               deterministic=True, seg=None):
     x = nn.with_logical_constraint(x, ("act_batch", "act_len", "act_emb"))
     y = self.attn(self.pre_attention_norm(x), positions, attn_mask, decode,
-                  deterministic)
+                  deterministic, seg)
     if self.post_norms:
       y = self.post_attention_norm(y)
     y = self.drop(y, deterministic)
@@ -302,11 +321,12 @@ class Model(nn.Module):
   embed_dtype: str = "float32"
   scan: bool = False
   remat_policy: str = "none"
+  attn_impl: str = "xla"
 
   @nn.compact
   def __call__(self, tokens, *, embedded_prefix=None, embed_only=False,
                pre_logits=None, positions=None, mask=None, decode=False,
-               deterministic=True):
+               deterministic=True, seg=None):
     """Embed-only, logits-from-pre-logits, or full forward (see ref :460)."""
     out = {}
     embedder = Embedder(vocab_size=self.vocab_size, embed_dim=self.width,
@@ -358,7 +378,7 @@ class Model(nn.Module):
         dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
         query_pre_attn_norm=self.query_pre_attn_norm,
         attn_logits_softcap=self.attn_logits_softcap,
-        post_norms=self.post_norms)
+        post_norms=self.post_norms, attn_impl=self.attn_impl)
 
     layers = self.scope.push("layers")
     if self.scan:
@@ -375,7 +395,7 @@ class Model(nn.Module):
     unused_scan_arg = ()
     for block in blocks:
       x, unused_scan_arg = block(x, unused_scan_arg, positions, mask,
-                                 decode, deterministic)
+                                 decode, deterministic, seg)
     assert x.dtype == jnp.dtype(self.embed_dtype)
     out["encoded"] = x
 

@@ -30,6 +30,7 @@ def _get_config(model):
     config.final_logits_softcap = model.final_logits_softcap
   if model.attn_logits_softcap is not None:
     config.attn_logits_softcap = model.attn_logits_softcap
+  config.attn_impl = model.attn_impl
   return config
 
 
@@ -55,6 +56,7 @@ class Model(nn.Module):
   cache_dtype: Optional[str] = "bfloat16"
   final_logits_softcap: Optional[float] = None
   attn_logits_softcap: Optional[float] = None
+  attn_impl: str = "xla"
 
   def setup(self):
     # parent+name="" flattens the wrapper out of the params tree.
@@ -67,12 +69,13 @@ class Model(nn.Module):
     return self.model(None, pre_logits=pre_logits,
                       deterministic=not train)[0]
 
-  def __call__(self, embs, mask=None, train=False):
+  def __call__(self, embs, mask=None, train=False, seg=None):
     batch_size, _, d_model = embs.shape
     assert d_model == self.embdim
     return self.model(
         tokens=jnp.zeros([batch_size, 0], dtype=jnp.int32),
-        embedded_prefix=embs, mask=mask, deterministic=not train)
+        embedded_prefix=embs, mask=mask, deterministic=not train,
+        seg=seg)
 
   def prefill_cache(self, x, input_mask, attn_mask, *, cache_size):
     """Fills the cache with a left-aligned prompt; returns last logits."""

@@ -89,7 +89,10 @@ class Model(nn.Module):
     (x, input_mask, mask_ar), out = self.embed_image_and_text(
         image, text, mask_ar=mask_ar, train=train)
     attn_mask = out["attn_mask"] = make_attn_mask(input_mask, mask_ar)
-    _, out_llm = self._llm(x, mask=attn_mask, train=train)
+    # Segment ids carry the same prefix-LM mask for the fused flash
+    # training path (used when the llm has attn_impl="flash").
+    seg = jnp.where(input_mask, jnp.cumsum(mask_ar, axis=1) + 1, 0)
+    _, out_llm = self._llm(x, mask=attn_mask, train=train, seg=seg)
     for k, v in out_llm.items():
       out[f"llm/{k}"] = v
 

@@ -141,8 +141,15 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_kv, seq_q, seq_kv):
 # ---------------------------------------------------------------------------
 
 
-def _oneshot_softmax(q, k, *, scale, seq_q, seq_kv, causal):
-  """[bb, T, T] masked probabilities p and row max/sum (f32)."""
+def _oneshot_softmax(q, k, *, scale, seq_q, seq_kv, causal,
+                     seg_q=None, seg_kv=None):
+  """[bb, T, T] masked probabilities p and row max/sum (f32).
+
+  With segment ids (prefix-LM): position j is attendable from i iff
+  0 < seg_kv[j] <= seg_q[i]. Padding carries seg=0. Causal attention is
+  the special case seg = arange+1; block-bidirectional prefixes share one
+  segment id (PaliGemma's mask_ar semantics, paligemma.py:27).
+  """
   s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32) * scale
   rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -150,30 +157,49 @@ def _oneshot_softmax(q, k, *, scale, seq_q, seq_kv, causal):
   mask = (cols < seq_kv) & (rows < seq_q)
   if causal:
     mask &= cols <= rows
+  if seg_q is not None:
+    mask &= (seg_kv[:, None, :] > 0) & (seg_kv[:, None, :]
+                                        <= seg_q[:, :, None])
   s = jnp.where(mask, s, NEG_INF)
   m = jnp.max(s, axis=-1, keepdims=True)
   p = jnp.exp(s - m)
+  # Fully-masked rows (padding queries): make them output zeros, not NaN.
+  p = jnp.where(mask, p, 0.0)
   l = jnp.sum(p, axis=-1, keepdims=True)
   return p, m, jnp.where(l == 0, 1.0, l)
 
 
-def _oneshot_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_q,
-                        seq_kv, causal):
+def _oneshot_fwd_kernel(q_ref, k_ref, v_ref, *refs, scale, seq_q,
+                        seq_kv, causal, has_seg):
+  if has_seg:
+    seg_q_ref, seg_kv_ref, o_ref = refs
+    seg_q, seg_kv = seg_q_ref[:, 0, :], seg_kv_ref[:, 0, :]
+  else:
+    (o_ref,) = refs
+    seg_q = seg_kv = None
   p, _, l = _oneshot_softmax(q_ref[...], k_ref[...], scale=scale,
-                             seq_q=seq_q, seq_kv=seq_kv, causal=causal)
+                             seq_q=seq_q, seq_kv=seq_kv, causal=causal,
+                             seg_q=seg_q, seg_kv=seg_kv)
   o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[...],
                           (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32)
   o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
-def _oneshot_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
-                        dv_ref, *, scale, seq_q, seq_kv, causal):
+def _oneshot_bwd_kernel(q_ref, k_ref, v_ref, do_ref, *refs, scale,
+                        seq_q, seq_kv, causal, has_seg):
   """Fused dq/dk/dv: ONE softmax recompute, five bf16 MXU matmuls."""
+  if has_seg:
+    seg_q_ref, seg_kv_ref, dq_ref, dk_ref, dv_ref = refs
+    seg_q, seg_kv = seg_q_ref[:, 0, :], seg_kv_ref[:, 0, :]
+  else:
+    dq_ref, dk_ref, dv_ref = refs
+    seg_q = seg_kv = None
   q, k, v = q_ref[...], k_ref[...], v_ref[...]
   do = do_ref[...]
   p, _, l = _oneshot_softmax(q, k, scale=scale, seq_q=seq_q,
-                             seq_kv=seq_kv, causal=causal)
+                             seq_kv=seq_kv, causal=causal,
+                             seg_q=seg_q, seg_kv=seg_kv)
   p = p / l  # normalized probabilities [bb, Tq, Tkv] f32
   pb = p.astype(v.dtype)
   dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
@@ -191,38 +217,59 @@ def _oneshot_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
   dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _oneshot_grid(bh):
+def _oneshot_grid(bh, tq, tkv, d, bwd=False):
+  """Largest block_b whose working set fits scoped VMEM (~16MB)."""
+  # Per-problem bytes: score/prob (+dp in bwd) f32 + in/out tensors bf16.
+  nmats = 3 if bwd else 2
+  per = nmats * tq * tkv * 4 + (6 if bwd else 4) * (tq + tkv) * d * 2
   bb = ONESHOT_BLOCK_B
-  while bh % bb:
+  while bb > 1 and (bh % bb or bb * per > 12 * 1024 * 1024):
     bb //= 2
   return bb, (bh // bb,)
 
 
-def _oneshot_fwd(q, k, v, *, scale, causal, seq_q, seq_kv):
+def _seg_specs(bb, tq, tkv, has_seg):
+  # seg rides as [BH, 1, T] so any block_b satisfies TPU block tiling
+  # (the last two block dims (1, T) match the array dims).
+  if not has_seg:
+    return []
+  return [_bspec((bb, 1, tq), lambda b: (b, 0, 0)),
+          _bspec((bb, 1, tkv), lambda b: (b, 0, 0))]
+
+
+def _oneshot_fwd(q, k, v, seg_q, seg_kv, *, scale, causal, seq_q, seq_kv):
   bh, tq, d = q.shape
   tkv = k.shape[1]
-  bb, grid = _oneshot_grid(bh)
+  bb, grid = _oneshot_grid(bh, tq, tkv, d)
+  has_seg = seg_q is not None
   kernel = functools.partial(_oneshot_fwd_kernel, scale=scale,
-                             seq_q=seq_q, seq_kv=seq_kv, causal=causal)
+                             seq_q=seq_q, seq_kv=seq_kv, causal=causal,
+                             has_seg=has_seg)
+  args = (q, k, v) + ((seg_q, seg_kv) if has_seg else ())
   return pl.pallas_call(
       kernel, grid=grid,
       in_specs=[
           _bspec((bb, tq, d), lambda b: (b, 0, 0)),
           _bspec((bb, tkv, d), lambda b: (b, 0, 0)),
           _bspec((bb, tkv, d), lambda b: (b, 0, 0)),
+          *_seg_specs(bb, tq, tkv, has_seg),
       ],
       out_specs=_bspec((bb, tq, d), lambda b: (b, 0, 0)),
       out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
       interpret=_interpret(),
-  )(q, k, v)
+  )(*args)
 
 
-def _oneshot_bwd(q, k, v, do, *, scale, causal, seq_q, seq_kv):
+def _oneshot_bwd(q, k, v, do, seg_q, seg_kv, *, scale, causal, seq_q,
+                 seq_kv):
   bh, tq, d = q.shape
   tkv = k.shape[1]
-  bb, grid = _oneshot_grid(bh)
+  bb, grid = _oneshot_grid(bh, tq, tkv, d, bwd=True)
+  has_seg = seg_q is not None
   kernel = functools.partial(_oneshot_bwd_kernel, scale=scale,
-                             seq_q=seq_q, seq_kv=seq_kv, causal=causal)
+                             seq_q=seq_q, seq_kv=seq_kv, causal=causal,
+                             has_seg=has_seg)
+  args = (q, k, v, do) + ((seg_q, seg_kv) if has_seg else ())
   return pl.pallas_call(
       kernel, grid=grid,
       in_specs=[
@@ -230,6 +277,7 @@ def _oneshot_bwd(q, k, v, do, *, scale, causal, seq_q, seq_kv):
           _bspec((bb, tkv, d), lambda b: (b, 0, 0)),
           _bspec((bb, tkv, d), lambda b: (b, 0, 0)),
           _bspec((bb, tq, d), lambda b: (b, 0, 0)),
+          *_seg_specs(bb, tq, tkv, has_seg),
       ],
       out_specs=[
           _bspec((bb, tq, d), lambda b: (b, 0, 0)),
@@ -242,32 +290,42 @@ def _oneshot_bwd(q, k, v, do, *, scale, causal, seq_q, seq_kv):
           jax.ShapeDtypeStruct((bh, tkv, d), v.dtype),
       ],
       interpret=_interpret(),
-  )(q, k, v, do)
+  )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attend_oneshot(q, k, v, causal):
-  return _attend_oneshot_fwd(q, k, v, causal)[0]
+def _pad_seg(seg, t_pad):
+  """[BH, T] -> [BH, 1, T_pad] (the layout the kernels consume)."""
+  if seg is None:
+    return None
+  if seg.shape[-1] != t_pad:
+    seg = jnp.pad(seg, ((0, 0), (0, t_pad - seg.shape[-1])))
+  return seg[:, None, :]
 
 
-def _attend_oneshot_fwd(q, k, v, causal):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _attend_oneshot(q, k, v, seg_q, seg_kv, causal):
+  return _attend_oneshot_fwd(q, k, v, seg_q, seg_kv, causal)[0]
+
+
+def _attend_oneshot_fwd(q, k, v, seg_q, seg_kv, causal):
   seq_q, seq_kv = q.shape[1], k.shape[1]
   scale = 1.0 / np.sqrt(q.shape[-1])
   tq_pad = max(-(-seq_q // 128) * 128, 128)
   tkv_pad = max(-(-seq_kv // 128) * 128, 128)
   qp, kp, vp = _pad_to(q, tq_pad), _pad_to(k, tkv_pad), _pad_to(v, tkv_pad)
-  o = _oneshot_fwd(qp, kp, vp, scale=scale, causal=causal,
+  sq, sk = _pad_seg(seg_q, tq_pad), _pad_seg(seg_kv, tkv_pad)
+  o = _oneshot_fwd(qp, kp, vp, sq, sk, scale=scale, causal=causal,
                    seq_q=seq_q, seq_kv=seq_kv)
   # Residuals are just the padded inputs: bwd recomputes the softmax.
-  return o[:, :seq_q], (qp, kp, vp, seq_q, seq_kv, scale)
+  return o[:, :seq_q], (qp, kp, vp, sq, sk, seq_q, seq_kv, scale)
 
 
 def _attend_oneshot_bwd(causal, res, g):
-  qp, kp, vp, seq_q, seq_kv, scale = res
+  qp, kp, vp, sq, sk, seq_q, seq_kv, scale = res
   dop = _pad_to(g, qp.shape[1])
-  dq, dk, dv = _oneshot_bwd(qp, kp, vp, dop, scale=scale, causal=causal,
-                            seq_q=seq_q, seq_kv=seq_kv)
-  return dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv]
+  dq, dk, dv = _oneshot_bwd(qp, kp, vp, dop, sq, sk, scale=scale,
+                            causal=causal, seq_q=seq_q, seq_kv=seq_kv)
+  return (dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv], None, None)
 
 
 _attend_oneshot.defvjp(_attend_oneshot_fwd, _attend_oneshot_bwd)
@@ -443,8 +501,15 @@ def _attend_bwd(causal, block_q, block_kv, res, g):
 _attend.defvjp(_attend_fwd, _attend_bwd)
 
 
-def flash_attention(q, k, v, *, causal=False, block_q=None, block_kv=None):
-  """Fused attention; q,k,v: [B, T, H, D] (Tq may differ from Tkv)."""
+def flash_attention(q, k, v, *, causal=False, seg=None, block_q=None,
+                    block_kv=None):
+  """Fused attention; q,k,v: [B, T, H, D] (Tq may differ from Tkv).
+
+  `seg`: optional [B, T] int32 segment ids for prefix-LM masking —
+  position j attendable from i iff 0 < seg[j] <= seg[i]; padding is
+  seg=0; causal = arange+1; a bidirectional prefix shares one id
+  (one-shot path only, i.e. T <= MAX_ONESHOT and Tq == Tkv).
+  """
   b, tq, h, d = q.shape
   tkv = k.shape[1]
 
@@ -453,8 +518,16 @@ def flash_attention(q, k, v, *, causal=False, block_q=None, block_kv=None):
 
   if (max(tq, tkv) <= MAX_ONESHOT and block_q is None
       and block_kv is None):
-    o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), causal)
+    if seg is not None:
+      assert tq == tkv and seg.shape == (b, tq), (seg.shape, q.shape)
+      seg_bh = jnp.repeat(seg.astype(jnp.int32), h, axis=0)  # [BH, T]
+      o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), seg_bh, seg_bh,
+                          causal)
+    else:
+      o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), None, None,
+                          causal)
   else:
+    assert seg is None, "segment masking needs the one-shot path"
     block_q = block_q or min(DEFAULT_BLOCK_Q, max(16, tq))
     block_kv = block_kv or min(DEFAULT_BLOCK_KV, max(16, tkv))
     o = _attend(to_bh(q), to_bh(k), to_bh(v), causal, block_q, block_kv)

@@ -89,3 +89,60 @@ def test_vit_uses_flash_when_impl_forced():
   yx = mha_x.apply({"params": p}, x, x)
   yf = mha_f.apply({"params": p}, x, x)
   np.testing.assert_allclose(yf, yx, atol=2e-5, rtol=1e-4)
+
+
+def test_oneshot_segment_mask_matches_reference():
+  """Prefix-LM segment masking == reference bool-mask attention (+grads)."""
+  import numpy as np
+  from big_vision_tpu.ops import flash_attention as fa
+
+  rs = np.random.RandomState(0)
+  b, t, h, d = 2, 24, 2, 16
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  # Per-example: bidirectional prefix of length p, then causal, then pad.
+  prefix = np.array([5, 9])
+  valid = np.array([20, 24])
+  seg = np.zeros((b, t), np.int32)
+  for i in range(b):
+    seg[i, :prefix[i]] = 1
+    seg[i, prefix[i]:valid[i]] = np.arange(2, valid[i] - prefix[i] + 2)
+  seg = jnp.asarray(seg)
+
+  def ref_attn(q, k, v):
+    mask = (seg[:, None, :] > 0) & (seg[:, None, :] <= seg[:, :, None])
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    s = jnp.where(mask[:, None], s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    # Zero fully-masked (padding) query rows like the kernel does.
+    return jnp.where((seg > 0)[:, :, None, None], out, 0.0)
+
+  got = fa.flash_attention(q, k, v, seg=seg)
+  want = ref_attn(q, k, v)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-5)
+
+  g_got = jax.grad(lambda q, k, v: jnp.sum(
+      fa.flash_attention(q, k, v, seg=seg) ** 2), argnums=(0, 1, 2))(
+          q, k, v)
+  g_want = jax.grad(lambda q, k, v: jnp.sum(ref_attn(q, k, v) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g_got, g_want):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_oneshot_segment_causal_equivalence():
+  """seg=arange+1 must equal causal=True."""
+  import numpy as np
+  from big_vision_tpu.ops import flash_attention as fa
+
+  rs = np.random.RandomState(1)
+  b, t, h, d = 2, 16, 2, 8
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  seg = jnp.tile(jnp.arange(1, t + 1)[None], (b, 1))
+  got = fa.flash_attention(q, k, v, seg=seg)
+  want = fa.flash_attention(q, k, v, causal=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-5)

@@ -215,3 +215,41 @@ def test_beam_decode_beats_or_matches_greedy():
   # Beam search maximizes sequence logp: >= greedy's, up to numerics.
   assert np.all(np.asarray(scores3) >= np.asarray(greedy_logp) - 1e-4)
   del fns3
+
+
+def test_flash_seg_training_forward_matches_xla():
+  """llm attn_impl='flash' (fused seg-masked kernel) == xla forward."""
+  def build(attn_impl):
+    return paligemma.Model(
+        img=dict(variant="mu/16", pool_type="none", posemb="sincos2d",
+                 head_zeroinit=False),
+        llm=dict(variant="gemma_test", scan=True, cache_dtype=None,
+                 attn_impl=attn_impl))
+
+  m_x, m_f = build("xla"), build("flash")
+  img = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3),
+                    jnp.float32)
+  txt = jnp.asarray([[3, 4, 5, 1, 0, 0], [5, 6, 7, 8, 9, 1]], jnp.int32)
+  mask_ar = jnp.asarray([[0, 0, 1, 1, 1, 1], [0, 1, 1, 1, 1, 1]],
+                        jnp.int32)
+  params = m_x.init(jax.random.PRNGKey(0), img, txt, mask_ar)["params"]
+
+  lx, _ = m_x.apply({"params": params}, img, txt, mask_ar)
+  lf, _ = m_f.apply({"params": params}, img, txt, mask_ar)
+  np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=2e-4)
+
+  # Gradients agree too (the fused backward).
+  def loss(m):
+    def f(p):
+      logits, _ = m.apply({"params": p}, img, txt, mask_ar, train=True)
+      return jnp.sum(logits.astype(jnp.float32) ** 2) / logits.size
+    return f
+  gx = jax.grad(loss(m_x))(params)
+  gf = jax.grad(loss(m_f))(params)
+  import big_vision_tpu.utils as u
+  nx, _ = u.tree_flatten_with_names(gx)
+  nf, _ = u.tree_flatten_with_names(gf)
+  for (ka, a), (kb, b) in zip(sorted(nx), sorted(nf)):
+    assert ka == kb
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                               err_msg=ka)
