@@ -38,11 +38,13 @@ def get_config(arg=None):
   config.ckpt_steps = 1000
 
   # Frozen stage-I oracle.
+  config.task = "panoptic"
+  px = arg.patch_size ** 2
   config.oracle = dict(
       model_name="proj.uvim.vit",
       model=dict(
-          inputs={"semantics": (134,), "instances": (100,)},
-          outputs={"semantics": (134,), "instances": (100,)},
+          inputs={"semantics": (134, px), "instances": (100, px)},
+          outputs={"semantics": (134, px), "instances": (100, px)},
           input_size=(arg.res, arg.res),
           patch_size=(arg.patch_size, arg.patch_size),
           **VQVAE_BASE),
@@ -78,7 +80,11 @@ def get_config(arg=None):
     config.evals[name] = dict(
         type="proj.uvim.coco_panoptic", pred="panoptic",
         data=dict(name="coco/2017_panoptic", split=split),
-        pp_fn=pp_eval.replace("decode|", ""), log_steps=10_000)
+        pp_fn=pp_eval.replace(
+            "keep('image', 'labels')",
+            "copy('labels', 'ground_truth')"
+            "|keep('image', 'labels', 'ground_truth')"),
+        log_steps=10_000)
 
   if arg.runlocal:
     config.input["batch_size"] = 16

@@ -27,10 +27,12 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
+  config.task = "colorization"
+  px = arg.patch_size ** 2
   config.oracle = dict(
       model_name="proj.uvim.vit",
       model=dict(
-          inputs={"color": (3,)}, outputs={"color": (3,)},
+          inputs={"color": (3, px)}, outputs={"color": (3, px)},
           input_size=(arg.res, arg.res),
           patch_size=(arg.patch_size, arg.patch_size),
           code_len=256, width=768, enc_depth=6, dec_depth=12,

@@ -18,9 +18,9 @@ def get_config(arg=None):
   config.input = dict(
       data=dict(name="nyu_depth_v2", split="train"),
       batch_size=512, shuffle_buffer_size=25_000,
-      pp=("decode|nyu_depth|randu('fliplr')|det_fliplr(key='image')|det_fliplr(key='labels')|inception_box|crop_box(key='image')|crop_box(key='labels')|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')" + "|bin_nyu_depth").format(res=arg.res),
+      pp=("decode|nyu_depth|randu('fliplr')|det_fliplr(key='image')|det_fliplr(key='labels')|inception_box|crop_box(key='image')|crop_box(key='labels')|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')").format(res=arg.res),
   )
-  pp_eval = ("decode|nyu_depth|nyu_eval_crop|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')" + "|bin_nyu_depth").format(res=arg.res)
+  pp_eval = ("decode|nyu_depth|nyu_eval_crop|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')").format(res=arg.res)
   config.pp_modules = ["ops_general", "ops_image",
                        "proj.uvim.pp_ops", "proj.givt.pp_ops"]
   config.total_epochs = 50
@@ -29,10 +29,12 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
+  config.task = "depth"
+  px = arg.patch_size ** 2
   config.oracle = dict(
       model_name="proj.uvim.vit",
       model=dict(
-          inputs={"depth": (256,)}, outputs={"depth": (256,)},
+          inputs={"depth": (256, px)}, outputs={"depth": (256, px)},
           input_size=(arg.res, arg.res),
           patch_size=(arg.patch_size, arg.patch_size),
           code_len=256, width=768, enc_depth=6, dec_depth=12,
@@ -65,7 +67,8 @@ def get_config(arg=None):
   config.evals.nyu_depth = dict(
       type="proj.uvim.nyu_depth", pred="depth",
       data=dict(name="nyu_depth_v2", split="validation"),
-      pp_fn=pp_eval, log_steps=10_000)
+      pp_fn=pp_eval + "|copy('labels', 'ground_truth')",
+      log_steps=10_000)
   if arg.runlocal:
     config.input["batch_size"] = 16
   return config

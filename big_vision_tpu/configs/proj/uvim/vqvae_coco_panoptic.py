@@ -28,12 +28,13 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
-  npatch = (arg.res // arg.patch_size) ** 2
+  config.task = "panoptic"
+  px = arg.patch_size ** 2
   config.model_name = "proj.uvim.vit"
   config.model = dict(
-      inputs={"semantics": (133 + 1,),  # +1 for void
-               "instances": (100,)},    # COCO: <=98 per image
-      outputs={"semantics": (133 + 1,), "instances": (100,)},
+      inputs={"semantics": (133 + 1, px),  # +1 for void
+              "instances": (100, px)},     # COCO: <=98 per image
+      outputs={"semantics": (133 + 1, px), "instances": (100, px)},
       input_size=(arg.res, arg.res),
       patch_size=(arg.patch_size, arg.patch_size),
       code_len=256, width=768, enc_depth=6, dec_depth=12,
@@ -42,10 +43,6 @@ def get_config(arg=None):
       with_encoder_ctx=True, with_decoder_ctx=True,
       code_dropout="random", bottleneck_resize=True)
   config.with_ctx = True
-  config.init_inputs = dict(semantics=(1, npatch, 134),
-                            instances=(1, npatch, 100))
-  config.init_ctx = (1, arg.res, arg.res, 3)
-  config.task_losses = dict(semantics="xent", instances="xent")
   config.freeze_dict = False
   config.w_commitment = 0.0
 
@@ -66,7 +63,11 @@ def get_config(arg=None):
     config.evals[name] = dict(
         type="proj.uvim.coco_panoptic", pred="panoptic",
         data=dict(name="coco/2017_panoptic", split=split),
-        pp_fn=pp_eval.replace("decode|", ""), log_steps=10_000)
+        pp_fn=pp_eval.replace(
+            "keep('image', 'labels')",
+            "copy('labels', 'ground_truth')"
+            "|keep('image', 'labels', 'ground_truth')"),
+        log_steps=10_000)
 
   if arg.singlehost:
     config.input["batch_size"] = 128

@@ -26,10 +26,11 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
-  npatch = (arg.res // arg.patch_size) ** 2
+  config.task = "colorization"
+  px = arg.patch_size ** 2
   config.model_name = "proj.uvim.vit"
   config.model = dict(
-      inputs={"color": (3,)}, outputs={"color": (3,)},
+      inputs={"color": (3, px)}, outputs={"color": (3, px)},
       input_size=(arg.res, arg.res),
       patch_size=(arg.patch_size, arg.patch_size),
       code_len=256, width=768, enc_depth=6, dec_depth=12,
@@ -38,9 +39,6 @@ def get_config(arg=None):
       with_encoder_ctx=True, with_decoder_ctx=True,
       code_dropout="random", bottleneck_resize=True)
   config.with_ctx = True
-  config.init_inputs = dict(color=(1, npatch, 3))
-  config.init_ctx = (1, arg.res, arg.res, 3)
-  config.task_losses = dict(color="l2")
 
   config.optax_name = "big_vision.scale_by_adafactor"
   config.optax = dict(beta2_cap=0.95)

@@ -19,9 +19,9 @@ def get_config(arg=None):
   config.input = dict(
       data=dict(name="nyu_depth_v2", split="train"),
       batch_size=1024, shuffle_buffer_size=25_000,
-      pp=("decode|nyu_depth|randu('fliplr')|det_fliplr(key='image')|det_fliplr(key='labels')|inception_box|crop_box(key='image')|crop_box(key='labels')|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')" + "|bin_nyu_depth").format(res=arg.res),
+      pp=("decode|nyu_depth|randu('fliplr')|det_fliplr(key='image')|det_fliplr(key='labels')|inception_box|crop_box(key='image')|crop_box(key='labels')|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')").format(res=arg.res),
   )
-  pp_eval = ("decode|nyu_depth|nyu_eval_crop|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')" + "|bin_nyu_depth").format(res=arg.res)
+  pp_eval = ("decode|nyu_depth|nyu_eval_crop|resize({res})|resize({res}, key='labels', method='nearest')|value_range(-1, 1)|keep('image', 'labels')").format(res=arg.res)
   config.pp_modules = ["ops_general", "ops_image",
                        "proj.uvim.pp_ops", "proj.givt.pp_ops"]
   config.total_epochs = 200
@@ -29,10 +29,11 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
-  npatch = (arg.res // arg.patch_size) ** 2
+  config.task = "depth"
+  px = arg.patch_size ** 2
   config.model_name = "proj.uvim.vit"
   config.model = dict(
-      inputs={"depth": (256,)}, outputs={"depth": (256,)},
+      inputs={"depth": (256, px)}, outputs={"depth": (256, px)},
       input_size=(arg.res, arg.res),
       patch_size=(arg.patch_size, arg.patch_size),
       code_len=256, width=768, enc_depth=6, dec_depth=12,
@@ -41,9 +42,6 @@ def get_config(arg=None):
       with_encoder_ctx=True, with_decoder_ctx=True,
       code_dropout="random", bottleneck_resize=True)
   config.with_ctx = True
-  config.init_inputs = dict(depth=(1, npatch, 256))
-  config.init_ctx = (1, arg.res, arg.res, 3)
-  config.task_losses = dict(depth="xent")
 
   config.optax_name = "big_vision.scale_by_adafactor"
   config.optax = dict(beta2_cap=0.95)
@@ -60,7 +58,8 @@ def get_config(arg=None):
   config.evals.nyu_depth = dict(
       type="proj.uvim.nyu_depth", pred="depth",
       data=dict(name="nyu_depth_v2", split="validation"),
-      pp_fn=pp_eval, log_steps=10_000)
+      pp_fn=pp_eval + "|copy('labels', 'ground_truth')",
+      log_steps=10_000)
   if arg.runlocal:
     config.input["batch_size"] = 16
   return config

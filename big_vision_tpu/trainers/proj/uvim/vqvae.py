@@ -90,14 +90,40 @@ def _main(argv=None, *, config=None, workdir=None):
   task_losses = dict(config.get(
       "task_losses", {k: "xent" for k in input_keys}))
 
+  # Optional task adapter (panoptic/depth/colorization): batches then carry
+  # the raw map under "labels" and the adapter builds the per-patch one-hot
+  # model inputs + losses + output predictions (ref uvim/train.py:65).
+  task = None
+  if config.get("task"):
+    task = importlib.import_module(
+        f"big_vision_tpu.trainers.proj.uvim.{config.task}_task")
+
+  def batch_to_inputs(batch):
+    if task is not None:
+      t = task.input_pp(batch, config)
+      ctx = t["ctx"] if config.get("with_ctx") else None
+      return t["x"], ctx
+    inputs = {k: batch[k] for k in input_keys}
+    ctx = batch.get("image") if config.get("with_ctx") else None
+    return inputs, ctx
+
   def init(rng):
     rngs = {"params": rng, "state": jax.random.fold_in(rng, 1),
             "vqvae": jax.random.fold_in(rng, 2),
             "dropout": jax.random.fold_in(rng, 3)}
-    dummy = {k: jnp.zeros(shape, jnp.float32)
-             for k, shape in config.init_inputs.items()}
-    ctx = (jnp.zeros(config.init_ctx, jnp.float32)
-           if config.get("init_ctx") else None)
+    if task is not None:
+      hp, wp = config.model.patch_size
+      npatch = int(np.prod(np.array(config.model.input_size)
+                           // np.array((hp, wp))))
+      dummy = {k: jnp.zeros((1, npatch, *shape), jnp.float32)
+               for k, shape in dict(config.model)["inputs"].items()}
+      ctx = (jnp.zeros((1, *config.model.input_size, 3), jnp.float32)
+             if config.get("with_ctx") else None)
+    else:
+      dummy = {k: jnp.zeros(shape, jnp.float32)
+               for k, shape in config.init_inputs.items()}
+      ctx = (jnp.zeros(config.init_ctx, jnp.float32)
+             if config.get("init_ctx") else None)
     variables = model.init(rngs, dummy, ctx=ctx)
     return variables["params"], variables["state"]
 
@@ -138,17 +164,21 @@ def _main(argv=None, *, config=None, workdir=None):
         rng, bv_optim.get_count(train_state["opt"], jittable=True))
     rngs = {"dropout": step_rng,
             "vqvae": jax.random.fold_in(step_rng, 1)}
-    inputs = {k: batch[k] for k in input_keys}
-    ctx = batch.get("image") if config.get("with_ctx") else None
+    inputs, ctx = batch_to_inputs(batch)
 
     def loss_fn(params, state):
       (logits, out), new_state = model.apply(
           {"params": params, "state": state}, inputs, ctx=ctx,
           train=True, rngs=rngs, mutable=["state"])
-      losses = {f"loss_{k}": task_loss_fn(task_losses[k], logits[k],
-                                          inputs[k])
-                for k in logits}
-      total = sum(losses.values())
+      if task is not None:
+        total, losses = task.loss_fn(logits, batch, config)
+        total = jnp.mean(total)
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+      else:
+        losses = {f"loss_{k}": task_loss_fn(task_losses[k], logits[k],
+                                            inputs[k])
+                  for k in logits}
+        total = sum(losses.values())
       extras = {**losses,
                 "codebook_zeros_ratio": out["codebook_zeros_ratio"],
                 "codebook_max_ratio": out["codebook_max_ratio"]}
@@ -181,8 +211,7 @@ def _main(argv=None, *, config=None, workdir=None):
     chrono.inform(first_step=first_step)
 
   def reconstruct_fn(train_state, batch):
-    inputs = {k: batch[k] for k in input_keys}
-    ctx = batch.get("image") if config.get("with_ctx") else None
+    inputs, ctx = batch_to_inputs(batch)
     (logits, _) = model.apply(
         {"params": train_state["params"], "state": train_state["state"]},
         inputs, ctx=ctx)
@@ -199,6 +228,32 @@ def _main(argv=None, *, config=None, workdir=None):
     return per_ex
 
   predict_fns = {"reconstruct": reconstruct_fn}
+
+  if task is not None:
+    def validation_fn(train_state, batch):
+      """Per-example task loss (for the compute_mean evaluator)."""
+      inputs, ctx = batch_to_inputs(batch)
+      logits, _ = model.apply(
+          {"params": train_state["params"],
+           "state": train_state["state"]}, inputs, ctx=ctx)
+      total, _ = task.loss_fn(logits, batch, config)
+      return {"loss": jnp.mean(total.reshape(total.shape[0], -1), -1)}
+
+    def task_output_fn(train_state, batch, **kw):
+      """Reconstruction rendered as the task output (panoptic map, depth
+      or color image), for the task evaluators."""
+      inputs, ctx = batch_to_inputs(batch)
+      logits, _ = model.apply(
+          {"params": train_state["params"],
+           "state": train_state["state"]}, inputs, ctx=ctx)
+      out = task.predict_outputs(logits, config, **kw)
+      if config.task == "panoptic":  # [B,H,W,2] -> evaluator dict
+        return {"semantics": out[..., 0], "instances": out[..., 1]}
+      return out
+
+    predict_fns["validation"] = validation_fn
+    predict_fns[{"panoptic": "panoptic", "depth": "depth",
+                 "colorization": "color"}[config.task]] = task_output_fn
 
   @functools.cache
   def evaluators():
