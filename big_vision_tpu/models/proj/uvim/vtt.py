@@ -107,8 +107,9 @@ class Model(nn.Module):
   def setup(self):
     try:
       patch_size = self.patches["size"]  # dict / FrozenDict / ConfigDict
-    except (TypeError, KeyError):
-      patch_size = self.patches.size
+    except (TypeError, KeyError, IndexError):
+      patch_size = (self.patches if isinstance(self.patches, (tuple, list))
+                    else self.patches.size)  # plain tuple or dataclass
     patch_size = ((patch_size, patch_size)
                   if isinstance(patch_size, int) else tuple(patch_size))
     self._patch_size = patch_size

@@ -84,13 +84,45 @@ def _main(argv=None, *, config=None, workdir=None):
   oracle = oracle_mod.Model(**oracle_cfg["model"])
   oracle_keys = list(dict(oracle_cfg["model"])["inputs"].keys())
 
+  # Optional task adapter (same contract as the stage-I trainer).
+  task = None
+  if config.get("task"):
+    task = importlib.import_module(
+        f"big_vision_tpu.trainers.proj.uvim.{config.task}_task")
+
+  class _OracleCfgView:
+    """Task adapters read cfg.model.* / cfg.min_depth; map to oracle."""
+    def __init__(self):
+      self.model = config.oracle.model
+      self.min_depth = config.get("min_depth", 0.001)
+      self.max_depth = config.get("max_depth", 10.0)
+  task_cfg = _OracleCfgView()
+
+  def oracle_inputs_ctx(batch):
+    if task is not None:
+      t = task.input_pp(batch, task_cfg)
+      ctx = t["ctx"] if oracle_cfg.get("with_ctx", True) else None
+      return t["x"], ctx
+    inputs = {k: batch[k] for k in oracle_keys}
+    ctx = batch.get("image") if oracle_cfg.get("with_ctx") else None
+    return inputs, ctx
+
   def oracle_init(rng):
     rngs = {"params": rng, "state": jax.random.fold_in(rng, 1),
             "vqvae": jax.random.fold_in(rng, 2)}
-    dummy = {k: jnp.zeros(s, jnp.float32)
-             for k, s in oracle_cfg["init_inputs"].items()}
-    ctx = (jnp.zeros(oracle_cfg["init_ctx"], jnp.float32)
-           if oracle_cfg.get("init_ctx") else None)
+    if task is not None:
+      om = dict(config.oracle.model)
+      hp, wp = om["patch_size"]
+      npatch = int(np.prod(np.array(om["input_size"])
+                           // np.array((hp, wp))))
+      dummy = {k: jnp.zeros((1, npatch, *shape), jnp.float32)
+               for k, shape in dict(om["inputs"]).items()}
+      ctx = jnp.zeros((1, *om["input_size"], 3), jnp.float32)
+    else:
+      dummy = {k: jnp.zeros(s, jnp.float32)
+               for k, s in oracle_cfg["init_inputs"].items()}
+      ctx = (jnp.zeros(oracle_cfg["init_ctx"], jnp.float32)
+             if oracle_cfg.get("init_ctx") else None)
     variables = oracle.init(rngs, dummy, ctx=ctx)
     return variables["params"], variables["state"]
 
@@ -144,8 +176,7 @@ def _main(argv=None, *, config=None, workdir=None):
 
   def get_codes(batch):
     """Oracle encodes task outputs into discrete codes (+1: 0 is BOS)."""
-    inputs = {k: batch[k] for k in oracle_keys}
-    ctx = batch.get("image") if oracle_cfg.get("with_ctx") else None
+    inputs, ctx = oracle_inputs_ctx(batch)
     _, out = oracle.apply({"params": o_params, "state": o_state},
                           inputs, ctx=ctx, method=oracle.encode,
                           update_dict=False)
@@ -207,7 +238,42 @@ def _main(argv=None, *, config=None, workdir=None):
         reduction=False, normalize=True)
     return {"perplexity": nll}
 
-  predict_fns = {"perplexity": perplexity_fn}
+  def validation_fn(train_state, batch):
+    return {"loss": perplexity_fn(train_state, batch)["perplexity"]}
+
+  predict_fns = {"perplexity": perplexity_fn,
+                 "validation": validation_fn}
+
+  if task is not None:
+    from big_vision_tpu.models.proj.uvim import decode as uvim_decode
+
+    def task_output_fn(train_state, batch, *, temperature=None, **kw):
+      """Sample codes AR, oracle-decode them, render the task output."""
+      code_len = config.model["seq_len"]
+      bs = batch["image"].shape[0]
+      prompts = jnp.zeros((bs, code_len), jnp.int32)
+      t = (temperature if temperature is not None
+           else config.get("sample_temperature", 0.0))
+      kw_t = dict(temperature=t) if t > 0 else {}
+      sample = (uvim_decode.temperature_sampling if t > 0
+                else uvim_decode.argmax_sampling)
+      seqs, _, _ = sample(
+          {"params": train_state["params"]}, batch["image"], prompts,
+          jax.random.PRNGKey(0), model=model, num_samples=1,
+          eos_token=-1, **kw_t)
+      codes = jnp.clip(seqs[:, -1] - 1, 0, None)  # Best sample; undo +1.
+      ctx = batch.get("image") if oracle_cfg.get("with_ctx", True) \
+          else None
+      logits, _ = oracle.apply({"params": o_params, "state": o_state},
+                               codes, ctx=ctx, discrete_input=True,
+                               method=oracle.decode)
+      out = task.predict_outputs(logits, task_cfg, **kw)
+      if config.task == "panoptic":
+        return {"semantics": out[..., 0], "instances": out[..., 1]}
+      return out
+
+    predict_fns[{"panoptic": "panoptic", "depth": "depth",
+                 "colorization": "color"}[config.task]] = task_output_fn
 
   @functools.cache
   def evaluators():

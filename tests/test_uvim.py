@@ -187,3 +187,72 @@ def test_vqvae_trainer_task_mode_panoptic(tmp_path):
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "val/loss" in metrics
   assert '"pq/PQ"' in metrics or "pq/PQ" in metrics
+
+
+def test_stage2_trainer_task_mode_panoptic(tmp_path):
+  """Stage-II in task mode: oracle-encoded codes, sampled PQ eval."""
+  import ml_collections as mlc
+  import numpy as np
+  from big_vision_tpu.trainers.proj.uvim import train as uvim_train
+
+  rs = np.random.RandomState(0)
+  n, res, patch = 16, 16, 4
+  images = [rs.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+            for _ in range(n)]
+  labels = []
+  for _ in range(n):
+    lab = np.zeros((res, res, 2), np.int32)
+    lab[:, :8] = [1, 1]
+    lab[:, 8:] = [2, 2]
+    labels.append(lab)
+
+  px = patch * patch
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.task = "panoptic"
+  config.input = dict(
+      data=dict(name="arrays", data={"image": images, "labels": labels}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+  config.init_shapes = [(1, res, res, 3), (1, 4)]
+
+  config.oracle = mlc.ConfigDict()
+  config.oracle.model_name = "proj.uvim.vit"
+  config.oracle.model = mlc.ConfigDict(dict(
+      inputs={"semantics": (4, px), "instances": (4, px)},
+      outputs={"semantics": (4, px), "instances": (4, px)},
+      input_size=(res, res), patch_size=(patch, patch),
+      code_len=4, width=32, enc_depth=1, dec_depth=1, num_heads=2,
+      dict_size=16, with_encoder_ctx=True, with_decoder_ctx=True))
+  config.oracle.with_ctx = True
+
+  config.model_name = "proj.uvim.vtt"
+  config.model = dict(
+      patches=(patch, patch), input_size=(res, res), seq_len=4,
+      vocab_size=16 + 1, num_layers=1, num_heads=2, mlp_dim=32,
+      emb_dim=32)
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="proj.uvim.compute_mean", pred="validation",
+      data=dict(name="arrays", data={"image": images, "labels": labels}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.pq = dict(
+      type="proj.uvim.coco_panoptic", pred="panoptic",
+      data=dict(name="arrays",
+                data={"image": images, "labels": labels,
+                      "ground_truth": labels}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = uvim_train.main(config=config,
+                                workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "val/loss" in metrics and "pq/PQ" in metrics
