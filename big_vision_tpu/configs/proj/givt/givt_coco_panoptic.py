@@ -33,8 +33,10 @@ def get_config(arg=None):
   config.log_training_steps = 50
   config.ckpt_steps = 1000
 
+  config.cond_image = "image"
   config.vae = dict(
       model_name="proj.givt.vit",
+      inkey="labels",
       model=dict(
           input_size=(arg.res, arg.res),
           patch_size=(arg.patch_size, arg.patch_size),
@@ -48,9 +50,13 @@ def get_config(arg=None):
 
   config.model_name = "proj.givt.givt"
   config.model = dict(
+      num_layers=6,  # image encoder (cross-attended by the decoder)
       num_decoder_layers=24, num_heads=16, mlp_dim=4096, emb_dim=1024,
+      patches=(arg.patch_size, arg.patch_size),
+      input_size=(arg.res, arg.res),
       seq_len=256, out_dim=16, num_mixtures=1, style="ar",
       num_labels=None)
+  config.ar_generation_config = dict(temp=0.9, temp_probs=1.0)
 
   config.optax_name = "scale_by_adam"
   config.lr = 1e-3

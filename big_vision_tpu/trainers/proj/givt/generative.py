@@ -92,12 +92,21 @@ def _main(argv=None, *, config=None, workdir=None):
       f"big_vision_tpu.models.{config.get('model_name', 'proj.givt.givt')}")
   model = model_mod.Model(**config.get("model", {}))
 
+  # UViM-style GIVT: the VAE tokenizes the task output (config.vae.inkey,
+  # e.g. "labels" depth/panoptic maps) while the transformer conditions on
+  # the RGB image through its encoder (config.cond_image).
+  vae_inkey = dict(config.vae).get("inkey", "image")
+  cond_image = config.get("cond_image")  # e.g. "image" for UViM tasks
+
   def init(rng):
     seq = jnp.zeros((1, model.seq_len, model.out_dim), jnp.float32)
     labels = jnp.zeros((1,), jnp.int32) if model.num_labels else None
     mask = (jnp.zeros((1, model.seq_len), bool)
             if model.style == "masked" else None)
-    return model.init(rng, seq, labels, input_mask=mask)["params"]
+    image = (jnp.zeros((1, *model.input_size, 3), jnp.float32)
+             if cond_image is not None else None)
+    return model.init(rng, seq, labels, image=image,
+                      input_mask=mask)["params"]
 
   rng, rng_init = jax.random.split(rng)
   with nn.logical_axis_rules(sharding_rules):
@@ -127,7 +136,7 @@ def _main(argv=None, *, config=None, workdir=None):
     rng_loop = u.reshard(rng_loop, repl_sharding)
 
   def latents_of(batch, rng):
-    mu, logvar = vae.apply({"params": vae_params}, batch["image"],
+    mu, logvar = vae.apply({"params": vae_params}, batch[vae_inkey],
                            method=vae.encode)
     return vae.apply({"params": vae_params}, mu, logvar, rng,
                      method=vae.reparametrize)
@@ -145,10 +154,17 @@ def _main(argv=None, *, config=None, workdir=None):
     drop_labels = model.get_drop_labels(r_drop, z.shape[0])
 
     def loss_fn(params):
-      logits = model.apply(
-          {"params": params}, z, labels=labels, input_mask=input_mask,
-          drop_labels=drop_labels, train=True,
-          rngs={"dropout": r_train}, method=model.decode)
+      if cond_image is not None:
+        (logits, _) = model.apply(
+            {"params": params}, z, labels=labels,
+            image=batch[cond_image], input_mask=input_mask,
+            drop_labels=drop_labels, train=True,
+            rngs={"dropout": r_train})
+      else:
+        logits = model.apply(
+            {"params": params}, z, labels=labels, input_mask=input_mask,
+            drop_labels=drop_labels, train=True,
+            rngs={"dropout": r_train}, method=model.decode)
       pdf = model.apply({"params": params}, logits, method=model.get_pdf)
       nll = -pdf.log_prob(z)
       if nll.ndim == 3:  # per-channel: [B, L, D]
@@ -194,9 +210,14 @@ def _main(argv=None, *, config=None, workdir=None):
     z = latents_of(batch, jax.random.PRNGKey(0))
     labels = batch.get("label") if model.num_labels else None
     input_mask = model.get_input_mask_teacher_forced(z.shape[:2])
-    logits = model.apply({"params": train_state["params"]}, z,
-                         labels=labels, input_mask=input_mask,
-                         method=model.decode)
+    if cond_image is not None:
+      (logits, _) = model.apply({"params": train_state["params"]}, z,
+                                labels=labels, image=batch[cond_image],
+                                input_mask=input_mask)
+    else:
+      logits = model.apply({"params": train_state["params"]}, z,
+                           labels=labels, input_mask=input_mask,
+                           method=model.decode)
     pdf = model.apply({"params": train_state["params"]}, logits,
                       method=model.get_pdf)
     nll = -pdf.log_prob(z)
@@ -204,7 +225,41 @@ def _main(argv=None, *, config=None, workdir=None):
       nll = nll.sum(-1)
     return {"nll": nll.mean(axis=-1)}
 
-  predict_fns = {"nll": nll_fn}
+  predict_fns = {"nll": nll_fn, "validation": nll_fn}
+
+  if cond_image is not None:
+    from big_vision_tpu.models.proj.givt import decode as givt_decode
+
+    def task_output_fn(train_state, batch, **kw):
+      """Sample latents conditioned on the image, VAE-decode to the task
+      output (UViM-with-GIVT inference, ref givt/generative.py)."""
+      del kw
+      gen = dict(config.get("ar_generation_config", {}))
+      encoded = model.apply({"params": train_state["params"]},
+                            batch[cond_image], method=model.encode)
+      z = givt_decode.generate(
+          {"params": train_state["params"]}, model,
+          jax.random.PRNGKey(0), batch_size=batch[cond_image].shape[0],
+          encoded=encoded,
+          temperature_scales=gen.get("temp"),
+          temperature_probs=gen.get("temp_probs"),
+          cfg_weight=gen.get("cfg_inference_weight", 0.0))
+      raw = vae.apply({"params": vae_params}, z, method=vae.decode)
+      if not isinstance(raw, dict):
+        return {"image": raw}
+      # inout_specs: categorical logits per task key.
+      out = {k: jnp.argmax(v, axis=-1) for k, v in raw.items()}
+      if "depth" in raw and config.get("max_depth"):
+        from big_vision_tpu.trainers.proj.givt import utils as gutils
+        nbins = dict(config.vae.model)["inout_specs"]["depth"][1]
+        out["depth"] = gutils.unbin_depth(
+            raw["depth"], min_depth=config.min_depth,
+            max_depth=config.max_depth, num_bins=nbins)
+      return out
+
+    predict_fns["task"] = task_output_fn
+    predict_fns["depth"] = task_output_fn
+    predict_fns["panoptic"] = task_output_fn
 
   @functools.cache
   def evaluators():

@@ -133,3 +133,70 @@ def test_vae_roundtrip_shapes():
   kl = vae.kl_divergence(out["mu"], out["logvar"])
   assert kl.shape == (2,)
   assert np.all(np.asarray(kl) >= -1e-4)
+
+
+def test_givt_uvim_task_trainer_e2e(tmp_path):
+  """Conditioned GIVT (UViM-style): VAE on labels, encoder on image,
+  sampled depth output through the depth evaluator."""
+  import ml_collections as mlc
+  import numpy as np
+  from big_vision_tpu.trainers.proj.givt import generative
+
+  rs = np.random.RandomState(0)
+  n, res, patch = 16, 16, 8
+  images = [rs.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+            for _ in range(n)]
+  labels = [rs.uniform(1.0, 9.0, (res, res, 1)).astype(np.float32)
+            for _ in range(n)]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.min_depth = 0.001
+  config.max_depth = 10.0
+  config.cond_image = "image"
+  config.input = dict(
+      data=dict(name="arrays", data={"image": images, "labels": labels}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.vae = mlc.ConfigDict()
+  config.vae.model_name = "proj.givt.vit"
+  config.vae.inkey = "labels"
+  config.vae.model = mlc.ConfigDict(dict(
+      input_size=(res, res), patch_size=(patch, patch),
+      code_len=4, codeword_dim=8, width=32, enc_depth=1, dec_depth=1,
+      num_heads=2, bottleneck_resize=True,
+      inout_specs={"depth": (0, 16)}))
+  config.vae.init_shapes = [(1, res, res, 1)]
+
+  config.model_name = "proj.givt.givt"
+  config.model = dict(
+      num_layers=1, num_decoder_layers=1, num_heads=2, mlp_dim=32,
+      emb_dim=16, patches=(patch, patch), input_size=(res, res),
+      num_labels=None, seq_len=4, out_dim=8, num_mixtures=2, style="ar")
+  config.ar_generation_config = dict(temp=0.9, temp_probs=1.0)
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="mean", pred="validation",
+      data=dict(name="arrays", data={"image": images, "labels": labels}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.depth = dict(
+      type="proj.givt.nyu_depth", pred="depth",
+      data=dict(name="arrays",
+                data={"image": images, "labels": labels,
+                      "ground_truth": labels}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = generative.main(config=config,
+                                workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "val/nll" in metrics and "depth/RMSE" in metrics
