@@ -20,12 +20,14 @@ def get_config(arg=None):
       data=dict(name="coco_captions", split="train"),
       batch_size=4000 if not arg.runlocal else 32,
       shuffle_buffer_size=250_000 if not arg.runlocal else 50,
+      # The rendered-text image rides in "labels": the siglip trainer's
+      # contract is model(batch["image"], batch["labels"]), which for the
+      # one-tower model is (image, rendered_text_image).
       pp=(f"decode|resize({arg.res})|flip_lr|value_range(-1, 1)"
           "|flatten|choice(inkey='captions/text', outkey='texts')"
-          f"|render_unifont({arg.res})"
-          "|value_range(-1, 1, inkey='image_text',"
-          " outkey='image_text')"
-          "|keep('image', 'image_text')"),
+          f"|render_unifont({arg.res}, outkey='labels')"
+          "|value_range(-1, 1, inkey='labels', outkey='labels')"
+          "|keep('image', 'labels')"),
   )
   config.total_steps = 400 if not arg.runlocal else 10
   config.pp_modules = ["ops_general", "ops_image", "ops_text",
@@ -59,8 +61,7 @@ def get_config(arg=None):
       data=dict(name="coco_captions", split="val"),
       log_steps=1000,
       pp_img=f"resize({arg.res})|value_range(-1, 1)",
-      pp_txt=(f"render_unifont({arg.res})"
-              "|value_range(-1, 1, inkey='image_text',"
-              " outkey='image')"),
+      pp_txt=(f"render_unifont({arg.res}, outkey='labels')"
+              "|value_range(-1, 1, inkey='labels', outkey='labels')"),
       txt_name=("captions", "text"))
   return config

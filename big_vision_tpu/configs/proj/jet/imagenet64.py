@@ -46,7 +46,7 @@ def get_config(arg=None):
 
   config.evals = {}
   config.evals.val = dict(
-      type="mean", pred="loss",
+      type="mean", pred="bits_per_dim",
       data=dict(name="downsampled_imagenet/64x64",
                 split="validation"),
       pp_fn=config.input["pp"], log_steps=1000)
