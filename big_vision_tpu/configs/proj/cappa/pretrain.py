@@ -40,7 +40,9 @@ def get_config(arg=None):
   config.model = dict(
       num_layers=12, num_heads=12, mlp_dim=3072, emb_dim=768,
       vocab_size=32_000, patches=(16, 16), seq_len=text_len,
-      posemb_type="learn", decoder_num_layers=6,
+      input_seq_len=(res // 16) ** 2, posemb_type="learn",
+      decoder_num_layers=6, decoder_num_heads=12, decoder_mlp_dim=3072,
+      decoder_emb_dim=768,
       # 75% of the batch is trained with parallel prediction.
       masked_pred_prob=0.75, masking_ratio=1.0)
 

@@ -58,7 +58,7 @@ def get_config(arg=None):
       num_labels=1000,
       style=arg.style,
       drop_labels_probability=0.1,
-      dropout_rate={"base": 0.1, "default": 0.2,
+      dec_dropout_rate={"base": 0.1, "default": 0.2,
                     "large": 0.3}[arg.model_size])
 
   # Sampling settings (used by generation evals / inference).
