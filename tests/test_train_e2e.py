@@ -65,3 +65,30 @@ def test_graft_entry_multichip_dryrun(tmp_path):
       cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
   assert r.returncode == 0, r.stderr[-3000:]
   assert "OK" in r.stdout
+
+
+@pytest.mark.slow
+def test_eval_only_tool(tmp_path):
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  r = subprocess.run(
+      [sys.executable, "-m", "big_vision_tpu.tools.eval_only",
+       "--config", "big_vision_tpu/configs/load_and_eval.py:name=smoke",
+       "--workdir", str(tmp_path / "wd")],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+  assert r.returncode == 0, r.stderr[-3000:]
+  out = r.stderr + r.stdout
+  assert "val/prec@1" in out
+
+
+@pytest.mark.slow
+def test_cappa_trainer_e2e(tmp_path):
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  r = subprocess.run(
+      [sys.executable, "-m",
+       "big_vision_tpu.trainers.proj.cappa.generative",
+       "--config", "big_vision_tpu/configs/proj/cappa/smoke.py",
+       "--workdir", str(tmp_path / "wd")],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+  assert r.returncode == 0, r.stderr[-3000:]
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "training_loss" in metrics
