@@ -49,19 +49,25 @@ def _pos_emb_resize(pos_emb, shapes, coords, l):
 
 class Encoder1DBlock(nn.Module):
   """ViT block with an attention mask (padding tokens can't attend)."""
+  attn_impl: str = "xla"
   mlp_dim: Optional[int] = None
   num_heads: int = 12
   dropout: float = 0.0
   dtype_mm: str = "float32"
 
   @nn.compact
-  def __call__(self, x, mask=None, deterministic=True):
+  def __call__(self, x, mask=None, deterministic=True, seg=None):
     out = {}
     y = nn.LayerNorm()(x)
+    use_seg = self.attn_impl == "flash" and seg is not None
     y = out["sa"] = vit.MultiHeadAttention(
-        num_heads=self.num_heads, dtype_mm=self.dtype_mm, attn_impl="xla",
+        num_heads=self.num_heads, dtype_mm=self.dtype_mm,
+        attn_impl=self.attn_impl,
         name="MultiHeadDotProductAttention_0")(
-            y, y, mask=mask[..., None, :, :] if mask is not None else None)
+            y, y,
+            mask=(None if use_seg else
+                  mask[..., None, :, :] if mask is not None else None),
+            seg=seg if use_seg else None)
     y = nn.Dropout(rate=self.dropout)(y, deterministic)
     x = out["+sa"] = x + y
     y = nn.LayerNorm()(x)
@@ -81,12 +87,14 @@ class Encoder(nn.Module):
   scan: bool = False
   remat_policy: str = "nothing_saveable"
   dtype_mm: str = "float32"
+  attn_impl: str = "xla"
 
   @nn.compact
-  def __call__(self, x, mask=None, deterministic=True):
+  def __call__(self, x, mask=None, deterministic=True, seg=None):
     out = {}
     block_kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
-                    dropout=self.dropout, dtype_mm=self.dtype_mm)
+                    dropout=self.dropout, dtype_mm=self.dtype_mm,
+                    attn_impl=self.attn_impl)
     if self.scan:
       block = nn.remat(Encoder1DBlock, prevent_cse=False,
                        static_argnums=(3,),
@@ -96,14 +104,16 @@ class Encoder(nn.Module):
           block, variable_axes={"params": 0},
           split_rngs={"params": True, "dropout": True},
           in_axes=nn.broadcast, length=self.depth)(
-              name="encoderblock", **block_kw)(x, mask, deterministic)
+              name="encoderblock", **block_kw)(x, mask, deterministic,
+                                               seg)
       for lyr in range(self.depth):
         out[f"block{lyr:02d}"] = jax.tree.map(lambda o, l=lyr: o[l],
                                               scan_out)
     else:
       for lyr in range(self.depth):
         x, out[f"block{lyr:02d}"] = Encoder1DBlock(
-            name=f"encoderblock_{lyr}", **block_kw)(x, mask, deterministic)
+            name=f"encoderblock_{lyr}", **block_kw)(x, mask,
+                                                    deterministic, seg)
       out["pre_ln"] = x
     return nn.LayerNorm(name="encoder_norm")(x), out
 
@@ -145,6 +155,7 @@ class _Model(nn.Module):
   nposemb: Optional[int] = None
   patchln_pre: bool = False
   patchln_post: bool = False
+  attn_impl: str = "xla"
 
   @nn.compact
   def __call__(self, image, *, train=False):
@@ -173,13 +184,21 @@ class _Model(nn.Module):
       raise ValueError(f"Unknown posemb {self.posemb!r}")
     out["with_posemb"] = x
 
-    sa_mask = ptype == 1
-    sa_mask = jnp.logical_and(sa_mask[..., :, None], sa_mask[..., None, :])
+    if self.attn_impl == "flash":
+      # Padding-only masking == segment ids 1 (valid) / 0 (pad): the
+      # fused kernel consumes this directly (no [T, T] bool mask).
+      sa_mask, seg = None, (ptype == 1).astype(jnp.int32)
+    else:
+      seg = None
+      sa_mask = ptype == 1
+      sa_mask = jnp.logical_and(sa_mask[..., :, None],
+                                sa_mask[..., None, :])
     x, out["encoder"] = Encoder(
         depth=self.depth, mlp_dim=self.mlp_dim, num_heads=self.num_heads,
         scan=self.scan, remat_policy=self.remat_policy,
-        dtype_mm=self.dtype_mm, name="Transformer")(
-            x, mask=sa_mask, deterministic=not train)
+        dtype_mm=self.dtype_mm, attn_impl=self.attn_impl,
+        name="Transformer")(
+            x, mask=sa_mask, deterministic=not train, seg=seg)
     out["encoded"] = x
 
     pool_mask = ptype == 1

@@ -66,7 +66,7 @@ class MultiHeadAttention(nn.Module):
   dropout: float = 0.0
 
   @nn.compact
-  def __call__(self, xq, xkv, mask=None, deterministic=True):
+  def __call__(self, xq, xkv, mask=None, deterministic=True, seg=None):
     d = xq.shape[-1]
     assert d % self.num_heads == 0, (d, self.num_heads)
     head_dim = d // self.num_heads
@@ -77,7 +77,7 @@ class MultiHeadAttention(nn.Module):
     k = proj("key")(xkv)
     v = proj("value")(xkv)
     out = attn_ops.dot_product_attention(q, k, v, mask=mask,
-                                         impl=self.attn_impl)
+                                         impl=self.attn_impl, seg=seg)
     out = nn.DenseGeneral(
         d, axis=(-2, -1), dtype=self.dtype_mm,
         kernel_init=nn.initializers.xavier_uniform(), name="out")(out)

@@ -44,11 +44,23 @@ def _flash_available(q, mask):
   return t >= 1024 and flash_attention.supports(t, d)
 
 
-def dot_product_attention(q, k, v, mask=None, impl="auto"):
+def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
   """Multi-head attention core; shapes [B, T, H, D] (q may have Tq != Tkv).
 
-  `mask` is broadcastable to [B, H, Tq, Tkv], True = attend.
+  `mask` is broadcastable to [B, H, Tq, Tkv], True = attend. `seg` is an
+  alternative [B, T] int32 encoding (0 = padding; j attendable from i iff
+  0 < seg[j] <= seg[i]) that the fused flash kernel consumes directly;
+  pass one or the other, not both.
   """
+  if seg is not None:
+    assert mask is None, "pass mask or seg, not both"
+    if impl == "flash":
+      from big_vision_tpu.ops import flash_attention
+      return flash_attention.flash_attention(q, k, v, seg=seg)
+    # xla path: expand seg to the boolean mask it encodes.
+    mask = ((seg[:, None, None, :] > 0)
+            & (seg[:, None, None, :] <= seg[:, None, :, None]))
+    return _xla_attention(q, k, v, mask)
   if impl == "auto":
     impl = "flash" if _flash_available(q, mask) else "xla"
   if impl == "flash":

@@ -80,3 +80,23 @@ def test_clippo_one_tower():
   zimg2, _, _ = model.apply({"params": params}, txtimg, None)
   np.testing.assert_allclose(np.asarray(zimg2), np.asarray(ztxt),
                              atol=1e-6)
+
+
+def test_naflex_flash_matches_xla():
+  """Flash seg path (padding-only) == the bool-mask xla path."""
+  def build(attn_impl):
+    return naflex_vit.Model(num_classes=6, variant="mu", nposemb=4,
+                            posemb="learn_2d(8)", pool_type="gap",
+                            attn_impl=attn_impl)
+  m_x, m_f = build("xla"), build("flash")
+  n, d = 10, 8 * 8 * 3
+  rs = np.random.RandomState(0)
+  patches = jnp.asarray(rs.randn(2, n, d), jnp.float32)
+  ptype = jnp.asarray(np.array([[1] * 6 + [0] * 4, [1] * 10]), jnp.int32)
+  yidx = jnp.tile(jnp.arange(n)[None] // 5, (2, 1))
+  xidx = jnp.tile(jnp.arange(n)[None] % 5, (2, 1))
+  x = (patches, ptype, yidx, xidx)
+  params = m_x.init(jax.random.PRNGKey(0), x)["params"]
+  lx, _ = m_x.apply({"params": params}, x)
+  lf, _ = m_f.apply({"params": params}, x)
+  np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), atol=2e-5)
