@@ -184,7 +184,9 @@ class _Model(nn.Module):
       raise ValueError(f"Unknown posemb {self.posemb!r}")
     out["with_posemb"] = x
 
-    if self.attn_impl == "flash":
+    from big_vision_tpu.ops import flash_attention as _fa
+    if (self.attn_impl == "flash"
+        and patches.shape[1] <= _fa.MAX_ONESHOT):
       # Padding-only masking == segment ids 1 (valid) / 0 (pad): the
       # fused kernel consumes this directly (no [T, T] bool mask).
       sa_mask, seg = None, (ptype == 1).astype(jnp.int32)

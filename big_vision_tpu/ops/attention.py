@@ -64,6 +64,10 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
   if impl == "auto":
     impl = "flash" if _flash_available(q, mask) else "xla"
   if impl == "flash":
+    if mask is not None:
+      # Arbitrary boolean masks are not kernel-supported (use `seg` for
+      # padding/prefix-LM structure); never silently drop a mask.
+      return _xla_attention(q, k, v, mask)
     from big_vision_tpu.ops import flash_attention
     return flash_attention.flash_attention(q, k, v)
   assert impl == "xla", f"Unknown attention impl {impl!r}"

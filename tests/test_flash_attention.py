@@ -146,3 +146,18 @@ def test_oneshot_segment_causal_equivalence():
   want = fa.flash_attention(q, k, v, causal=True)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              atol=2e-5)
+
+
+def test_flash_impl_never_drops_bool_mask():
+  """impl='flash' with a bool mask must still mask (falls back to xla)."""
+  import numpy as np
+  from big_vision_tpu.ops import attention as attn_ops
+
+  rs = np.random.RandomState(0)
+  q, k, v = (jnp.asarray(rs.randn(1, 8, 2, 8), jnp.float32)
+             for _ in range(3))
+  mask = jnp.zeros((1, 1, 8, 8), bool).at[..., :4].set(True)
+  got = attn_ops.dot_product_attention(q, k, v, mask=mask, impl="flash")
+  want = attn_ops.dot_product_attention(q, k, v, mask=mask, impl="xla")
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-6)
