@@ -195,17 +195,13 @@ class Attention(nn.Module):
       k, v = _update_kv_cache(self, k, v, cache_size=attn_mask.shape[-1],
                               cache_dtype=self.cache_dtype)
 
-    from big_vision_tpu.ops import flash_attention as _fa_gate
     if (self.attn_impl == "flash" and not decode and seg is not None
-        and not self.attn_logits_softcap
-        and q.shape[1] <= _fa_gate.MAX_ONESHOT):
-      # (Longer sequences fall through to the XLA path below: the
-      # segment-masked kernel is one-shot only for now.)
+        and not self.attn_logits_softcap):
       # Fused one-shot flash path (training): `seg` encodes the same
       # prefix-LM mask as attn_mask (see ops/flash_attention.py). The
       # kernel applies 1/sqrt(head_dim); q is already pre-normalized, so
       # cancel the kernel's scale.
-      _fa = _fa_gate
+      from big_vision_tpu.ops import flash_attention as _fa
       if self.num_kv_heads != self.num_heads:
         rep = self.num_heads // self.num_kv_heads
         k = jnp.repeat(k, rep, axis=2)

@@ -58,8 +58,13 @@ def _bspec(block, idx):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv,
-                seq_q, seq_kv, causal, block_q):
+def _fwd_kernel(q_ref, k_ref, v_ref, *refs, scale, block_kv,
+                seq_q, seq_kv, causal, block_q, has_seg):
+  if has_seg:
+    seg_q_ref, seg_kv_ref, o_ref, lse_ref = refs
+    seg_q = seg_q_ref[0, 0][:, None]  # [bq, 1]
+  else:
+    o_ref, lse_ref = refs
   qi = pl.program_id(1)
   q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
   bq, d = q.shape
@@ -79,6 +84,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv,
     mask = (col_ids < seq_kv) & (row_ids < seq_q)
     if causal:
       mask &= col_ids <= row_ids
+    if has_seg:
+      seg_kv = seg_kv_ref[0, 0, pl.ds(j * block_kv, block_kv)][None, :]
+      mask &= (seg_kv > 0) & (seg_kv <= seg_q)
     s = jnp.where(mask, s, NEG_INF)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -98,14 +106,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_kv,
   lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _fwd(q, k, v, *, scale, causal, block_q, block_kv, seq_q, seq_kv):
-  """q,k,v: [BH, Tq_pad, D], [BH, Tkv_pad, D]; returns (o, lse)."""
+def _fwd(q, k, v, seg_q=None, seg_kv=None, *, scale, causal, block_q,
+         block_kv, seq_q, seq_kv):
+  """q,k,v: [BH, Tq_pad, D], [BH, Tkv_pad, D]; returns (o, lse).
+
+  seg_q/seg_kv: optional [BH, 1, T] segment ids (see _oneshot_softmax).
+  """
   bh, tq, d = q.shape
   tkv = k.shape[1]
   grid = (bh, tq // block_q)
+  has_seg = seg_q is not None
   kernel = functools.partial(
       _fwd_kernel, scale=scale, block_kv=block_kv, causal=causal,
-      seq_q=seq_q, seq_kv=seq_kv, block_q=block_q)
+      seq_q=seq_q, seq_kv=seq_kv, block_q=block_q, has_seg=has_seg)
+  seg_specs = ([
+      _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+      _bspec((1, 1, tkv), lambda b, i: (b, 0, 0)),
+  ] if has_seg else [])
+  args = (q, k, v) + ((seg_q, seg_kv) if has_seg else ())
   return pl.pallas_call(
       kernel,
       grid=grid,
@@ -113,6 +131,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_kv, seq_q, seq_kv):
           _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
           _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
           _bspec((1, tkv, d), lambda b, i: (b, 0, 0)),
+          *seg_specs,
       ],
       out_specs=[
           _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -125,7 +144,7 @@ def _fwd(q, k, v, *, scale, causal, block_q, block_kv, seq_q, seq_kv):
           jax.ShapeDtypeStruct((bh, 1, tq), jnp.float32),
       ],
       interpret=_interpret(),
-  )(q, k, v)
+  )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -336,8 +355,14 @@ _attend_oneshot.defvjp(_attend_oneshot_fwd, _attend_oneshot_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   scale, block_kv, seq_q, seq_kv, causal, block_q):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
+                   scale, block_kv, seq_q, seq_kv, causal, block_q,
+                   has_seg):
+  if has_seg:
+    seg_q_ref, seg_kv_ref, dq_ref = refs
+    seg_q = seg_q_ref[0, 0][:, None]
+  else:
+    (dq_ref,) = refs
   qi = pl.program_id(1)
   q = q_ref[0].astype(jnp.float32) * scale
   do = do_ref[0].astype(jnp.float32)
@@ -358,6 +383,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     mask = (col_ids < seq_kv) & (row_ids < seq_q)
     if causal:
       mask &= col_ids <= row_ids
+    if has_seg:
+      seg_kv = seg_kv_ref[0, 0, pl.ds(j * block_kv, block_kv)][None, :]
+      mask &= (seg_kv > 0) & (seg_kv <= seg_q)
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -370,8 +398,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, seq_q, seq_kv, causal,
-                    block_kv):
+                    *refs, scale, block_q, seq_q, seq_kv, causal,
+                    block_kv, has_seg):
+  if has_seg:
+    seg_q_ref, seg_kv_ref, dk_ref, dv_ref = refs
+    seg_kv = seg_kv_ref[0, 0][None, :]  # [1, bkv]
+  else:
+    dk_ref, dv_ref = refs
   ki = pl.program_id(1)
   k = k_ref[0].astype(jnp.float32)  # [bkv, d]
   v = v_ref[0].astype(jnp.float32)
@@ -393,6 +426,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     mask = (col_ids < seq_kv) & (row_ids < seq_q)
     if causal:
       mask &= col_ids <= row_ids
+    if has_seg:
+      seg_q = seg_q_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+      mask &= (seg_kv > 0) & (seg_kv <= seg_q)
     p = jnp.where(mask, jnp.exp(s - lse), 0.0)
     dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -410,17 +446,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
   dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, o, lse, do, *, scale, causal, block_q, block_kv,
-         seq_q, seq_kv):
+def _bwd(q, k, v, o, lse, do, seg_q=None, seg_kv=None, *, scale, causal,
+         block_q, block_kv, seq_q, seq_kv):
   bh, tq, d = q.shape
   tkv = k.shape[1]
+  has_seg = seg_q is not None
   delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                   axis=-1)[:, None, :]  # [BH, 1, Tq]
 
+  seg_args = (seg_q, seg_kv) if has_seg else ()
   dq = pl.pallas_call(
       functools.partial(_bwd_dq_kernel, scale=scale, block_kv=block_kv,
                         seq_q=seq_q, seq_kv=seq_kv,
-                        causal=causal, block_q=block_q),
+                        causal=causal, block_q=block_q, has_seg=has_seg),
       grid=(bh, tq // block_q),
       in_specs=[
           _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -429,16 +467,20 @@ def _bwd(q, k, v, o, lse, do, *, scale, causal, block_q, block_kv,
           _bspec((1, block_q, d), lambda b, i: (b, i, 0)),
           _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
           _bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+          *([_bspec((1, 1, block_q), lambda b, i: (b, 0, i)),
+             _bspec((1, 1, tkv), lambda b, i: (b, 0, 0))]
+            if has_seg else []),
       ],
       out_specs=_bspec((1, block_q, d), lambda b, i: (b, i, 0)),
       out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
       interpret=_interpret(),
-  )(q, k, v, do, lse, delta)
+  )(q, k, v, do, lse, delta, *seg_args)
 
   dk, dv = pl.pallas_call(
       functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
                         seq_q=seq_q, seq_kv=seq_kv,
-                        causal=causal, block_kv=block_kv),
+                        causal=causal, block_kv=block_kv,
+                        has_seg=has_seg),
       grid=(bh, tkv // block_kv),
       in_specs=[
           _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
@@ -447,6 +489,9 @@ def _bwd(q, k, v, o, lse, do, *, scale, causal, block_q, block_kv,
           _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
           _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
           _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+          *([_bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+             _bspec((1, 1, block_kv), lambda b, j: (b, 0, j))]
+            if has_seg else []),
       ],
       out_specs=[
           _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
@@ -457,7 +502,7 @@ def _bwd(q, k, v, o, lse, do, *, scale, causal, block_q, block_kv,
           jax.ShapeDtypeStruct((bh, tkv, d), v.dtype),
       ],
       interpret=_interpret(),
-  )(q, k, v, do, lse, delta)
+  )(q, k, v, do, lse, delta, *seg_args)
   return dq, dk, dv
 
 
@@ -473,29 +518,32 @@ def _pad_to(x, t_pad):
   return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attend(q, k, v, causal, block_q, block_kv):
-  return _attend_fwd(q, k, v, causal, block_q, block_kv)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _attend(q, k, v, seg_q, seg_kv, causal, block_q, block_kv):
+  return _attend_fwd(q, k, v, seg_q, seg_kv, causal, block_q,
+                     block_kv)[0]
 
 
-def _attend_fwd(q, k, v, causal, block_q, block_kv):
+def _attend_fwd(q, k, v, seg_q, seg_kv, causal, block_q, block_kv):
   seq_q, seq_kv = q.shape[1], k.shape[1]
   scale = 1.0 / np.sqrt(q.shape[-1])
   tq_pad = -(-seq_q // block_q) * block_q
   tkv_pad = -(-seq_kv // block_kv) * block_kv
   qp, kp, vp = _pad_to(q, tq_pad), _pad_to(k, tkv_pad), _pad_to(v, tkv_pad)
-  o, lse = _fwd(qp, kp, vp, scale=scale, causal=causal, block_q=block_q,
-                block_kv=block_kv, seq_q=seq_q, seq_kv=seq_kv)
-  return o[:, :seq_q], (qp, kp, vp, o, lse, seq_q, seq_kv, scale)
+  sq, sk = _pad_seg(seg_q, tq_pad), _pad_seg(seg_kv, tkv_pad)
+  o, lse = _fwd(qp, kp, vp, sq, sk, scale=scale, causal=causal,
+                block_q=block_q, block_kv=block_kv, seq_q=seq_q,
+                seq_kv=seq_kv)
+  return o[:, :seq_q], (qp, kp, vp, sq, sk, o, lse, seq_q, seq_kv, scale)
 
 
 def _attend_bwd(causal, block_q, block_kv, res, g):
-  qp, kp, vp, o, lse, seq_q, seq_kv, scale = res
+  qp, kp, vp, sq, sk, o, lse, seq_q, seq_kv, scale = res
   dop = _pad_to(g, qp.shape[1])
-  dq, dk, dv = _bwd(qp, kp, vp, o, lse, dop, scale=scale, causal=causal,
-                    block_q=block_q, block_kv=block_kv,
+  dq, dk, dv = _bwd(qp, kp, vp, o, lse, dop, sq, sk, scale=scale,
+                    causal=causal, block_q=block_q, block_kv=block_kv,
                     seq_q=seq_q, seq_kv=seq_kv)
-  return dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv]
+  return (dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv], None, None)
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)
@@ -507,8 +555,9 @@ def flash_attention(q, k, v, *, causal=False, seg=None, block_q=None,
 
   `seg`: optional [B, T] int32 segment ids for prefix-LM masking —
   position j attendable from i iff 0 < seg[j] <= seg[i]; padding is
-  seg=0; causal = arange+1; a bidirectional prefix shares one id
-  (one-shot path only, i.e. T <= MAX_ONESHOT and Tq == Tkv).
+  seg=0; causal = arange+1; a bidirectional prefix shares one id.
+  Supported on both the one-shot and the blocked (long-T) paths;
+  requires Tq == Tkv.
   """
   b, tq, h, d = q.shape
   tkv = k.shape[1]
@@ -516,19 +565,18 @@ def flash_attention(q, k, v, *, causal=False, seg=None, block_q=None,
   def to_bh(x):
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
 
+  seg_bh = None
+  if seg is not None:
+    assert tq == tkv and seg.shape == (b, tq), (seg.shape, q.shape)
+    seg_bh = jnp.repeat(seg.astype(jnp.int32), h, axis=0)  # [BH, T]
+
   if (max(tq, tkv) <= MAX_ONESHOT and block_q is None
       and block_kv is None):
-    if seg is not None:
-      assert tq == tkv and seg.shape == (b, tq), (seg.shape, q.shape)
-      seg_bh = jnp.repeat(seg.astype(jnp.int32), h, axis=0)  # [BH, T]
-      o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), seg_bh, seg_bh,
-                          causal)
-    else:
-      o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), None, None,
-                          causal)
+    o = _attend_oneshot(to_bh(q), to_bh(k), to_bh(v), seg_bh, seg_bh,
+                        causal)
   else:
-    assert seg is None, "segment masking needs the one-shot path"
     block_q = block_q or min(DEFAULT_BLOCK_Q, max(16, tq))
     block_kv = block_kv or min(DEFAULT_BLOCK_KV, max(16, tkv))
-    o = _attend(to_bh(q), to_bh(k), to_bh(v), causal, block_q, block_kv)
+    o = _attend(to_bh(q), to_bh(k), to_bh(v), seg_bh, seg_bh, causal,
+                block_q, block_kv)
   return jnp.transpose(o.reshape(b, h, tq, d), (0, 2, 1, 3))

@@ -161,3 +161,45 @@ def test_flash_impl_never_drops_bool_mask():
   want = attn_ops.dot_product_attention(q, k, v, mask=mask, impl="xla")
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              atol=1e-6)
+
+
+def test_blocked_path_segment_mask_matches_reference():
+  """seg masking on the blocked (long-T) kernels == reference (+grads)."""
+  import numpy as np
+  from big_vision_tpu.ops import flash_attention as fa
+
+  rs = np.random.RandomState(2)
+  b, t, h, d = 1, 48, 2, 16
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  seg_np = np.zeros((b, t), np.int32)
+  seg_np[0, :10] = 1                       # bidirectional prefix
+  seg_np[0, 10:40] = np.arange(2, 32)      # causal tail
+  seg = jnp.asarray(seg_np)                # 8 padding tokens
+
+  def ref_attn(q, k, v):
+    mask = (seg[:, None, :] > 0) & (seg[:, None, :] <= seg[:, :, None])
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    s = jnp.where(mask[:, None], s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    return jnp.where((seg > 0)[:, :, None, None], out, 0.0)
+
+  # Force the blocked path with explicit small blocks.
+  def flash(q, k, v):
+    return fa.flash_attention(q, k, v, seg=seg, block_q=16, block_kv=16)
+
+  got, want = flash(q, k, v), ref_attn(q, k, v)
+  # Blocked path leaves padding-query rows unnormalized garbage-free but
+  # not zeroed; compare only valid rows.
+  valid = np.asarray(seg[0]) > 0
+  np.testing.assert_allclose(np.asarray(got)[0, valid],
+                             np.asarray(want)[0, valid], atol=2e-5)
+
+  g_got = jax.grad(lambda q, k, v: jnp.sum(
+      (flash(q, k, v) * (seg > 0)[:, :, None, None]) ** 2),
+      argnums=(0, 1, 2))(q, k, v)
+  g_want = jax.grad(lambda q, k, v: jnp.sum(ref_attn(q, k, v) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+  for a, b_ in zip(g_got, g_want):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
