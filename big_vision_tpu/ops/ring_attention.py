@@ -36,12 +36,14 @@ P = jax.sharding.PartitionSpec
 def _block_attn(q, k, v, bias):
   """Unnormalized block attention: returns (num, running_max, denom).
 
-  q: [B, Tq, H, D], k/v: [B, Tk, H, D], bias: [Tq, Tk] additive (-inf
-  for masked). Outputs: num [B, Tq, H, D], m/l [B, Tq, H].
+  q: [B, Tq, H, D], k/v: [B, Tk, H, D], bias: [Tq, Tk] or [B, Tq, Tk]
+  additive (-inf for masked). Outputs: num [B, Tq, H, D], m/l [B, Tq, H].
   """
   scale = q.shape[-1] ** -0.5
   logits = jnp.einsum("bqhd,bkhd->bqhk", q, k) * scale
-  logits = logits + bias[None, :, None, :]
+  if bias.ndim == 2:
+    bias = bias[None]
+  logits = logits + bias[:, :, None, :]
   m = jnp.max(logits, axis=-1)
   # Guard fully-masked rows (all -inf): exp(-inf - -inf) would be NaN.
   m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
@@ -52,10 +54,18 @@ def _block_attn(q, k, v, bias):
   return num, m_safe, l
 
 
-def ring_attention(q, k, v, *, axis_name, causal=False):
+def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
   """Exact attention over a sequence sharded on `axis_name`.
 
-  Args: q, k, v: [B, T_local, H, D] per-device blocks (inside shard_map).
+  Args:
+    q, k, v: [B, T_local, H, D] per-device blocks (inside shard_map).
+    causal: apply causal masking with *global* positions.
+    seg: optional [B, T_local] int32 local segment ids. Same semantics as
+      `flash_attention`: position j is attendable from i iff
+      0 < seg[j] <= seg[i] (padding=0, causal=arange+1, a bidirectional
+      prefix shares one id). The K-side ids ride the ring with K/V, so
+      prefix-LM masking is exact across shards. Combines (ANDs) with
+      `causal` if both are given.
   Returns: [B, T_local, H, D] attention output for the local queries.
   """
   n = lax.axis_size(axis_name)
@@ -63,12 +73,18 @@ def ring_attention(q, k, v, *, axis_name, causal=False):
   t_loc = q.shape[1]
   perm = [(i, (i + 1) % n) for i in range(n)]  # send K/V to next device
 
-  def bias_for(kv_idx):
-    if not causal:
+  def bias_for(kv_idx, seg_k):
+    if not causal and seg is None:
       return jnp.zeros((t_loc, t_loc), q.dtype)
-    q_pos = my_idx * t_loc + jnp.arange(t_loc)
-    k_pos = kv_idx * t_loc + jnp.arange(t_loc)
-    return jnp.where(q_pos[:, None] >= k_pos[None, :], 0.0, -jnp.inf)
+    ok = True
+    if causal:
+      q_pos = my_idx * t_loc + jnp.arange(t_loc)
+      k_pos = kv_idx * t_loc + jnp.arange(t_loc)
+      ok = q_pos[:, None] >= k_pos[None, :]          # [Tq, Tk]
+    if seg is not None:
+      seg_ok = (seg_k[:, None, :] > 0) & (seg_k[:, None, :] <= seg[:, :, None])
+      ok = ok & seg_ok if causal else seg_ok         # [B, Tq, Tk]
+    return jnp.where(ok, 0.0, -jnp.inf).astype(q.dtype)
 
   def combine(acc, blk):
     o, m, l = acc
@@ -79,32 +95,44 @@ def ring_attention(q, k, v, *, axis_name, causal=False):
             new_m, l * s + l_b * s_b)
 
   def body(i, carry):
-    o, m, l, kk, vv = carry
+    o, m, l, kk, vv, sk = carry
     kv_idx = (my_idx - i) % n  # whose K/V block we hold at step i
-    blk = _block_attn(q, kk, vv, bias_for(kv_idx))
+    blk = _block_attn(q, kk, vv, bias_for(kv_idx, sk))
     o, m, l = combine((o, m, l), blk)
     kk = lax.ppermute(kk, axis_name, perm)
     vv = lax.ppermute(vv, axis_name, perm)
-    return o, m, l, kk, vv
+    if seg is not None:
+      sk = lax.ppermute(sk, axis_name, perm)
+    return o, m, l, kk, vv, sk
 
   # pvary: the carry becomes device-varying inside the loop (it depends
   # on axis_index), so the initial value must be marked varying too.
   o0 = jnp.zeros_like(q)  # already device-varying (derived from q)
   m0 = lax.pvary(jnp.full(q.shape[:-1], -jnp.inf, q.dtype), (axis_name,))
   l0 = lax.pvary(jnp.zeros(q.shape[:-1], q.dtype), (axis_name,))
-  o, _, l, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v))
+  # A dummy 1-element seg keeps the carry structure static when seg=None.
+  s0 = seg if seg is not None else jnp.zeros((q.shape[0], 1), jnp.int32)
+  o, _, l, _, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v, s0))
   return o / jnp.maximum(l, 1e-30)[..., None]
 
 
 def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
-                           causal=False):
+                           causal=False, seg=None):
   """Global-array entry point: shard T over `seq_axis` and run the ring.
 
   q, k, v: [B, T, H, D] global arrays; T must divide by the axis size.
+  seg: optional [B, T] global segment ids (see `ring_attention`).
   """
   spec = P(None, seq_axis, None, None)
+  if seg is None:
+    fn = _shard_map(
+        functools.partial(ring_attention, axis_name=seq_axis,
+                          causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+  seg_spec = P(None, seq_axis)
   fn = _shard_map(
-      functools.partial(ring_attention, axis_name=seq_axis,
-                        causal=causal),
-      mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
-  return fn(q, k, v)
+      lambda q, k, v, s: ring_attention(
+          q, k, v, axis_name=seq_axis, causal=causal, seg=s),
+      mesh=mesh, in_specs=(spec, spec, spec, seg_spec), out_specs=spec)
+  return fn(q, k, v, seg)

@@ -32,6 +32,38 @@ def test_ring_matches_full(causal):
                              atol=2e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_seg_matches_masked_full(causal):
+  """Prefix-LM segment masking is exact across ring shards."""
+  mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
+  rs = np.random.RandomState(2)
+  b, t, h, d = 2, 64, 2, 16
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  # PaliGemma-style seg: prefix block shares id 1, suffix increments,
+  # trailing padding is 0. Masks cross shard boundaries on the 8-way mesh.
+  seg_np = np.zeros((b, t), np.int32)
+  for i in range(b):
+    pre, valid = 20 + 7 * i, t - 5 * (i + 1)
+    seg_np[i, :pre] = 1
+    seg_np[i, pre:valid] = np.arange(2, valid - pre + 2)
+  seg = jnp.asarray(seg_np)
+
+  ok = (seg[:, None, :] > 0) & (seg[:, None, :] <= seg[:, :, None])
+  if causal:
+    ok = ok & jnp.tril(jnp.ones((t, t), bool))[None]
+  scale = d ** -0.5
+  logits = jnp.einsum("bqhd,bkhd->bqhk", q, k) * scale
+  logits = jnp.where(ok[:, :, None, :], logits, -jnp.inf)
+  want = jnp.einsum("bqhk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+
+  got = ra.ring_attention_sharded(q, k, v, mesh, causal=causal, seg=seg)
+  got, want = np.asarray(got), np.asarray(want)
+  valid_q = np.asarray(seg) > 0  # padding rows are fully masked (NaN ref)
+  np.testing.assert_allclose(got[valid_q], want[valid_q], atol=2e-5)
+  assert np.all(np.isfinite(got))  # masked rows are 0, never NaN
+
+
 def test_ring_is_jittable_and_grads_flow():
   mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
   rs = np.random.RandomState(1)
