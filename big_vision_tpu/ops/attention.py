@@ -38,10 +38,16 @@ def _flash_available(q, mask):
     return False
   b, t, h, d = q.shape
   del b, h
-  # Policy: XLA attention wins for short sequences (ViT at 224px); the
-  # flash kernel's O(T) memory matters from ~1k tokens. Until the kernel
-  # is tuned to parity at short T, auto only picks it for long sequences.
-  return t >= 1024 and flash_attention.supports(t, d)
+  # Policy: the one-shot kernel (t <= MAX_ONESHOT) ties XLA forward and
+  # beats it on the fused backward (ViT-B/16 224px train step: 326ms vs
+  # 365ms measured on v5e), and 100-step training parity holds (step-0
+  # loss identical, grad-norm rel err 1e-5). For long sequences the
+  # blocked kernel's O(T) memory wins from ~1k tokens. Mid-range
+  # (MAX_ONESHOT < t < 1024) stays on XLA until the blocked kernel is
+  # tuned to parity there.
+  if not flash_attention.supports(t, d):
+    return False
+  return t <= flash_attention.MAX_ONESHOT or t >= 1024
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
