@@ -38,16 +38,17 @@ def _flash_available(q, mask):
     return False
   b, t, h, d = q.shape
   del b, h
-  # Policy: the one-shot kernel (t <= MAX_ONESHOT) ties XLA forward and
-  # beats it on the fused backward (ViT-B/16 224px train step: 326ms vs
-  # 365ms measured on v5e), and 100-step training parity holds (step-0
-  # loss identical, grad-norm rel err 1e-5). For long sequences the
-  # blocked kernel's O(T) memory wins from ~1k tokens. Mid-range
-  # (MAX_ONESHOT < t < 1024) stays on XLA until the blocked kernel is
-  # tuned to parity there.
+  # Policy: the one-shot kernel ties XLA forward and beats it ~2x on the
+  # fused backward wherever its VMEM working set fits (measured on v5e:
+  # T=197 step 326ms vs 365ms; T=577 grad 3.9 vs 7.4ms; T=768 grad 4.8
+  # vs 10.9ms), and 100-step training parity holds (step-0 loss
+  # identical, grad-norm rel err 1e-5). For longer sequences the blocked
+  # kernel's O(T) memory wins from ~1k tokens. The narrow remaining
+  # XLA window is big-D shapes just under 1k tokens that overflow the
+  # one-shot VMEM budget.
   if not flash_attention.supports(t, d):
     return False
-  return t <= flash_attention.MAX_ONESHOT or t >= 1024
+  return flash_attention.oneshot_fits(t, t, d) or t >= 1024
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):

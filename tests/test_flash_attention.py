@@ -203,3 +203,14 @@ def test_blocked_path_segment_mask_matches_reference():
                     argnums=(0, 1, 2))(q, k, v)
   for a, b_ in zip(g_got, g_want):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_oneshot_fits_boundaries():
+  """Pin the VMEM routing gate measured on v5e (12MB bwd budget)."""
+  from big_vision_tpu.ops import flash_attention as fa
+  assert fa.oneshot_fits(197, 197, 64)     # ViT-B/16 224px
+  assert fa.oneshot_fits(577, 577, 64)     # ViT 384px
+  assert fa.oneshot_fits(896, 896, 64)
+  assert fa.oneshot_fits(768, 768, 256)
+  assert not fa.oneshot_fits(896, 896, 256)   # over budget -> xla/blocked
+  assert not fa.oneshot_fits(1024, 1024, 64)  # blocked path from ~1k
