@@ -195,19 +195,25 @@ class Attention(nn.Module):
       k, v = _update_kv_cache(self, k, v, cache_size=attn_mask.shape[-1],
                               cache_dtype=self.cache_dtype)
 
-    if (self.attn_impl == "flash" and not decode and seg is not None
-        and not self.attn_logits_softcap):
-      # Fused one-shot flash path (training): `seg` encodes the same
-      # prefix-LM mask as attn_mask (see ops/flash_attention.py). The
-      # kernel applies 1/sqrt(head_dim); q is already pre-normalized, so
-      # cancel the kernel's scale.
-      from big_vision_tpu.ops import flash_attention as _fa
+    if (self.attn_impl in ("flash", "ring") and not decode
+        and seg is not None and not self.attn_logits_softcap):
+      # Fused flash / context-parallel ring path (training): `seg`
+      # encodes the same prefix-LM mask as attn_mask (see
+      # ops/flash_attention.py). Both impls apply 1/sqrt(head_dim); q is
+      # already pre-normalized, so cancel their scale.
       if self.num_kv_heads != self.num_heads:
         rep = self.num_heads // self.num_kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
       qf = (q * (self.head_dim ** 0.5)).astype(v.dtype)
-      encoded = _fa.flash_attention(qf, k, v, seg=seg)
+      if self.attn_impl == "ring":
+        # Sequence-parallel: shards T over the ambient mesh's "seq" axis
+        # (exact; K/V ride the ICI ring), single-device math otherwise.
+        from big_vision_tpu.ops import ring_attention as _ra
+        encoded = _ra.ring_attention_auto(qf, k, v, seg=seg)
+      else:
+        from big_vision_tpu.ops import flash_attention as _fa
+        encoded = _fa.flash_attention(qf, k, v, seg=seg)
       return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
 
     b, t, n, h = q.shape

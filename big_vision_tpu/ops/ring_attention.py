@@ -40,16 +40,18 @@ def _block_attn(q, k, v, bias):
   additive (-inf for masked). Outputs: num [B, Tq, H, D], m/l [B, Tq, H].
   """
   scale = q.shape[-1] ** -0.5
-  logits = jnp.einsum("bqhd,bkhd->bqhk", q, k) * scale
+  logits = jnp.einsum("bqhd,bkhd->bqhk", q, k,
+                      preferred_element_type=jnp.float32) * scale
   if bias.ndim == 2:
     bias = bias[None]
-  logits = logits + bias[:, :, None, :]
+  logits = logits + bias[:, :, None, :].astype(jnp.float32)
   m = jnp.max(logits, axis=-1)
   # Guard fully-masked rows (all -inf): exp(-inf - -inf) would be NaN.
   m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
   p = jnp.exp(logits - m_safe[..., None])
   p = jnp.where(jnp.isneginf(logits), 0.0, p)
-  num = jnp.einsum("bqhk,bkhd->bqhd", p, v)
+  num = jnp.einsum("bqhk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
   l = jnp.sum(p, axis=-1)
   return num, m_safe, l
 
@@ -75,7 +77,7 @@ def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
 
   def bias_for(kv_idx, seg_k):
     if not causal and seg is None:
-      return jnp.zeros((t_loc, t_loc), q.dtype)
+      return jnp.zeros((t_loc, t_loc), jnp.float32)
     ok = True
     if causal:
       q_pos = my_idx * t_loc + jnp.arange(t_loc)
@@ -84,7 +86,7 @@ def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
     if seg is not None:
       seg_ok = (seg_k[:, None, :] > 0) & (seg_k[:, None, :] <= seg[:, :, None])
       ok = ok & seg_ok if causal else seg_ok         # [B, Tq, Tk]
-    return jnp.where(ok, 0.0, -jnp.inf).astype(q.dtype)
+    return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
 
   def combine(acc, blk):
     o, m, l = acc
@@ -105,15 +107,19 @@ def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
       sk = lax.ppermute(sk, axis_name, perm)
     return o, m, l, kk, vv, sk
 
-  # pvary: the carry becomes device-varying inside the loop (it depends
-  # on axis_index), so the initial value must be marked varying too.
-  o0 = jnp.zeros_like(q)  # already device-varying (derived from q)
-  m0 = lax.pvary(jnp.full(q.shape[:-1], -jnp.inf, q.dtype), (axis_name,))
-  l0 = lax.pvary(jnp.zeros(q.shape[:-1], q.dtype), (axis_name,))
+  # Accumulate in float32 regardless of the input dtype (bf16 inputs keep
+  # MXU matmuls fast; the softmax statistics and output sum must not lose
+  # bits across ring steps). pvary: the carry becomes device-varying
+  # inside the loop (it depends on axis_index), so the initial value must
+  # be marked varying too.
+  o0 = jnp.zeros_like(q, jnp.float32)  # device-varying (derived from q)
+  m0 = lax.pvary(jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
+                 (axis_name,))
+  l0 = lax.pvary(jnp.zeros(q.shape[:-1], jnp.float32), (axis_name,))
   # A dummy 1-element seg keeps the carry structure static when seg=None.
   s0 = seg if seg is not None else jnp.zeros((q.shape[0], 1), jnp.int32)
   o, _, l, _, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v, s0))
-  return o / jnp.maximum(l, 1e-30)[..., None]
+  return (o / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
 
 def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
@@ -136,3 +142,42 @@ def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
           q, k, v, axis_name=seq_axis, causal=causal, seg=s),
       mesh=mesh, in_specs=(spec, spec, spec, seg_spec), out_specs=spec)
   return fn(q, k, v, seg)
+
+
+def _resolve_mesh():
+  mesh = jax.sharding.get_abstract_mesh()
+  if mesh is not None and not mesh.empty:
+    return mesh
+  try:  # Context-manager meshes (`with mesh:`) live in thread resources.
+    from jax.interpreters import pxla
+    mesh = pxla.thread_resources.env.physical_mesh
+    return None if mesh.empty else mesh
+  except Exception:  # pylint: disable=broad-except
+    return None
+
+
+def ring_attention_auto(q, k, v, *, causal=False, seg=None,
+                        seq_axis="seq"):
+  """Ring attention over the ambient mesh's `seq_axis`, if present.
+
+  Model-friendly entry point: inside a jitted train step run under a
+  mesh with a sequence axis, runs the exact context-parallel ring;
+  without one (single host, tests, no seq sharding) it degrades to the
+  same math on one device, so models can hardcode `attn_impl="ring"`
+  regardless of the launch topology.
+  """
+  mesh = _resolve_mesh()
+  if (mesh is None or seq_axis not in mesh.axis_names
+      or mesh.shape[seq_axis] == 1 or q.shape[1] % mesh.shape[seq_axis]):
+    # Degenerate ring: the same blockwise math on a single device.
+    bias = jnp.zeros((q.shape[1], q.shape[1]), jnp.float32)
+    if causal:
+      t = q.shape[1]
+      bias = jnp.where(jnp.tril(jnp.ones((t, t), bool)), 0.0, -jnp.inf)
+    if seg is not None:
+      ok = (seg[:, None, :] > 0) & (seg[:, None, :] <= seg[:, :, None])
+      bias = bias[None] + jnp.where(ok, 0.0, -jnp.inf)
+    num, _, l = _block_attn(q, k, v, bias.astype(jnp.float32))
+    return (num / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+  return ring_attention_sharded(q, k, v, mesh, seq_axis=seq_axis,
+                                causal=causal, seg=seg)

@@ -64,6 +64,46 @@ def test_ring_seg_matches_masked_full(causal):
   assert np.all(np.isfinite(got))  # masked rows are 0, never NaN
 
 
+def test_ring_bf16_accumulates_in_f32():
+  """bf16 inputs: output matches the f32 dense reference to bf16 tol."""
+  mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
+  rs = np.random.RandomState(3)
+  q32, k32, v32 = (np.asarray(rs.randn(2, 64, 2, 16), np.float32)
+                   for _ in range(3))
+  want = np.asarray(full_attention(jnp.asarray(q32), jnp.asarray(k32),
+                                   jnp.asarray(v32)))
+  got = ra.ring_attention_sharded(
+      jnp.asarray(q32, jnp.bfloat16), jnp.asarray(k32, jnp.bfloat16),
+      jnp.asarray(v32, jnp.bfloat16), mesh)
+  assert got.dtype == jnp.bfloat16
+  np.testing.assert_allclose(np.asarray(got, np.float32), want, atol=2e-2)
+
+
+def test_ring_auto_fallback_and_mesh():
+  """ring_attention_auto: dense math without a seq mesh, ring with one."""
+  rs = np.random.RandomState(4)
+  q, k, v = (jnp.asarray(rs.randn(2, 64, 2, 16), jnp.float32)
+             for _ in range(3))
+  seg = jnp.asarray(
+      np.where(np.arange(64)[None] < 50,
+               np.arange(1, 65)[None].repeat(2, 0), 0), jnp.int32)
+  ok = (seg[:, None, :] > 0) & (seg[:, None, :] <= seg[:, :, None])
+  lg = jnp.einsum("bqhd,bkhd->bqhk", q, k) * 16**-0.5
+  lg = jnp.where(ok[:, :, None, :], lg, -jnp.inf)
+  want = np.asarray(
+      jnp.einsum("bqhk,bkhd->bqhd", jax.nn.softmax(lg, -1), v))
+  vq = np.asarray(seg) > 0
+
+  got_local = ra.ring_attention_auto(q, k, v, seg=seg)  # no mesh
+  np.testing.assert_allclose(np.asarray(got_local)[vq], want[vq],
+                             atol=2e-5)
+  mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
+  with jax.sharding.use_mesh(mesh):
+    got_ring = ra.ring_attention_auto(q, k, v, seg=seg)
+  np.testing.assert_allclose(np.asarray(got_ring)[vq], want[vq],
+                             atol=2e-5)
+
+
 def test_ring_is_jittable_and_grads_flow():
   mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
   rs = np.random.RandomState(1)
