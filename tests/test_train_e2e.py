@@ -56,15 +56,28 @@ def test_smoke_train_and_resume(tmp_path):
 
 @pytest.mark.slow
 def test_graft_entry_multichip_dryrun(tmp_path):
-  """The driver contract: dryrun_multichip must compile+run on 8 devices."""
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
-         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
-  r = subprocess.run(
-      [sys.executable, "-c",
-       "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
-      cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+  """The driver contract: dryrun_multichip must compile+run on 8 devices.
+
+  Mimics the driver's exact call path: NO env help (no JAX_PLATFORMS=cpu,
+  no XLA_FLAGS device-count export), and the backend is already initialized
+  with too few devices before dryrun_multichip is called — the function must
+  self-arrange the 8-device virtual CPU mesh (VERDICT.md round 1, item 1).
+  """
+  env = {k: v for k, v in os.environ.items()
+         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+  env["PYTHONPATH"] = REPO
+  code = (
+      "import jax\n"
+      "n = jax.device_count()\n"  # force backend init, driver-style
+      "assert n < 8, f'fixture needs a small backend, got {n}'\n"
+      "import __graft_entry__ as g\n"
+      "g.dryrun_multichip(8)\n"
+      "print('OK')\n")
+  r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                     capture_output=True, text=True, timeout=900)
   assert r.returncode == 0, r.stderr[-3000:]
   assert "OK" in r.stdout
+  assert "dryrun_multichip(8): OK" in r.stdout
 
 
 @pytest.mark.slow
