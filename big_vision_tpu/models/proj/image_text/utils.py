@@ -14,15 +14,8 @@ P = jax.sharding.PartitionSpec
 
 
 def _ambient_mesh():
-  mesh = jax.sharding.get_abstract_mesh()
-  if mesh is not None and not mesh.empty:
-    return mesh
-  try:  # Context-manager meshes (`with mesh:`) live in thread resources.
-    from jax.interpreters import pxla
-    mesh = pxla.thread_resources.env.physical_mesh
-    return None if mesh.empty else mesh
-  except Exception:  # pylint: disable=broad-except
-    return None
+  from big_vision_tpu.utils.mesh import ambient_mesh
+  return ambient_mesh()
 
 
 def batch_shmap(fn, *args, **kwargs):

@@ -29,6 +29,17 @@ def _xla_attention(q, k, v, mask=None):
   return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def _kernel_ok(t, d):
+  """Shared auto-dispatch policy: fused kernel wins at these shapes."""
+  try:
+    from big_vision_tpu.ops import flash_attention
+  except ImportError:
+    return False
+  if not flash_attention.supports(t, d):
+    return False
+  return flash_attention.oneshot_fits(t, t, d) or t >= 1024
+
+
 def _flash_available(q, mask):
   if mask is not None:
     return False  # masked variant arrives with the VLM family
@@ -46,9 +57,7 @@ def _flash_available(q, mask):
   # kernel's O(T) memory wins from ~1k tokens. The narrow remaining
   # XLA window is big-D shapes just under 1k tokens that overflow the
   # one-shot VMEM budget.
-  if not flash_attention.supports(t, d):
-    return False
-  return flash_attention.oneshot_fits(t, t, d) or t >= 1024
+  return _kernel_ok(t, d)
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
@@ -61,6 +70,15 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
   """
   if seg is not None:
     assert mask is None, "pass mask or seg, not both"
+    if impl == "auto":
+      # Same policy as the unmasked branch: the fused kernel consumes seg
+      # ids natively, so segment-masked (VLM) attention should take it
+      # whenever the one-shot working set fits or the blocked kernel's
+      # O(T) memory wins — not silently fall back to a materialized
+      # [B, H, Tq, Tkv] mask.
+      b, t, h, d = q.shape
+      if (t == k.shape[1] and _kernel_ok(t, d)):
+        impl = "flash"
     if impl == "flash":
       from big_vision_tpu.ops import flash_attention
       return flash_attention.flash_attention(q, k, v, seg=seg)

@@ -104,7 +104,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs, scale, block_kv,
       mask &= (seg_kv > 0) & (seg_kv <= seg_q)
     s = jnp.where(mask, s, NEG_INF)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    # Explicitly zero masked entries: on a fully-masked row s-m_new is 0
+    # (NEG_INF - NEG_INF), so exp alone would give p=1 and output mean(V)
+    # instead of zeros — and the one-shot path zeros such rows, so the
+    # dispatch boundary must not change padded-row outputs.
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
     alpha = jnp.exp(m - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc * alpha + jax.lax.dot_general(

@@ -109,13 +109,14 @@ def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
 
   # Accumulate in float32 regardless of the input dtype (bf16 inputs keep
   # MXU matmuls fast; the softmax statistics and output sum must not lose
-  # bits across ring steps). pvary: the carry becomes device-varying
-  # inside the loop (it depends on axis_index), so the initial value must
-  # be marked varying too.
+  # bits across ring steps). pcast-to-varying: the carry becomes
+  # device-varying inside the loop (it depends on axis_index), so the
+  # initial value must be marked varying too.
   o0 = jnp.zeros_like(q, jnp.float32)  # device-varying (derived from q)
-  m0 = lax.pvary(jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
-                 (axis_name,))
-  l0 = lax.pvary(jnp.zeros(q.shape[:-1], jnp.float32), (axis_name,))
+  m0 = lax.pcast(jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
+                 (axis_name,), to="varying")
+  l0 = lax.pcast(jnp.zeros(q.shape[:-1], jnp.float32), (axis_name,),
+                 to="varying")
   # A dummy 1-element seg keeps the carry structure static when seg=None.
   s0 = seg if seg is not None else jnp.zeros((q.shape[0], 1), jnp.int32)
   o, _, l, _, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v, s0))
@@ -145,15 +146,8 @@ def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
 
 
 def _resolve_mesh():
-  mesh = jax.sharding.get_abstract_mesh()
-  if mesh is not None and not mesh.empty:
-    return mesh
-  try:  # Context-manager meshes (`with mesh:`) live in thread resources.
-    from jax.interpreters import pxla
-    mesh = pxla.thread_resources.env.physical_mesh
-    return None if mesh.empty else mesh
-  except Exception:  # pylint: disable=broad-except
-    return None
+  from big_vision_tpu.utils.mesh import ambient_mesh
+  return ambient_mesh()
 
 
 def ring_attention_auto(q, k, v, *, causal=False, seg=None,

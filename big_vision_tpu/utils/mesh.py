@@ -12,7 +12,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 
 __all__ = [
-    "create_device_mesh", "reshard", "put_cpu", "sync",
+    "create_device_mesh", "reshard", "put_cpu", "sync", "ambient_mesh",
     "make_fsarray_from_local_slice", "get_local_slice_from_fsarray",
     "assert_local_slices_same",
 ]
@@ -34,6 +34,29 @@ def create_device_mesh(config_mesh, *, devices=None,
       axis_sizes, devices=devices,
       allow_split_physical_axes=allow_split_physical_axes)
   return jax.sharding.Mesh(device_grid, axis_names)
+
+
+def ambient_mesh():
+  """The mesh in effect at the call site, or None.
+
+  Checks, in order: the explicit-sharding abstract mesh (inside jit under
+  sharding-in-types), the `jax.sharding.set_mesh` mesh, and the legacy
+  `with mesh:` context (which still lives in jax's internal thread
+  resources — read via the private module to avoid the deprecated
+  `jax.interpreters.pxla` shim).
+  """
+  mesh = jax.sharding.get_abstract_mesh()
+  if mesh is not None and not mesh.empty:
+    return mesh
+  mesh = jax.sharding.get_mesh()
+  if mesh is not None and not mesh.empty:
+    return mesh
+  try:
+    from jax._src import mesh as _mesh_lib  # pylint: disable=g-import-not-at-top
+    mesh = _mesh_lib.thread_resources.env.physical_mesh
+    return None if mesh.empty else mesh
+  except Exception:  # pylint: disable=broad-except
+    return None
 
 
 def put_cpu(x):

@@ -214,3 +214,50 @@ def test_oneshot_fits_boundaries():
   assert fa.oneshot_fits(768, 768, 256)
   assert not fa.oneshot_fits(896, 896, 256)   # over budget -> xla/blocked
   assert not fa.oneshot_fits(1024, 1024, 64)  # blocked path from ~1k
+
+
+def test_blocked_forward_zeros_fully_masked_rows():
+  """Padding-query rows must be zero on BOTH kernel paths.
+
+  The oneshot kernel zeros rows whose mask is all-False; the blocked
+  forward must match (it used to emit mean(V): exp(NEG_INF-NEG_INF)=1),
+  so crossing the oneshot_fits dispatch boundary never changes outputs.
+  """
+  from big_vision_tpu.ops import flash_attention as fa
+
+  rs = np.random.RandomState(3)
+  b, t, h, d = 1, 32, 2, 16
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  seg_np = np.zeros((b, t), np.int32)
+  seg_np[0, :20] = 1  # rows 20.. are padding (seg=0 -> fully masked)
+  seg = jnp.asarray(seg_np)
+
+  blocked = fa.flash_attention(q, k, v, seg=seg, block_q=16, block_kv=16)
+  oneshot = fa.flash_attention(q, k, v, seg=seg)
+  np.testing.assert_allclose(np.asarray(blocked)[0, 20:], 0.0, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(oneshot)[0, 20:], 0.0, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(blocked), np.asarray(oneshot),
+                             atol=2e-5)
+
+
+def test_seg_auto_dispatches_flash(monkeypatch):
+  """impl='auto' with seg ids must route through the fused kernel when it
+  fits (the VLM training shape), not the expanded-mask XLA path."""
+  from big_vision_tpu.ops import attention as attn_ops
+  from big_vision_tpu.ops import flash_attention as fa
+
+  rs = np.random.RandomState(4)
+  b, t, h, d = 1, 32, 2, 16
+  q, k, v = (jnp.asarray(rs.randn(b, t, h, d), jnp.float32)
+             for _ in range(3))
+  seg = jnp.asarray(np.tile(np.arange(1, t + 1), (b, 1)), jnp.int32)
+
+  calls = []
+  real = fa.flash_attention
+  monkeypatch.setattr(fa, "flash_attention",
+                      lambda *a, **kw: calls.append(1) or real(*a, **kw))
+  got = attn_ops.dot_product_attention(q, k, v, seg=seg, impl="auto")
+  assert calls, "auto+seg did not dispatch the fused kernel"
+  want = attn_ops.dot_product_attention(q, k, v, seg=seg, impl="xla")
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

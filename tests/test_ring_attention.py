@@ -98,7 +98,7 @@ def test_ring_auto_fallback_and_mesh():
   np.testing.assert_allclose(np.asarray(got_local)[vq], want[vq],
                              atol=2e-5)
   mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
-  with jax.sharding.use_mesh(mesh):
+  with jax.sharding.set_mesh(mesh):
     got_ring = ra.ring_attention_auto(q, k, v, seg=seg)
   np.testing.assert_allclose(np.asarray(got_ring)[vq], want[vq],
                              atol=2e-5)
