@@ -21,6 +21,7 @@ from __future__ import annotations
 import collections
 import queue as queue_lib
 import threading
+import warnings
 
 import jax
 import numpy as np
@@ -224,7 +225,16 @@ def training(input_config, *, devices=None, seed=0):
   local_batch = batch_size // jax.process_count()
   pfn = pp_builder.get_preprocess_fn(cfg.get("pp"))
   num_threads = cfg.get("num_threads", 16)
-  shuffle_buffer = cfg.get("shuffle_buffer_size") or 1
+  shuffle_buffer = cfg.get("shuffle_buffer_size")
+  if not shuffle_buffer:
+    # A missing/None/0 buffer means NO shuffling — silent accuracy loss on
+    # real training runs. Reference configs always set it; be loud here.
+    warnings.warn(
+        "input.shuffle_buffer_size is unset: the training stream will NOT "
+        "be shuffled. Set shuffle_buffer_size (e.g. 250_000 for ImageNet) "
+        "or shuffle_buffer_size=1 to acknowledge sequential reads.",
+        stacklevel=2)
+    shuffle_buffer = 1
 
   data_cfg = cfg["data"]
   if isinstance(data_cfg, (list, tuple)):

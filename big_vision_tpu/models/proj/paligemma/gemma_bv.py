@@ -99,11 +99,16 @@ class Model(nn.Module):
   def extend_cache(self, x):
     """One-token cache extension; returns [B, 1, V] logits."""
     assert x.shape[1] == 1, "extend_cache is one token at a time"
-    if self.model.scan:
-      cache_size = self.variables["cache"]["layers"]["attn"][
-          "k_cache"].shape[2]
-    else:
-      raise NotImplementedError("extend_cache requires scan=True")
+    # Cache layout is [..., cache_size, heads, head_dim] in BOTH layer
+    # layouts (scan: [L, B, S, H, D]; per-layer pyloop: [B, S, H, D]),
+    # so shape[-3] reads the cache size regardless of self.model.scan
+    # (reference supports both: gemma_bv.py:40 + gemma.py:161-195).
+    from flax import traverse_util
+    k_caches = [v for path, v in
+                traverse_util.flatten_dict(self.variables["cache"]).items()
+                if path[-1] == "k_cache"]
+    assert k_caches, "extend_cache called before prefill_cache"
+    cache_size = k_caches[0].shape[-3]
 
     positions = self.get_variable("cache", "seq_len")
     self.put_variable("cache", "seq_len", positions + 1)

@@ -238,7 +238,14 @@ def _main(argv=None, *, config=None, workdir=None):
       loaded = u.load_checkpoint(
           {**abstract,
            "chrono": jax.ShapeDtypeStruct((4,), np.float64)}, resume_path)
-      chrono.load(loaded.pop("chrono"))
+      # Every host must agree on timing state even when workdirs are NOT
+      # on shared storage (per-host disks can hold stale checkpoints):
+      # host 0's chrono is authoritative (ref train.py:478).
+      chrono_state = np.asarray(loaded.pop("chrono"))
+      if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        chrono_state = multihost_utils.broadcast_one_to_all(chrono_state)
+      chrono.load(chrono_state)
       train_state = loaded
       first_step = bv_optim.get_count(train_state["opt"])
     chrono.inform(first_step=first_step)

@@ -86,11 +86,11 @@ def test_make_attn_mask():
   assert not m[:, 4].any() and not m[4, :].any()
 
 
-def make_tiny_pg():
+def make_tiny_pg(scan=True):
   model = paligemma.Model(
       img=dict(variant="mu/16", pool_type="none", posemb="sincos2d",
                head_zeroinit=False),
-      llm=dict(variant="gemma_test", scan=True, cache_dtype=None))
+      llm=dict(variant="gemma_test", scan=scan, cache_dtype=None))
   img = jnp.zeros((2, 16, 16, 3))
   txt = jnp.ones((2, 6), jnp.int32)
   mask_ar = jnp.ones((2, 6), jnp.int32)
@@ -106,9 +106,14 @@ def test_paligemma_forward():
   assert out["img/zimg"].shape[0] == 2
 
 
-def test_prefill_extend_matches_full_forward():
-  """The fast KV-cache path must reproduce the full-recompute logits."""
-  model, params, img, txt = make_tiny_pg()
+@pytest.mark.parametrize("scan", [True, False])
+def test_prefill_extend_matches_full_forward(scan):
+  """The fast KV-cache path must reproduce the full-recompute logits.
+
+  Covers BOTH layer layouts: scan (stacked cache [L,B,S,H,D]) and
+  per-layer pyloop (cache [B,S,H,D]) — reference gemma_bv supports both.
+  """
+  model, params, img, txt = make_tiny_pg(scan=scan)
   variables = {"params": params}
   input_mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
   mask_ar = jnp.ones_like(txt)
