@@ -228,9 +228,28 @@ def _beam_decode_jit(params, batch, *, model, max_decode_len, eos_token,
   return out_tokens, out_scores
 
 
+def _device_only(batch):
+  """Drops host-kept values (strings, ragged objects) a jit can't trace.
+
+  Evaluators keep ground-truth keys on CPU (`keep_on_cpu`) but pass the
+  whole batch to the predict fn; only numeric array leaves go under jit.
+  """
+  def ok(v):
+    dt = getattr(v, "dtype", None)
+    return dt is not None and dt != object and dt.kind not in "USO"
+  return {k: v for k, v in batch.items() if ok(v)}
+
+
 def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
                      sampler="greedy", best_of_n=1, beam_size=2):
-  """Returns {"logits", "decode", "decode_with_logp", "beam_decode"}."""
+  """Returns {"logits", "decode", "decode_with_logp", "beam_decode"}.
+
+  The kwargs are DEFAULTS: every returned decode fn also accepts them
+  per call, because the transfer configs pass per-evaluator settings via
+  `pred_kw` (e.g. pred_kw={"max_decode_len": text_len}, reference
+  configs/proj/paligemma/transfers/common.py). Jitted cores are cached
+  per distinct setting.
+  """
 
   @functools.partial(jax.jit, static_argnames=())
   def logits_fn(train_state, batch):
@@ -239,18 +258,31 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
         batch.get("mask_ar", jnp.zeros_like(batch["text"])))
     return logits, out
 
-  decode_core = jax.jit(functools.partial(
-      _decode_jit, model=model, max_decode_len=max_decode_len,
-      eos_token=eos_token, sampler_spec=sampler))
+  @functools.lru_cache(maxsize=None)
+  def decode_core(mdl, eos, smp):
+    return jax.jit(functools.partial(
+        _decode_jit, model=model, max_decode_len=mdl,
+        eos_token=eos, sampler_spec=smp))
 
-  def decode_with_logp(train_state, batch, rng=None):
+  @functools.lru_cache(maxsize=None)
+  def beam_core(mdl, eos, bs):
+    return jax.jit(functools.partial(
+        _beam_decode_jit, model=model, max_decode_len=mdl,
+        eos_token=eos, beam_size=bs))
+
+  def decode_with_logp(train_state, batch, rng=None, *,
+                       max_decode_len=max_decode_len, eos_token=eos_token,
+                       sampler=sampler, best_of_n=best_of_n):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    batch = _device_only(batch)
+    core = decode_core(max_decode_len, eos_token,
+                       sampler if isinstance(sampler, str) else sampler)
     if best_of_n == 1:
-      return decode_core(train_state["params"], batch, rng)
+      return core(train_state["params"], batch, rng)
     # Best-of-n: replicate the batch, decode, keep max-logp candidates.
     rep = {k: jnp.repeat(v, best_of_n, axis=0)
            for k, v in batch.items() if hasattr(v, "ndim")}
-    tokens, logp = decode_core(train_state["params"], rep, rng)
+    tokens, logp = core(train_state["params"], rep, rng)
     b = tokens.shape[0] // best_of_n
     tokens = tokens.reshape(b, best_of_n, -1)
     logp = logp.reshape(b, best_of_n)
@@ -258,16 +290,15 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
     sel = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
     return sel, jnp.take_along_axis(logp, best[:, None], axis=1)[:, 0]
 
-  def decode(train_state, batch, rng=None):
-    return decode_with_logp(train_state, batch, rng)[0]
+  def decode(train_state, batch, rng=None, **kw):
+    return decode_with_logp(train_state, batch, rng, **kw)[0]
 
-  beam_core = jax.jit(functools.partial(
-      _beam_decode_jit, model=model, max_decode_len=max_decode_len,
-      eos_token=eos_token, beam_size=beam_size))
-
-  def beam_decode(train_state, batch, rng=None):
+  def beam_decode(train_state, batch, rng=None, *,
+                  max_decode_len=max_decode_len, eos_token=eos_token,
+                  beam_size=beam_size):
     del rng  # Beam search is deterministic.
-    return beam_core(train_state["params"], batch)[0]
+    core = beam_core(max_decode_len, eos_token, beam_size)
+    return core(train_state["params"], _device_only(batch))[0]
 
   return {"logits": logits_fn, "decode": decode,
           "decode_with_logp": decode_with_logp,

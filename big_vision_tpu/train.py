@@ -351,7 +351,7 @@ def _main(argv=None, *, config=None, workdir=None):
     run_evals(step, final=True)
 
   if ckpt_mgr:
-    ckpt_mgr.wait_until_finished()
+    ckpt_mgr.close()
   mw.close()
   u.write_note(f"Done: trained {total_steps} steps.")
   u.sync()

@@ -174,7 +174,7 @@ def _main(argv=None, *, config=None, workdir=None):
     mw.step_end()
 
   if ckpt_mgr:
-    ckpt_mgr.wait_until_finished()
+    ckpt_mgr.close()
   mw.close()
   u.sync()
   return train_state

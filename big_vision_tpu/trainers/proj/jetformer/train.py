@@ -461,7 +461,7 @@ def _main(argv=None, *, config=None, workdir=None):
   if total_steps > 0:
     run_evals(step, final=True)
   if ckpt_mgr:
-    ckpt_mgr.wait_until_finished()
+    ckpt_mgr.close()
   mw.close()
   u.sync()
   return train_state

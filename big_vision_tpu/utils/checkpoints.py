@@ -76,6 +76,17 @@ class CheckpointManager:
       self._commit_thread = None
     self._ckptr.wait_until_finished()
 
+  def close(self):
+    """Final wait + full shutdown of orbax's background machinery.
+
+    Call at trainer exit: orbax's AsyncCheckpointer keeps helper threads
+    (metadata commits) alive past wait_until_finished; if the interpreter
+    starts tearing down first they die with "cannot schedule new futures
+    after interpreter shutdown".
+    """
+    self.wait_until_finished()
+    self._ckptr.close()
+
 
 def _write_pointer(prefix, path):
   """Atomically points {prefix}-LAST at `path` (write temp + rename)."""
