@@ -74,6 +74,12 @@ def get(name, **kw):
   if name in builtin:
     mod = importlib.import_module(builtin[name])
     return mod.DataSource(**kw)
+  # Datasets produced by big_vision_tpu.datasets.builders (the TF-free
+  # replacement for the reference's custom TFDS builders) take priority
+  # over a tfds installation when present on disk.
+  from big_vision_tpu.datasets import built
+  if built.exists(name, kw.get("data_dir")):
+    return built.DataSource(name, **kw)
   from big_vision_tpu.datasets import tfds as tfds_mod
   return tfds_mod.DataSource(name, **kw)
 
