@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import common
+from big_vision_tpu.models import vit
 
 
 def _stoch_depth_mask(x, drop_p, deterministic, make_rng):
@@ -73,9 +74,11 @@ class MlpMixer(nn.Module):
   def __call__(self, image, *, train=False):
     out = {}
     image = jnp.asarray(image, self.dtype_mm)
-    x = out["stem"] = nn.Conv(self.hidden_dim, self.patch_size,
-                              strides=self.patch_size, dtype=self.dtype_mm,
-                              name="stem")(image)
+    # Patchify as reshape+matmul (same param tree as the nn.Conv it
+    # replaces; see vit.PatchEmbed for the MXU-efficiency rationale).
+    x = out["stem"] = vit.PatchEmbed(self.hidden_dim, self.patch_size,
+                                     dtype_mm=self.dtype_mm,
+                                     name="stem")(image)
     n, h, w, c = x.shape
     x = out["input_tokens"] = jnp.reshape(x, [n, h * w, c])
     for i in range(self.num_blocks):
