@@ -43,18 +43,34 @@ def supports(t, d):
   return d <= 256 and t >= 16
 
 
+def _r(x, m):
+  return -(-x // m) * m
+
+
+def _oneshot_bytes(tq, tkv, d, bwd):
+  """VMEM bytes per problem at Mosaic's internal tile granularity.
+
+  Kernels run unpadded; Mosaic rounds f32 mats to (8, 128) tiles and the
+  bf16 in/out tensors to (16, 128) tiles internally.
+  """
+  nmats = 3 if bwd else 2
+  mats = nmats * _r(tq, 8) * _r(tkv, 128) * 4
+  io = (6 if bwd else 4) * (_r(tq, 16) + _r(tkv, 16)) * _r(d, 128) * 2
+  return mats + io
+
+
 def oneshot_fits(tq, tkv, d):
   """True if the one-shot kernel's backward working set fits VMEM.
 
-  Mirrors `_oneshot_grid`'s budget at block_b=1: padded [Tq, Tkv] f32
+  Mirrors `_oneshot_grid`'s budget at block_b=1: [Tq, Tkv] f32
   score/prob/dp mats plus bf16 in/out tensors must stay under ~12MB of
   the ~16MB scoped VMEM. Measured on v5e the one-shot fused backward
   beats XLA ~2x wherever it fits (T=577 D=64: 3.9 vs 7.4ms; T=768
-  D=64: 4.8 vs 10.9ms; T=577 D=128: 4.3 vs 10.7ms grad time).
+  D=64: 4.8 vs 10.9ms; T=577 D=128: 4.3 vs 10.7ms grad time), and the
+  unpadded layout is another ~25% faster at T=197 (5.6 vs 7.6ms/layer
+  fwd+bwd).
   """
-  tq_pad = max(-(-tq // 128) * 128, 128)
-  tkv_pad = max(-(-tkv // 128) * 128, 128)
-  per = 3 * tq_pad * tkv_pad * 4 + 6 * (tq_pad + tkv_pad) * d * 2
+  per = _oneshot_bytes(tq, tkv, d, bwd=True)
   return max(tq, tkv) <= MAX_ONESHOT and per <= 12 * 1024 * 1024
 
 
@@ -187,22 +203,35 @@ def _oneshot_softmax(q, k, *, scale, seq_q, seq_kv, causal,
   0 < seg_kv[j] <= seg_q[i]. Padding carries seg=0. Causal attention is
   the special case seg = arange+1; block-bidirectional prefixes share one
   segment id (PaliGemma's mask_ar semantics, paligemma.py:27).
+
+  The kernels run on UNPADDED [T, T] problems (Mosaic tiles ragged shapes
+  internally, measured ~25% faster than explicit 128-padding at ViT's
+  T=197), so the row/col bound masks exist only when the caller really
+  padded; the pure-bidirectional case skips masking entirely.
   """
   s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32) * scale
-  rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-  cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-  mask = (cols < seq_kv) & (rows < seq_q)
+  mask = None
+  if seq_q != q.shape[1] or seq_kv != k.shape[1]:
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = (cols < seq_kv) & (rows < seq_q)
   if causal:
-    mask &= cols <= rows
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    c = cols <= rows
+    mask = c if mask is None else mask & c
   if seg_q is not None:
-    mask &= (seg_kv[:, None, :] > 0) & (seg_kv[:, None, :]
-                                        <= seg_q[:, :, None])
-  s = jnp.where(mask, s, NEG_INF)
+    sm = (seg_kv[:, None, :] > 0) & (seg_kv[:, None, :]
+                                     <= seg_q[:, :, None])
+    mask = sm if mask is None else mask & sm
+  if mask is not None:
+    s = jnp.where(mask, s, NEG_INF)
   m = jnp.max(s, axis=-1, keepdims=True)
   p = jnp.exp(s - m)
-  # Fully-masked rows (padding queries): make them output zeros, not NaN.
-  p = jnp.where(mask, p, 0.0)
+  if mask is not None:
+    # Fully-masked rows (padding queries): output zeros, not NaN.
+    p = jnp.where(mask, p, 0.0)
   l = jnp.sum(p, axis=-1, keepdims=True)
   return p, m, jnp.where(l == 0, 1.0, l)
 
@@ -257,9 +286,7 @@ def _oneshot_bwd_kernel(q_ref, k_ref, v_ref, do_ref, *refs, scale,
 
 def _oneshot_grid(bh, tq, tkv, d, bwd=False):
   """Largest block_b whose working set fits scoped VMEM (~16MB)."""
-  # Per-problem bytes: score/prob (+dp in bwd) f32 + in/out tensors bf16.
-  nmats = 3 if bwd else 2
-  per = nmats * tq * tkv * 4 + (6 if bwd else 4) * (tq + tkv) * d * 2
+  per = _oneshot_bytes(tq, tkv, d, bwd)
   bb = ONESHOT_BLOCK_B
   while bb > 1 and (bh % bb or bb * per > 12 * 1024 * 1024):
     bb //= 2
@@ -346,24 +373,23 @@ def _attend_oneshot(q, k, v, seg_q, seg_kv, causal):
 
 
 def _attend_oneshot_fwd(q, k, v, seg_q, seg_kv, causal):
+  # No explicit padding: Mosaic tiles ragged [T, T] problems internally
+  # (8/16-row, 128-lane granularity), measured faster than padding to 128
+  # at short T — and the bound masks vanish from the kernel entirely.
   seq_q, seq_kv = q.shape[1], k.shape[1]
   scale = 1.0 / np.sqrt(q.shape[-1])
-  tq_pad = max(-(-seq_q // 128) * 128, 128)
-  tkv_pad = max(-(-seq_kv // 128) * 128, 128)
-  qp, kp, vp = _pad_to(q, tq_pad), _pad_to(k, tkv_pad), _pad_to(v, tkv_pad)
-  sq, sk = _pad_seg(seg_q, tq_pad), _pad_seg(seg_kv, tkv_pad)
-  o = _oneshot_fwd(qp, kp, vp, sq, sk, scale=scale, causal=causal,
+  sq, sk = _pad_seg(seg_q, seq_q), _pad_seg(seg_kv, seq_kv)
+  o = _oneshot_fwd(q, k, v, sq, sk, scale=scale, causal=causal,
                    seq_q=seq_q, seq_kv=seq_kv)
-  # Residuals are just the padded inputs: bwd recomputes the softmax.
-  return o[:, :seq_q], (qp, kp, vp, sq, sk, seq_q, seq_kv, scale)
+  # Residuals are just the inputs: bwd recomputes the softmax.
+  return o, (q, k, v, sq, sk, seq_q, seq_kv, scale)
 
 
 def _attend_oneshot_bwd(causal, res, g):
-  qp, kp, vp, sq, sk, seq_q, seq_kv, scale = res
-  dop = _pad_to(g, qp.shape[1])
-  dq, dk, dv = _oneshot_bwd(qp, kp, vp, dop, sq, sk, scale=scale,
+  q, k, v, sq, sk, seq_q, seq_kv, scale = res
+  dq, dk, dv = _oneshot_bwd(q, k, v, g, sq, sk, scale=scale,
                             causal=causal, seq_q=seq_q, seq_kv=seq_kv)
-  return (dq[:, :seq_q], dk[:, :seq_kv], dv[:, :seq_kv], None, None)
+  return (dq, dk, dv, None, None)
 
 
 _attend_oneshot.defvjp(_attend_oneshot_fwd, _attend_oneshot_bwd)
