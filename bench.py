@@ -2,19 +2,25 @@
 
 Runs the REAL stack end to end on the local accelerator: synthetic-JPEG
 DataSource -> host decode+inception-crop threads -> device pp (flip,
-value_range, onehot) -> bf16 ViT-B/16 fwd/bwd -> Adam update. Measures
-steady-state throughput and the input-pipeline stall fraction, and prints
-ONE JSON line:
+value_range, onehot) -> bf16 ViT-B/16 fwd/bwd -> Adam update (donated
+buffers). Prints ONE JSON line with the headline metric plus the honesty
+fields: median AND best window, device-only ceiling, MFU, measured chip
+matmul peak, input stall, and which jpeg-decode path ran.
 
-  {"metric": ..., "value": imgs/sec/chip, "unit": "img/s",
-   "vs_baseline": fraction of the 95%-of-bf16-roofline target}
+FLOP accounting: ViT-B/16 @224 is 17.58 GMACs = 35.2e9 FLOPs per image
+forward; training ~= 3x forward = 105.5e9 FLOPs/img. (Round-1 bench used
+17.6e9 as "FLOPs", i.e. counted MACs — that overstated the roofline 2x.)
+Baseline = 0.95 * nominal bf16 peak / train FLOPs — on v5e (197 TFLOP/s
+nominal): 1774 img/s/chip. The measured 8192^3 matmul peak is also
+reported since shared/tunneled chips often sustain less than nominal.
 
-The reference publishes no images/sec number (BASELINE.md), so the baseline
-here is the physics: ViT-B/16 train ~= 3 x 17.6 GFLOPs/img; a v5e chip has
-~197 bf16 TFLOP/s -> roofline ~3730 img/s/chip; target = 0.95 * roofline.
+NOTE (axon platform): jax.device_get of a scalar is the only reliable
+completion barrier; block_until_ready returns early. All timing loops
+chain dependent dispatches and fetch once.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -22,11 +28,36 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+FLOPS_PER_IMG_FWD = 35.2e9          # 17.58 GMACs * 2
+FLOPS_PER_IMG_TRAIN = 3 * FLOPS_PER_IMG_FWD
+NOMINAL_PEAK = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+                "TPU v4": 275e12, "TPU v5p": 459e12}
+
+
+def _fetch(x):
+  return float(jax.device_get(jnp.asarray(x).ravel()[0]))
+
+
+def measure_matmul_peak_tflops(n=8192, iters=10):
+  """Sustained bf16 matmul TFLOP/s (chained, one sync)."""
+  a = jnp.ones((n, n), jnp.bfloat16)
+  b = jnp.ones((n, n), jnp.bfloat16)
+  mm = jax.jit(lambda a: jnp.dot(a, b, preferred_element_type=jnp.bfloat16))
+  x = mm(a)
+  _fetch(x)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    x = mm(x)
+  _fetch(x)
+  dt = (time.perf_counter() - t0) / iters
+  return 2 * n**3 / dt / 1e12
+
 
 def main():
   import big_vision_tpu.input_pipeline as ip
   import big_vision_tpu.optim as bv_optim
   import big_vision_tpu.utils as u
+  from big_vision_tpu import native
   from big_vision_tpu.models import vit
   import big_vision_tpu.pp.ops_general  # noqa: F401
   import big_vision_tpu.pp.ops_image  # noqa: F401
@@ -35,16 +66,20 @@ def main():
   batch = 256 * n_chips
   res = 224
 
+  # Pre-build the native decode path so the timed region never compiles,
+  # and so the JSON reports which path actually served the run.
+  decode_path = "native(dataio.so)" if native.available() else "PIL"
+
   train_iter, _ = ip.training(dict(
       data=dict(name="synthetic", n=16384, num_classes=1000, h=256, w=320,
                 unique_images=512),
       batch_size=batch,
       shuffle_buffer_size=1024,
-      num_threads=min(8, (__import__("os").cpu_count() or 1) * 8),
+      num_threads=min(8, (os.cpu_count() or 1) * 8),
       prefetch=4,
       # YUV420 raw-plane decode ships HALF the bytes over the host->device
-      # link (the bottleneck on this platform: measured 264 -> 539 img/s/chip
-      # vs the RGB path); BT.601 conversion happens on device.
+      # link (measured 264 -> 539 img/s/chip vs the RGB path on this
+      # platform); BT.601 conversion happens on device.
       pp=(f"decode_jpeg_and_inception_crop_yuv({res})|yuv420_to_rgb"
           "|flip_lr|value_range(-1, 1)"
           "|onehot(1000, key='label', key_result='labels')"
@@ -53,8 +88,6 @@ def main():
 
   model = vit.Model(num_classes=1000, variant="B/16", posemb="sincos2d",
                     pool_type="gap", dtype_mm="bfloat16",
-                    # One-shot flash path: fused dq/dk/dv backward beats
-                    # XLA attention in training (step 326ms vs 365ms).
                     attn_impl="flash")
   rng = jax.random.PRNGKey(0)
   params = jax.jit(
@@ -68,32 +101,41 @@ def main():
   opt = jax.jit(tx.init)(params)
 
   @jax.jit
-  def step_fn(params, opt, batch):
+  def step_fn(state, batch):
+    params, opt = state
     def loss_fn(p):
       logits, _ = model.apply({"params": p}, batch["image"], train=True)
       return u.softmax_xent(logits=logits, labels=batch["labels"])
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
-    return params, opt, loss
+    return (params, opt), loss
+  step_fn = jax.jit(step_fn, donate_argnums=(0,))
 
-  # Warmup: compile + let the pipeline fill. NOTE: device_get (not
-  # block_until_ready) is the reliable completion barrier on this platform.
+  state = (params, opt)
+  # Warmup: compile + let the pipeline fill.
   for _ in range(8):
     b = next(train_iter)
-    params, opt, loss = step_fn(params, opt, b)
-  float(jax.device_get(loss))
+    state, loss = step_fn(state, b)
+  _fetch(loss)
 
-  # Timed run. Sync every 5 steps: unbounded async dispatch thrashes the
-  # device channel on this platform (sync15: 129 img/s), per-step sync
-  # stalls the pipe (sync1: 264), sync5 is the sweet spot - and it is the
-  # honest loop shape, real training reads metrics back periodically.
-  # The remote chip shows large run-to-run contention variance (measured
-  # 205-676 img/s for identical code), so report the best steady-state
-  # window of three.
+  # Device-only ceiling: chained steps on one preloaded batch, one sync.
+  fixed = b
+  t0 = time.perf_counter()
+  ceil_steps = 10
+  for _ in range(ceil_steps):
+    state, loss = step_fn(state, fixed)
+  _fetch(loss)
+  ceil_dt = (time.perf_counter() - t0) / ceil_steps
+  device_only_ceiling = batch / ceil_dt / n_chips
+
+  # End-to-end windows. Sync every 5 steps: unbounded async dispatch
+  # thrashes the device channel on this platform, per-step sync stalls the
+  # pipe; 5 is the sweet spot and the honest loop shape (real training
+  # reads metrics back periodically).
   sync_every = 5
   windows = []
-  for _ in range(3):
+  for _ in range(5):
     steps = 10
     stall = 0.0
     t0 = time.perf_counter()
@@ -101,31 +143,41 @@ def main():
       s0 = time.perf_counter()
       b = next(train_iter)
       stall += time.perf_counter() - s0
-      params, opt, loss = step_fn(params, opt, b)
+      state, loss = step_fn(state, b)
       if (i + 1) % sync_every == 0:
-        final_loss = float(jax.device_get(loss))
-    final_loss = float(jax.device_get(loss))
+        _fetch(loss)
+    _fetch(loss)
     dt = time.perf_counter() - t0
     windows.append((batch * steps / dt, 100.0 * stall / dt))
 
-  imgs_per_sec, stall_pct = max(windows)
-  imgs_per_sec_chip = imgs_per_sec / n_chips
+  rates = sorted(w[0] for w in windows)
+  median_rate = rates[len(rates) // 2]
+  best_rate = rates[-1]
+  stall_pct = sorted(w[1] for w in windows)[len(windows) // 2]
+  imgs_per_sec_chip = median_rate / n_chips
 
-  # Physics baseline (see module docstring).
-  flops_per_img_train = 3 * 17.6e9
-  peak = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
-          "TPU v4": 275e12, "TPU v5p": 459e12}.get(
-              jax.devices()[0].device_kind, 197e12)
-  target = 0.95 * peak / flops_per_img_train
+  device_kind = jax.devices()[0].device_kind
+  nominal = NOMINAL_PEAK.get(device_kind, 197e12)
+  measured_peak = measure_matmul_peak_tflops()
+  target = 0.95 * nominal / FLOPS_PER_IMG_TRAIN
+  achieved_tflops = imgs_per_sec_chip * FLOPS_PER_IMG_TRAIN / 1e12
 
   print(json.dumps({
       "metric": "vit_b16_224px_train_images_per_sec_per_chip",
       "value": round(imgs_per_sec_chip, 2),
       "unit": "img/s/chip",
       "vs_baseline": round(imgs_per_sec_chip / target, 4),
+      "best_window": round(best_rate / n_chips, 2),
+      "window_spread": [round(r / n_chips, 1) for r in rates],
+      "device_only_ceiling": round(device_only_ceiling, 2),
+      "mfu_nominal": round(achieved_tflops / (nominal / 1e12), 4),
+      "mfu_vs_measured_peak": round(achieved_tflops / measured_peak, 4),
+      "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
-      "device": jax.devices()[0].device_kind,
+      "decode_path": decode_path,
+      "device": device_kind,
       "global_batch": batch,
+      "flops_per_img_train": FLOPS_PER_IMG_TRAIN,
   }))
 
 
