@@ -14,12 +14,20 @@ import big_vision_tpu.configs.common as bvcc
 
 
 def get_config(arg=None):
-  arg = bvcc.parse_arg(arg, res=16, total_steps=20, batch_size=16)
+  arg = bvcc.parse_arg(arg, res=16, total_steps=20, batch_size=16,
+                       attn="auto", seq_mesh=0)
   config = mlc.ConfigDict()
 
   config.seed = 0
   config.total_steps = arg.total_steps
   config.init_shapes = [(1, arg.res, arg.res, 3), (1, 12)]
+
+  if arg.seq_mesh:  # context parallelism over the LLM token axis
+    # LLM sequence = (res/16)^2 image tokens + 12 text tokens; pick res
+    # so it divides by the seq axis (res=32 -> 4 + 12 = 16 tokens).
+    config.mesh = [("data", -1), ("seq", arg.seq_mesh)]
+    config.sharding_rules = [("act_batch", "data"), ("act_emb", None),
+                             ("act_len", "seq")]
 
   tok = "model='test(256)'"
   pp = (
@@ -49,7 +57,8 @@ def get_config(arg=None):
   config.model = dict(
       img=dict(variant="mu/16", pool_type="none", posemb="sincos2d",
                head_zeroinit=False),
-      llm=dict(variant="gemma_test", scan=True, cache_dtype=None),
+      llm=dict(variant="gemma_test", scan=True, cache_dtype=None,
+               attn_impl=arg.attn),
   )
 
   config.optax_name = "scale_by_adam"

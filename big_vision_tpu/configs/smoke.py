@@ -14,7 +14,7 @@ import big_vision_tpu.configs.common as bvcc
 
 def get_config(arg=None):
   arg = bvcc.parse_arg(arg, res=32, total_steps=20, batch_size=16,
-                       mixup=True)
+                       mixup=True, attn="auto", seq_mesh=0)
   config = mlc.ConfigDict()
 
   config.seed = 0
@@ -22,6 +22,11 @@ def get_config(arg=None):
   config.num_classes = 10
   config.loss = "softmax_xent"
   config.init_shapes = [(1, arg.res, arg.res, 3)]
+
+  if arg.seq_mesh:  # context parallelism: shard the token axis seq_mesh-way
+    config.mesh = [("data", -1), ("seq", arg.seq_mesh)]
+    config.sharding_rules = [("act_batch", "data"), ("act_emb", None),
+                             ("act_len", "seq")]
 
   config.input = dict(
       data=dict(name="synthetic", n=256, num_classes=10, h=48, w=56),
@@ -39,8 +44,15 @@ def get_config(arg=None):
   config.ckpt_steps = 10
 
   config.model_name = "vit"
-  config.model = dict(variant="mu/16", rep_size=True, pool_type="gap",
-                      posemb="sincos2d")
+  if arg.seq_mesh:
+    # Explicit dims with a small patch so the token count (res/4)^2 is
+    # divisible by the seq axis; ring attention needs T % seq == 0.
+    config.model = dict(width=32, depth=2, mlp_dim=128, num_heads=2,
+                        patch_size=(4, 4), rep_size=True, pool_type="gap",
+                        posemb="sincos2d", attn_impl=arg.attn)
+  else:
+    config.model = dict(variant="mu/16", rep_size=True, pool_type="gap",
+                        posemb="sincos2d", attn_impl=arg.attn)
 
   config.grad_clip_norm = 1.0
   config.optax_name = "scale_by_adam"

@@ -4,6 +4,11 @@
   * "xla"   — einsum attention; XLA fuses well up to moderate T.
   * "flash" — Pallas fused flash-attention kernel (ops/flash_attention.py),
               O(T) memory, tiled for MXU/VMEM.
+  * "ring"  — context-parallel ring attention (ops/ring_attention.py):
+              sequence sharded over the ambient mesh's "seq" axis, K/V
+              rotated via ppermute. Config-driven: set the model's
+              attn_impl="ring" and give the trainer mesh a ("seq", N)
+              axis; without one it degrades to single-device math.
   * "auto"  — flash when available & shapes suit the kernel, else xla.
 
 Softmax always accumulates in float32 regardless of the matmul dtype —
@@ -68,6 +73,13 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
   0 < seg[j] <= seg[i]) that the fused flash kernel consumes directly;
   pass one or the other, not both.
   """
+  if impl == "ring":
+    if mask is not None:
+      # Arbitrary boolean masks don't shard over the ring; keep the mask
+      # semantics and let XLA handle it rather than silently dropping it.
+      return _xla_attention(q, k, v, mask)
+    from big_vision_tpu.ops import ring_attention
+    return ring_attention.ring_attention_auto(q, k, v, seg=seg)
   if seg is not None:
     assert mask is None, "pass mask or seg, not both"
     if impl == "auto":

@@ -48,9 +48,12 @@ def ambient_mesh():
   mesh = jax.sharding.get_abstract_mesh()
   if mesh is not None and not mesh.empty:
     return mesh
-  mesh = jax.sharding.get_mesh()
-  if mesh is not None and not mesh.empty:
-    return mesh
+  try:
+    mesh = jax.sharding.get_mesh()
+    if mesh is not None and not mesh.empty:
+      return mesh
+  except ValueError:
+    pass  # get_mesh raises inside jit; the legacy context below still works
   try:
     from jax._src import mesh as _mesh_lib  # pylint: disable=g-import-not-at-top
     mesh = _mesh_lib.thread_resources.env.physical_mesh

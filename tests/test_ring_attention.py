@@ -120,3 +120,55 @@ def test_ring_is_jittable_and_grads_flow():
   g_ref = jax.grad(
       lambda q, k, v: jnp.sum(full_attention(q, k, v) ** 2))(q, k, v)
   np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Trainer integration: a config flag turns on context parallelism.
+# ---------------------------------------------------------------------------
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _train(module, config, workdir):
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+  r = subprocess.run(
+      [sys.executable, "-m", module, "--config", config,
+       "--workdir", workdir],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+  assert r.returncode == 0, r.stderr[-3000:]
+  rows = [json.loads(l) for l in
+          open(os.path.join(workdir, "big_vision_metrics.txt"))]
+  return [r["training_loss"] for r in rows if "training_loss" in r]
+
+
+@pytest.mark.slow
+def test_trainer_ring_flag_matches_xla_vit(tmp_path):
+  """smoke.py:attn=ring,seq_mesh=8 — 64 tokens sharded 8-way, exact."""
+  cfg = ("big_vision_tpu/configs/smoke.py:"
+         "total_steps=6,batch_size=16,mixup=False,seq_mesh=8,attn=")
+  ring = _train("big_vision_tpu.train", cfg + "ring",
+                str(tmp_path / "ring"))
+  xla = _train("big_vision_tpu.train", cfg + "xla", str(tmp_path / "xla"))
+  assert ring and xla
+  np.testing.assert_allclose(ring, xla, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_ring_flag_matches_xla_prefix_lm(tmp_path):
+  """PaliGemma prefix-LM with the LLM token axis sharded 8-way."""
+  cfg = ("big_vision_tpu/configs/proj/paligemma/smoke.py:"
+         "total_steps=6,batch_size=16,res=32,seq_mesh=8,attn=")
+  ring = _train("big_vision_tpu.trainers.proj.paligemma.train",
+                cfg + "ring", str(tmp_path / "ring"))
+  xla = _train("big_vision_tpu.trainers.proj.paligemma.train",
+               cfg + "xla", str(tmp_path / "xla"))
+  assert ring and xla
+  np.testing.assert_allclose(ring, xla, rtol=1e-5)
