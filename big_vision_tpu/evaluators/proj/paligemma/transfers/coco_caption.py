@@ -3,8 +3,9 @@
 Parity target: reference evaluators/proj/paligemma/transfers/coco_caption.py
 (which calls pycocoevalcap). This image has no pycocoevalcap/java, so the
 scorers are the numpy/python implementations in textmetrics.py with a
-PTB-lite tokenizer; "meteor" and "spice" are gated (raise with a clear
-message) since both require the java toolchain.
+PTB-lite tokenizer, including a native METEOR (exact+stem modules; see
+textmetrics.meteor). "spice" stays gated (needs the java scene-graph
+parser).
 
 Batches must carry "image/id" and (multi-reference) "captions".
 """
@@ -75,6 +76,7 @@ class Evaluator:
         "cider": textmetrics.cider_d,
         "bleu-4": textmetrics.bleu4,
         "rouge": textmetrics.rouge_l,
+        "meteor": textmetrics.meteor,
     }
     # Remap image ids to dense ints; tokenize once.
     iid_map = collections.defaultdict(lambda: len(iid_map))
@@ -89,10 +91,10 @@ class Evaluator:
 
     scores = {}
     for metric in self.metrics:
-      if metric in ("meteor", "spice"):
+      if metric == "spice":
         raise NotImplementedError(
-            f"{metric} needs the java pycocoevalcap toolchain, which is "
-            "not available in this image; use cider/bleu-4/rouge.")
+            "spice needs the java scene-graph parser (pycocoevalcap), "
+            "not available in this image; use cider/bleu-4/rouge/meteor.")
       scores[metric] = scorers[metric](gts, res)
     return scores
 

@@ -43,11 +43,17 @@ class Evaluator:
   """FID between predicted-image features and reference statistics."""
 
   def __init__(self, predict_fn, reference_stats=None, feature_fn=None,
-               predict_kwargs=None, *, data, devices, **kw):
+               inception_ckpt=None, predict_kwargs=None, *, data, devices,
+               **kw):
     self.get_data_iter, self.steps = c.eval_input_pipeline(
         data=data, devices=devices, **kw)
     self.predict_fn = predict_fn
     self.predict_kwargs = predict_kwargs or {}
+    if feature_fn is None and inception_ckpt:
+      # Default extractor: the native flax InceptionV3 (pool3, 2048-d)
+      # with converted standard FID weights — the tf_gan/tfhub-free path.
+      from big_vision_tpu.models.proj.uvim import inception
+      feature_fn = inception.feature_fn_from_ckpt(inception_ckpt)
     self.feature_fn = feature_fn
     self.reference_stats = reference_stats
 
@@ -55,8 +61,9 @@ class Evaluator:
     if self.feature_fn is None:
       raise NotImplementedError(
           "coltran_fid needs an Inception feature extractor "
-          "(tensorflow_gan/tfhub in the reference), which is not in this "
-          "image. Pass feature_fn= (e.g. a flax InceptionV3) or use "
+          "(tensorflow_gan/tfhub in the reference). Set inception_ckpt= "
+          "to a converted FID-InceptionV3 npz (see "
+          "models/proj/uvim/inception.py), pass feature_fn=, or use "
           "save_predictions + offline FID.")
     return np.asarray(self.feature_fn(images))
 

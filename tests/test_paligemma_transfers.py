@@ -200,3 +200,40 @@ def test_coco_caption_evaluator_end_to_end(monkeypatch):
   metrics = dict(ev.run(None))
   assert metrics["cider"] == pytest.approx(10.0, abs=1e-5)
   assert metrics["rouge"] == pytest.approx(1.0)
+
+
+def test_porter_stemmer():
+  from big_vision_tpu.evaluators.proj.paligemma.transfers import (
+      textmetrics as tm)
+  for word, stem in [("caresses", "caress"), ("ponies", "poni"),
+                     ("cats", "cat"), ("feed", "feed"),
+                     ("agreed", "agre"), ("plastered", "plaster"),
+                     ("motoring", "motor"), ("sing", "sing"),
+                     ("conflated", "conflat"), ("hopping", "hop"),
+                     ("happy", "happi"), ("relational", "relat"),
+                     ("conditional", "condit"), ("rational", "ration"),
+                     ("probate", "probat"), ("cease", "ceas")]:
+    assert tm.porter_stem(word) == stem, (word, tm.porter_stem(word))
+
+
+def test_meteor_scores():
+  from big_vision_tpu.evaluators.proj.paligemma.transfers import (
+      textmetrics as tm)
+  toks = tm.ptb_lite_tokenize
+  # Identical sentence -> near 1 (tiny fragmentation penalty only).
+  gts = {0: [toks("the cat sat on the mat")]}
+  res = {0: [toks("the cat sat on the mat")]}
+  assert tm.meteor(gts, res) > 0.98
+  # Stem-level match still scores (exact would miss "sitting"/"sat").
+  res_stem = {0: [toks("the cats sitting on the mats")]}
+  gts_stem = {0: [toks("the cat sits on the mat")]}
+  s = tm.meteor(gts_stem, res_stem)
+  assert 0.2 < s < 1.0, s
+  # Disjoint caption -> 0; word salad scores below ordered caption.
+  assert tm.meteor({0: [toks("green trains arrive")]},
+                   {0: [toks("purple elephant dances")]}) == 0.0
+  ordered = tm.meteor({0: [toks("a big dog runs fast")]},
+                      {0: [toks("a big dog runs fast")]})
+  shuffled = tm.meteor({0: [toks("a big dog runs fast")]},
+                       {0: [toks("fast runs dog big a")]})
+  assert ordered > shuffled > 0

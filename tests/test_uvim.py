@@ -256,3 +256,59 @@ def test_stage2_trainer_task_mode_panoptic(tmp_path):
   assert train_state is not None
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "val/loss" in metrics and "pq/PQ" in metrics
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 FID feature extractor (native tf_gan/tfhub replacement).
+# ---------------------------------------------------------------------------
+
+
+def test_inception_features_and_state_dict_roundtrip(tmp_path):
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from big_vision_tpu.models.proj.uvim import inception
+
+  model = inception.InceptionV3Features()
+  variables = model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 75, 75, 3)))
+  feats = model.apply(variables, jnp.zeros((2, 75, 75, 3)))
+  assert feats.shape == (2, 2048)
+  assert np.isfinite(np.asarray(feats)).all()
+
+  # Inverse-convert the flax tree into a pt-style state dict npz, read it
+  # back through the converter, and check the trees agree exactly.
+  flat = {}
+  def walk(tree, prefix):
+    for k, v in tree.items():
+      path = prefix + [k]
+      if isinstance(v, dict):
+        walk(v, path)
+      else:
+        flat[".".join(path)] = np.asarray(v)
+  walk(jax.tree.map(np.asarray, variables["params"]), [])
+  walk(jax.tree.map(np.asarray, variables["batch_stats"]), [])
+
+  sd = {}
+  for key, val in flat.items():
+    parts = key.split(".")
+    if parts[-1] == "kernel":
+      sd[".".join(parts[:-1] + ["weight"])] = np.transpose(
+          val, (3, 2, 0, 1))  # HWIO -> OIHW
+    elif parts[-1] == "scale":
+      sd[".".join(parts[:-1] + ["weight"])] = val
+    elif parts[-1] == "bias":
+      sd[key] = val
+    elif parts[-1] == "mean":
+      sd[".".join(parts[:-1] + ["running_mean"])] = val
+    elif parts[-1] == "var":
+      sd[".".join(parts[:-1] + ["running_var"])] = val
+  npz = tmp_path / "incep.npz"
+  np.savez(npz, **sd)
+
+  loaded = inception.convert_state_dict_npz(str(npz))
+  jax.tree.map(np.testing.assert_array_equal,
+               jax.tree.map(np.asarray, dict(variables["params"])),
+               loaded["params"])
+  feats2 = model.apply(loaded, jnp.zeros((2, 75, 75, 3)))
+  np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2))
