@@ -34,15 +34,29 @@ def _xla_attention(q, k, v, mask=None):
   return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
-def _kernel_ok(t, d):
-  """Shared auto-dispatch policy: fused kernel wins at these shapes."""
+# XLA attention materializes [B, H, T, T] bf16 scores (transiently, under
+# remat); beyond this many bytes the O(T)-memory blocked kernel is the
+# only safe option even though XLA is somewhat faster on raw compute at
+# mid-T (measured v5e, T=1056 BH=128: xla grad 6.1ms vs blocked 10.3ms).
+XLA_SCORES_BYTES_LIMIT = 2 * 1024**3
+
+
+def _kernel_ok(t, d, b=1, h=1):
+  """Shared auto-dispatch policy.
+
+  One-shot fused kernel whenever its VMEM working set fits (strictly
+  faster than XLA: 5.6 vs 9.7 ms/layer at ViT-B/16 shapes); otherwise the
+  blocked kernel only when XLA's materialized score matrix would not fit
+  comfortably in HBM; else XLA.
+  """
   try:
     from big_vision_tpu.ops import flash_attention
   except ImportError:
     return False
   if not flash_attention.supports(t, d):
     return False
-  return flash_attention.oneshot_fits(t, t, d) or t >= 1024
+  return (flash_attention.oneshot_fits(t, t, d)
+          or b * h * t * t * 2 > XLA_SCORES_BYTES_LIMIT)
 
 
 def _flash_available(q, mask):
@@ -53,16 +67,12 @@ def _flash_available(q, mask):
   except ImportError:
     return False
   b, t, h, d = q.shape
-  del b, h
-  # Policy: the one-shot kernel ties XLA forward and beats it ~2x on the
-  # fused backward wherever its VMEM working set fits (measured on v5e:
-  # T=197 step 326ms vs 365ms; T=577 grad 3.9 vs 7.4ms; T=768 grad 4.8
-  # vs 10.9ms), and 100-step training parity holds (step-0 loss
-  # identical, grad-norm rel err 1e-5). For longer sequences the blocked
-  # kernel's O(T) memory wins from ~1k tokens. The narrow remaining
-  # XLA window is big-D shapes just under 1k tokens that overflow the
-  # one-shot VMEM budget.
-  return _kernel_ok(t, d)
+  # Policy: the one-shot kernel beats XLA wherever its VMEM working set
+  # fits (measured on v5e: 5.6 vs 9.7 ms/layer fwd+bwd at T=197 D=64;
+  # T=577 grad 3.9 vs 7.4ms; docs/flash_parity.md has the accuracy side).
+  # Past the one-shot limit XLA is faster on compute, so the blocked
+  # kernel engages only when XLA's materialized scores would not fit.
+  return _kernel_ok(t, d, b, h)
 
 
 def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
@@ -89,7 +99,7 @@ def dot_product_attention(q, k, v, mask=None, impl="auto", seg=None):
       # O(T) memory wins — not silently fall back to a materialized
       # [B, H, Tq, Tkv] mask.
       b, t, h, d = q.shape
-      if (t == k.shape[1] and _kernel_ok(t, d)):
+      if (t == k.shape[1] and _kernel_ok(t, d, b, h)):
         impl = "flash"
     if impl == "flash":
       from big_vision_tpu.ops import flash_attention

@@ -36,6 +36,7 @@ NEG_INF = -1e30
 # per program, single softmax, fused dq/dk/dv backward with ONE recompute.
 MAX_ONESHOT = 1024  # hard cap; `oneshot_fits` (VMEM) is the real gate
 ONESHOT_BLOCK_B = 8
+FUSED_BLOCKED_BWD = False  # see the measurement note in _bwd
 
 
 def supports(t, d):
@@ -397,7 +398,126 @@ _attend_oneshot.defvjp(_attend_oneshot_fwd, _attend_oneshot_bwd)
 
 # ---------------------------------------------------------------------------
 # Backward
+#
+# Preferred path: ONE fused kernel (grid over kv blocks; dq is a revisited
+# f32 accumulator output) producing dq+dk+dv from a single score recompute
+# per (q-block x kv-block) pair. The two-kernel path below (dq kernel +
+# dkv kernel, each recomputing scores) remains as the fallback for
+# sequences whose full-q working set exceeds VMEM.
 # ---------------------------------------------------------------------------
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      *refs, scale, block_q, seq_q, seq_kv, causal,
+                      block_kv, has_seg):
+  """Per program: one kv block vs ALL q blocks; one recompute total."""
+  if has_seg:
+    seg_q_ref, seg_kv_ref, dq_ref, dk_ref, dv_ref = refs
+    seg_kv = seg_kv_ref[0, 0][None, :]  # [1, bkv]
+  else:
+    dq_ref, dk_ref, dv_ref = refs
+  ki = pl.program_id(1)
+
+  @pl.when(ki == 0)
+  def _init():
+    dq_ref[...] = jnp.zeros_like(dq_ref)
+
+  k = k_ref[0].astype(jnp.float32)  # [bkv, d]
+  v = v_ref[0].astype(jnp.float32)
+  bkv, d = k.shape
+  nq = q_ref.shape[1] // block_q
+  col_ids = ki * block_kv + jax.lax.broadcasted_iota(
+      jnp.int32, (block_q, bkv), 1)
+
+  def body(i, carry):
+    dk, dv = carry
+    q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+    q = q * scale
+    do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+    lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    row_ids = i * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, bkv), 0)
+    mask = (col_ids < seq_kv) & (row_ids < seq_q)
+    if causal:
+      mask &= col_ids <= row_ids
+    if has_seg:
+      seg_q = seg_q_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+      mask &= (seg_kv > 0) & (seg_kv <= seg_q)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    # dq contribution of this (q, kv) pair; f32 accumulator output so
+    # summing across the kv grid dimension doesn't lose precision.
+    dq_blk = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dq_ref[0, pl.ds(i * block_q, block_q), :] += dq_blk * scale
+    return dk_new, dv_new
+
+  dk0 = jnp.zeros((bkv, d), jnp.float32)
+  dv0 = jnp.zeros((bkv, d), jnp.float32)
+  dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+  dk_ref[0] = dk.astype(dk_ref.dtype)
+  dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def fused_bwd_fits(tq, tkv, d, block_q, block_kv):
+  """Full-q working set (q, do, lse, delta, f32 dq) must fit VMEM."""
+  del tkv
+  per = (2 * _r(tq, 16) * _r(d, 128) * 2     # q, do (bf16)
+         + _r(tq, 8) * _r(d, 128) * 4        # dq accumulator (f32)
+         + 2 * _r(tq, 128) * 4               # lse, delta
+         + 2 * _r(block_kv, 16) * _r(d, 128) * 4
+         + 3 * _r(block_q, 8) * _r(block_kv, 128) * 4)
+  return per <= 10 * 1024 * 1024
+
+
+def _bwd_fused(q, k, v, o, lse, do, seg_q, seg_kv, *, scale, causal,
+               block_q, block_kv, seq_q, seq_kv):
+  bh, tq, d = q.shape
+  tkv = k.shape[1]
+  has_seg = seg_q is not None
+  delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                  axis=-1)[:, None, :]  # [BH, 1, Tq]
+  seg_args = (seg_q, seg_kv) if has_seg else ()
+  dq, dk, dv = pl.pallas_call(
+      functools.partial(_bwd_fused_kernel, scale=scale, block_q=block_q,
+                        seq_q=seq_q, seq_kv=seq_kv, causal=causal,
+                        block_kv=block_kv, has_seg=has_seg),
+      grid=(bh, tkv // block_kv),
+      in_specs=[
+          _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
+          _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+          _bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+          *([_bspec((1, 1, tq), lambda b, j: (b, 0, 0)),
+             _bspec((1, 1, block_kv), lambda b, j: (b, 0, j))]
+            if has_seg else []),
+      ],
+      out_specs=[
+          # dq: one full block per bh, revisited (and accumulated) across
+          # the sequential kv grid dimension.
+          _bspec((1, tq, d), lambda b, j: (b, 0, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+          _bspec((1, block_kv, d), lambda b, j: (b, j, 0)),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((bh, tq, d), jnp.float32),
+          jax.ShapeDtypeStruct((bh, tkv, d), k.dtype),
+          jax.ShapeDtypeStruct((bh, tkv, d), v.dtype),
+      ],
+      interpret=_interpret(),
+  )(q, k, v, do, lse, delta, *seg_args)
+  return dq.astype(q.dtype), dk, dv
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *refs,
@@ -495,6 +615,15 @@ def _bwd(q, k, v, o, lse, do, seg_q=None, seg_kv=None, *, scale, causal,
          block_q, block_kv, seq_q, seq_kv):
   bh, tq, d = q.shape
   tkv = k.shape[1]
+  if FUSED_BLOCKED_BWD and fused_bwd_fits(tq, tkv, d, block_q, block_kv):
+    # Measured on v5e the fused single-recompute kernel LOSES to the
+    # two-kernel path (T=1056: 11.9 vs 10.3ms grad; T=4128: 33 vs 27ms):
+    # the revisited f32 dq accumulator's read-modify-write per q-block
+    # costs more than the second score recompute saves. Kept behind this
+    # flag (and tested) in case the tradeoff flips on other hardware.
+    return _bwd_fused(q, k, v, o, lse, do, seg_q, seg_kv, scale=scale,
+                      causal=causal, block_q=block_q, block_kv=block_kv,
+                      seq_q=seq_q, seq_kv=seq_kv)
   has_seg = seg_q is not None
   delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                   axis=-1)[:, None, :]  # [BH, 1, Tq]

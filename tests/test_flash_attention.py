@@ -261,3 +261,41 @@ def test_seg_auto_dispatches_flash(monkeypatch):
   assert calls, "auto+seg did not dispatch the fused kernel"
   want = attn_ops.dot_product_attention(q, k, v, seg=seg, impl="xla")
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_blocked_bwd_matches_two_kernel():
+  """The gated single-recompute blocked backward stays correct."""
+  import big_vision_tpu.ops.flash_attention as fa
+  rs = np.random.RandomState(0)
+  bh, t, d = 2, 256, 32
+  q, k, v = (jnp.asarray(rs.randn(bh, t, d), jnp.float32) * 0.3
+             for _ in range(3))
+
+  def grads():
+    return jax.grad(
+        lambda q, k, v: fa._attend(q, k, v, None, None, True, 128, 128)
+        .sum(), argnums=(0, 1, 2))(q, k, v)
+
+  old = fa.FUSED_BLOCKED_BWD
+  try:
+    fa.FUSED_BLOCKED_BWD = True
+    assert fa.fused_bwd_fits(t, t, d, 128, 128)
+    g_fused = grads()
+    fa.FUSED_BLOCKED_BWD = False
+    jax.clear_caches()
+    g_two = grads()
+  finally:
+    fa.FUSED_BLOCKED_BWD = old
+  for a, b in zip(g_fused, g_two):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_auto_policy_memory_aware():
+  from big_vision_tpu.ops import attention
+  # One-shot shapes -> kernel.
+  assert attention._kernel_ok(197, 64, b=256, h=12)
+  # Mid-T, small batch: XLA scores fit -> no kernel.
+  assert not attention._kernel_ok(2048, 64, b=4, h=8)
+  # Same T, big batch*heads: scores would blow HBM -> blocked kernel.
+  assert attention._kernel_ok(2048, 64, b=256, h=16)
