@@ -1,13 +1,13 @@
 """Catalog of the VQA/captioning datasets the transfer configs expect.
 
-Parity note: the reference ships ~28 custom tfds GeneratorBasedBuilders
-(reference big_vision/datasets/<name>/) that convert publicly downloadable
-raw data into TFDS format. Those builders require the tensorflow_datasets
-toolchain, which is not baked into this image, so they are gated: with
-tfds installed, the reference builders (or your own) produce datasets this
-framework's `datasets/tfds.py` DataSource reads directly. Without tfds,
-use the native sources (`jsonl`, `imagefolder`, `arrays`) — every entry
-below lists the expected example features so a drop-in jsonl export works.
+These datasets now have EXECUTABLE native converters: `datasets/builders/`
+turns the same publicly downloadable raw files the reference's tfds
+GeneratorBasedBuilders consume (reference big_vision/datasets/<name>/)
+into the TF-free built-dataset layout `datasets/built.py` serves — run
+`python -m big_vision_tpu.tools.build_dataset --dataset=<name>
+--raw_dir=...`. This catalog remains as the schema reference: every entry
+lists the example features the pp chains/evaluators consume, which is
+also the contract a hand-rolled jsonl export must meet.
 
 Each entry: name -> (features the pp/evaluators consume, splits, source).
 """

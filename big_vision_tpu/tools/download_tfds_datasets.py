@@ -5,6 +5,10 @@ tensorflow_datasets is not baked into this image; the script reports how
 to proceed instead of crashing on import. Once tfds is installed the
 behavior matches the reference (covers cifar10/100, oxford pets/flowers,
 imagenet_v2 by default; pass dataset names as argv to override).
+
+For the VQA/captioning transfer datasets, prefer the native TF-free path:
+`python -m big_vision_tpu.tools.build_dataset --dataset=<name>
+--raw_dir=...` (see datasets/builders/) — no tfds needed.
 """
 
 from __future__ import annotations
