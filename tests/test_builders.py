@@ -231,3 +231,71 @@ def test_vqa_transfer_trains_e2e_on_built_dataset(tmp_path):
   assert any("training_loss" in row for row in rows)
   # The vqav2-style eval over the built validation split produced a metric.
   assert any(any("acc" in k for k in row) for row in rows), rows
+
+
+def test_build_textcaps_groups_captions(tmp_path):
+  raw, out = str(tmp_path / "raw"), str(tmp_path / "data")
+  _write_jpeg(os.path.join(raw, "train_images", "im1.jpg"), (5, 5, 5))
+  data = [{"image_id": "im1", "image_name": "im1",
+           "caption_str": f"caption {j}"} for j in range(3)]
+  with open(os.path.join(raw, "TextCaps_0.1_train.json"), "w") as f:
+    json.dump({"data": data}, f)
+  builders.build("textcaps", raw, out_dir=out, splits=["train"])
+  (ex,) = list(core.get("textcaps", split="train",
+                        data_dir=out).get_examples(ordered=True))
+  assert ex["texts"] == ["caption 0", "caption 1", "caption 2"]
+
+
+def test_build_science_qa_drops_imageless(tmp_path):
+  raw, out = str(tmp_path / "raw"), str(tmp_path / "data")
+  _write_jpeg(os.path.join(raw, "val", "q1", "image.png"), (1, 2, 3))
+  problems = {
+      "q1": {"split": "val", "image": "image.png", "question": "why?",
+             "choices": ["a", "b"], "answer": 1, "hint": "",
+             "lecture": "", "solution": ""},
+      "q2": {"split": "val", "image": None, "question": "no image",
+             "choices": ["a"], "answer": 0},
+  }
+  with open(os.path.join(raw, "problems.json"), "w") as f:
+    json.dump(problems, f)
+  builders.build("science_qa", raw, out_dir=out, splits=["val"])
+  exs = list(core.get("science_qa", split="val",
+                      data_dir=out).get_examples(ordered=True))
+  assert len(exs) == 1 and exs[0]["answer"] == "B"
+
+
+def test_build_pope_thing_extraction(tmp_path):
+  raw, out = str(tmp_path / "raw"), str(tmp_path / "data")
+  _write_jpeg(os.path.join(raw, "images", "val2014",
+                           "COCO_val2014_0.jpg"), (0, 1, 2))
+  rows = [{"image": "COCO_val2014_0.jpg",
+           "text": "Is there a snowboard in the image?", "label": "no"}]
+  os.makedirs(os.path.join(raw, "pope"))
+  with open(os.path.join(raw, "pope", "coco_pope_random.json"), "w") as f:
+    f.write("\n".join(json.dumps(r) for r in rows))
+  builders.build("pope/random", raw, out_dir=out)
+  (ex,) = list(core.get("pope/random", split="test",
+                        data_dir=out).get_examples(ordered=True))
+  assert ex["thing"] == "snowboard" and ex["answer"] == "no"
+
+
+def test_build_okvqa(tmp_path):
+  raw, out = str(tmp_path / "raw"), str(tmp_path / "data")
+  _write_jpeg(os.path.join(raw, "val2014",
+                           "COCO_val2014_000000000007.jpg"), (7, 7, 7))
+  qs = {"questions": [{"question_id": 70, "image_id": 7,
+                       "question": "what brand?"}]}
+  anns = {"annotations": [{
+      "question_id": 70, "image_id": 7, "answer_type": "other",
+      "multiple_choice_answer": "acme",
+      "answers": [{"answer": "acme", "raw_answer": "Acme"}] * 10}]}
+  with open(os.path.join(
+      raw, "OpenEnded_mscoco_val2014_questions.json"), "w") as f:
+    json.dump(qs, f)
+  with open(os.path.join(raw, "mscoco_val2014_annotations.json"),
+            "w") as f:
+    json.dump(anns, f)
+  builders.build("okvqa", raw, out_dir=out, splits=["val"])
+  (ex,) = list(core.get("okvqa", split="val",
+                        data_dir=out).get_examples(ordered=True))
+  assert ex["answers"] == ["acme"] * 10 and ex["question_id"] == 70
