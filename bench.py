@@ -172,6 +172,8 @@ def main():
       "device_only_ceiling": round(device_only_ceiling, 2),
       "mfu_nominal": round(achieved_tflops / (nominal / 1e12), 4),
       "mfu_vs_measured_peak": round(achieved_tflops / measured_peak, 4),
+      "mfu_device_only": round(
+          device_only_ceiling * FLOPS_PER_IMG_TRAIN / nominal, 4),
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
       "decode_path": decode_path,
