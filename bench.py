@@ -53,6 +53,32 @@ def measure_matmul_peak_tflops(n=8192, iters=10):
   return 2 * n**3 / dt / 1e12
 
 
+def measure_host_decode_rate(res=224, n=256, seconds_cap=10.0):
+  """Host-side img/s through the real decode+crop path (no device work)."""
+  import io
+
+  import numpy as np
+  from PIL import Image
+
+  from big_vision_tpu import native
+
+  rng = np.random.default_rng(0)
+  img = Image.fromarray(rng.integers(0, 255, (256, 320, 3), np.uint8))
+  buf = io.BytesIO()
+  img.save(buf, format="JPEG", quality=85)
+  data = buf.getvalue()
+  t0 = time.perf_counter()
+  done = 0
+  while done < n and time.perf_counter() - t0 < seconds_cap:
+    if native.available():
+      native.decode_crop_resize_yuv420(data, (10, 10, 230, 230), res)
+    else:
+      arr = np.asarray(Image.open(io.BytesIO(data)))
+      arr = arr[10:240, 10:240]
+    done += 1
+  return done / (time.perf_counter() - t0)
+
+
 def main():
   import big_vision_tpu.input_pipeline as ip
   import big_vision_tpu.optim as bv_optim
@@ -119,23 +145,18 @@ def main():
     state, loss = step_fn(state, b)
   _fetch(loss)
 
-  # Device-only ceiling: chained steps on one preloaded batch, one sync.
-  fixed = b
-  t0 = time.perf_counter()
-  ceil_steps = 10
-  for _ in range(ceil_steps):
-    state, loss = step_fn(state, fixed)
-  _fetch(loss)
-  ceil_dt = (time.perf_counter() - t0) / ceil_steps
-  device_only_ceiling = batch / ceil_dt / n_chips
-
   # End-to-end windows. Sync every 5 steps: unbounded async dispatch
   # thrashes the device channel on this platform, per-step sync stalls the
   # pipe; 5 is the sweet spot and the honest loop shape (real training
-  # reads metrics back periodically).
+  # reads metrics back periodically). The first 2 windows are discarded as
+  # warmup: decode threads, shuffle pool, and prefetch queue take a few
+  # hundred steps' worth of images to reach steady state (measured ramp
+  # 243->694 img/s over the first ~30 steps on this host) — steady-state
+  # throughput is the honest training-rate figure.
   sync_every = 5
   windows = []
-  for _ in range(5):
+  n_warmup, n_meas = 2, 5
+  for w in range(n_warmup + n_meas):
     steps = 10
     stall = 0.0
     t0 = time.perf_counter()
@@ -148,7 +169,20 @@ def main():
         _fetch(loss)
     _fetch(loss)
     dt = time.perf_counter() - t0
-    windows.append((batch * steps / dt, 100.0 * stall / dt))
+    if w >= n_warmup:
+      windows.append((batch * steps / dt, 100.0 * stall / dt))
+
+  # Device-only ceiling: chained steps on one preloaded batch, one sync.
+  # Measured AFTER the e2e windows so its device hogging doesn't drain the
+  # prefetch queue under the first measured window.
+  fixed = b
+  t0 = time.perf_counter()
+  ceil_steps = 10
+  for _ in range(ceil_steps):
+    state, loss = step_fn(state, fixed)
+  _fetch(loss)
+  ceil_dt = (time.perf_counter() - t0) / ceil_steps
+  device_only_ceiling = batch / ceil_dt / n_chips
 
   rates = sorted(w[0] for w in windows)
   median_rate = rates[len(rates) // 2]
@@ -159,6 +193,7 @@ def main():
   device_kind = jax.devices()[0].device_kind
   nominal = NOMINAL_PEAK.get(device_kind, 197e12)
   measured_peak = measure_matmul_peak_tflops()
+  host_decode_rate = measure_host_decode_rate(res)
   target = 0.95 * nominal / FLOPS_PER_IMG_TRAIN
   achieved_tflops = imgs_per_sec_chip * FLOPS_PER_IMG_TRAIN / 1e12
 
@@ -174,8 +209,13 @@ def main():
       "mfu_vs_measured_peak": round(achieved_tflops / measured_peak, 4),
       "mfu_device_only": round(
           device_only_ceiling * FLOPS_PER_IMG_TRAIN / nominal, 4),
+      "mfu_device_only_vs_measured_peak": round(
+          device_only_ceiling * FLOPS_PER_IMG_TRAIN / 1e12 / measured_peak,
+          4),
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
+      "host_decode_imgs_per_sec_1thread": round(host_decode_rate, 1),
+      "host_cpus": os.cpu_count(),
       "decode_path": decode_path,
       "device": device_kind,
       "global_batch": batch,

@@ -61,8 +61,16 @@ def _repeated(source, seed):
     epoch += 1
 
 
-def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None):
-  """Ordered, bounded map of the host pp phase over a thread pool."""
+def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None,
+                 chunk_size=16):
+  """Ordered, bounded map of the host pp phase over a thread pool.
+
+  Examples are submitted in chunks: one future per `chunk_size` examples.
+  On a host with few cores the per-future overhead (submit/result locks,
+  GIL churn) otherwise costs ~0.1ms per EXAMPLE — a double-digit share of
+  a JPEG decode. Determinism is unchanged: each example's rng is keyed by
+  its global stream index, not by thread or chunk.
+  """
   import concurrent.futures
   if num_threads <= 1:
     rng = np.random.default_rng(seed)
@@ -75,26 +83,39 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None):
 
   pool = concurrent.futures.ThreadPoolExecutor(num_threads)
   window = collections.deque()
-  depth = num_threads * 4
+  depth = num_threads * 2  # in-flight chunks
 
-  def work(ex, i):
-    rng = np.random.default_rng((seed, i))
+  def work(chunk, start):
     # Host-phase ops may execute eager jax on CPU (device-capable ops that
     # sit before a host-only op); those transfers are intentional.
+    out = []
     with jax.transfer_guard("allow"):
-      return pfn.host(ex, rng)
+      for j, ex in enumerate(chunk):
+        rng = np.random.default_rng((seed, start + j))
+        out.append(pfn.host(ex, rng))
+    return out
+
+  def chunks():
+    buf, start = [], 0
+    for i, ex in enumerate(stream):
+      buf.append(ex)
+      if len(buf) == chunk_size:
+        yield buf, start
+        buf, start = [], i + 1
+    if buf:
+      yield buf, start
 
   try:
-    for i, ex in enumerate(stream):
-      window.append(pool.submit(work, ex, i))
+    for chunk, start in chunks():
+      window.append(pool.submit(work, chunk, start))
       if len(window) >= depth:
-        out = window.popleft().result()
+        for out in window.popleft().result():
+          if filter_fn is None or filter_fn(out):
+            yield out
+    while window:
+      for out in window.popleft().result():
         if filter_fn is None or filter_fn(out):
           yield out
-    while window:
-      out = window.popleft().result()
-      if filter_fn is None or filter_fn(out):
-        yield out
   finally:
     pool.shutdown(wait=False, cancel_futures=True)
 
