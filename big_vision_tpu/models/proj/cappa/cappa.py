@@ -61,10 +61,11 @@ class EncoderDecoderBlock(nn.Module):
           f, ("act_batch", "act_len", "act_emb"))
 
     x = wlc(nn.LayerNorm(name="LayerNorm1", use_bias=self.use_bias)(targets))
-    x = wlc(nn.SelfAttention(
+    x = wlc(nn.MultiHeadDotProductAttention(
         num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
         dropout_rate=self.dropout_rate, decode=self.decode,
-        name="SelfAttn")(x, decoder_mask, deterministic=deterministic))
+        name="SelfAttn")(x, mask=decoder_mask,
+                         deterministic=deterministic))
     x = wlc(nn.Dropout(rate=self.dropout_rate)(x, deterministic))
     x = wlc(x + targets)
 

@@ -86,7 +86,7 @@ class Model(vae.Model):
   def encode(self, x, *, train=False):
     if self.inout_specs is not None:
       x = jnp.concatenate(
-          [nn.one_hot(x[..., in_ch], n)
+          [nn.one_hot(x[..., in_ch].astype(jnp.int32), n)
            for in_ch, n in self.inout_specs.values()], axis=-1)
     x = self.embedding(x)
     x = einops.rearrange(x, "b h w c -> b (h w) c")

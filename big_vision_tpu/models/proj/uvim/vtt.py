@@ -33,10 +33,10 @@ class EncoderDecoderBlock(nn.Module):
   def __call__(self, targets, encoded, decoder_mask=None,
                deterministic=True):
     x = nn.LayerNorm(name="LayerNorm1")(targets)
-    x = nn.SelfAttention(
+    x = nn.MultiHeadDotProductAttention(
         num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
         dropout_rate=self.dropout_rate, decode=self.decode,
-        name="SelfAttn")(x, decoder_mask, deterministic=deterministic)
+        name="SelfAttn")(x, mask=decoder_mask, deterministic=deterministic)
     x = nn.Dropout(rate=self.dropout_rate)(x, deterministic)
     x = x + targets
 

@@ -27,7 +27,7 @@ def input_pp(batch, config):
       x[key] = jax.nn.one_hot(
           einops.rearrange(
               x[key], "b (hn hp) (wn wp) -> b (hn wn) (hp wp)",
-              hp=hp, wp=wp),
+              hp=hp, wp=wp).astype(jnp.int32),
           num_classes=config.model.inputs[key][ONE_HOT_AXIS],
           axis=ONE_HOT_AXIS)
   ctx = batch.get("image_ctx", batch.get("image", None))

@@ -118,7 +118,7 @@ def test_keep_on_cpu_strings():
           "label": list(range(8))}
   cfg = dict(data=dict(name="arrays", data=data), batch_size=8,
              pp="value_range(-1,1)|keep('image','label')",
-             prefetch=0)
+             shuffle_buffer_size=8, prefetch=0)
   it, _ = ip.training(cfg, seed=0)
   batch = next(it)
   # Strings never hit the device; they ride along as object arrays.

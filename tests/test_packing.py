@@ -49,7 +49,7 @@ def test_pipeline_pack_integration():
   data = {"text": [f"w{i} " * (i % 5 + 1) for i in range(32)]}
   cfg = dict(
       data=dict(name="arrays", data=data),
-      batch_size=8, prefetch=0,
+      batch_size=8, prefetch=0, shuffle_buffer_size=1,
       # Variable-length tokenization (no padding): packing fills the rows.
       pp=("tok(model='test(100)', eos='yes', inkey='text', outkey='text')"
           "|keep('text')"),
