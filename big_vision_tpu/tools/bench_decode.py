@@ -1,0 +1,139 @@
+"""Serving benchmark: PaliGemma prefill + autoregressive decode throughput.
+
+Measures the fully-jitted decode path (models/proj/paligemma/predict_fns.py:
+prefill then a `lax.while_loop` over `extend_cache` — zero host round trips
+per token, unlike the reference's python token loop,
+/root/reference/big_vision/trainers/proj/paligemma/predict_fns.py:131-145).
+
+Prints ONE JSON line:
+  prefill_ms          — time to embed image+prompt and fill the KV cache
+  decode_tok_per_sec  — generated tokens/sec across the batch (steady AR)
+  per_example_tok_per_sec — decode_tok_per_sec / batch
+  e2e_ms              — prefill + full decode wall time per batch
+
+Usage:
+  python -m big_vision_tpu.tools.bench_decode              # tiny test model
+  python -m big_vision_tpu.tools.bench_decode --variant gemma_2b \
+      --img_variant B/16 --res 224 --batch 8 --decode_len 128
+
+Timing uses chained dispatch + a single jax.device_get as the barrier
+(block_until_ready returns early on the axon platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _fetch(x):
+  return float(jax.device_get(jnp.asarray(x).ravel()[0]))
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument("--variant", default="gemma_test",
+                 help="llm variant (gemma_test, gemma_2b, gemma2_2b, ...)")
+  p.add_argument("--img_variant", default="S/16")
+  p.add_argument("--res", type=int, default=224)
+  p.add_argument("--batch", type=int, default=8)
+  p.add_argument("--prefill_len", type=int, default=32,
+                 help="prompt tokens after the image prefix")
+  p.add_argument("--decode_len", type=int, default=64)
+  p.add_argument("--iters", type=int, default=5)
+  args = p.parse_args(argv)
+
+  from big_vision_tpu.models.proj.paligemma import paligemma
+  from big_vision_tpu.models.proj.paligemma import predict_fns
+
+  model = paligemma.Model(
+      img=dict(variant=args.img_variant, pool_type="none", scan=True,
+               dtype_mm="bfloat16"),
+      llm=dict(variant=args.variant, scan=True, cache_dtype="bfloat16"),
+  )
+
+  rng = jax.random.PRNGKey(0)
+  image = jnp.zeros((args.batch, args.res, args.res, 3), jnp.float32)
+  text = jnp.ones((args.batch, args.prefill_len), jnp.int32)
+  batch = {"image": image, "text": text,
+           "mask_input": jnp.ones_like(text, bool),
+           "mask_ar": jnp.zeros_like(text)}
+
+  t0 = time.perf_counter()
+  params = jax.jit(lambda k: jax.tree.map(
+      lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+      model.init(k, image[:1], text[:1],
+                 jnp.zeros_like(text[:1]))["params"]))(rng)
+  n_params = sum(x.size for x in jax.tree.leaves(params))
+  _fetch(jax.tree.leaves(params)[0])
+  init_s = time.perf_counter() - t0
+
+  fns = predict_fns.make_predict_fns(
+      model, max_decode_len=args.decode_len,
+      eos_token=-1,  # unreachable: decode always runs full length
+      sampler="greedy")
+  train_state = {"params": params}
+
+  half = max(args.decode_len // 2, 1)
+
+  # Warm both cores (compile).
+  toks = fns["decode"](train_state, batch, max_decode_len=args.decode_len)
+  _fetch(toks)
+  tokh = fns["decode"](train_state, batch, max_decode_len=half)
+  _fetch(tokh)
+
+  def timed(decode_len, iters):
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+      r = jax.random.PRNGKey(i)
+      out = fns["decode"](train_state, batch, rng=r,
+                          max_decode_len=decode_len)
+    _fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+  t_full = timed(args.decode_len, args.iters)
+  t_half = timed(half, args.iters)
+
+  # Separate prefill from steady-state AR via two-point regression:
+  # t(L) = prefill + L*step, measured at L and L/2 (both large enough
+  # that per-call dispatch noise doesn't dominate the difference).
+  dt = t_full - t_half
+  if dt < 0.03 * t_full:
+    # The model is so small the AR loop is below timer resolution on this
+    # platform; only e2e is meaningful.
+    step_s = prefill_s = tok_rate = None
+  else:
+    step_s = dt / max(args.decode_len - half, 1)
+    prefill_s = max(t_full - args.decode_len * step_s, 0.0)
+    tok_rate = args.batch / step_s
+
+  rnd = lambda x, n: None if x is None else round(x, n)
+  print(json.dumps({
+      "metric": "paligemma_decode_tok_per_sec",
+      "value": rnd(tok_rate, 1),
+      "unit": "tok/s (batch-aggregate, steady AR)",
+      "per_example_tok_per_sec": rnd(
+          tok_rate / args.batch if tok_rate else None, 2),
+      "prefill_ms": rnd(prefill_s * 1e3 if prefill_s is not None else None,
+                        2),
+      "ar_step_ms": rnd(step_s * 1e3 if step_s is not None else None, 3),
+      "e2e_ms_per_batch": round(t_full * 1e3, 1),
+      "llm_variant": args.variant,
+      "img_variant": args.img_variant,
+      "res": args.res,
+      "batch": args.batch,
+      "prefill_len": args.prefill_len,
+      "decode_len": args.decode_len,
+      "n_params": n_params,
+      "init_s": round(init_s, 1),
+      "device": jax.devices()[0].device_kind,
+  }))
+
+
+if __name__ == "__main__":
+  main()
