@@ -34,6 +34,26 @@ def _fetch(x):
   return float(jax.device_get(jnp.asarray(x).ravel()[0]))
 
 
+def measure_hbm_read_gbps(gb=1.0, iters=10):
+  """Sustained HBM read GB/s (chained sum-reduce, one sync).
+
+  AR decode at small batch is weight-read bound: tok/s floor =
+  batch * bw / param_bytes. Reporting the measured bw alongside makes the
+  decode numbers roofline-interpretable on shared chips.
+  """
+  n = int(gb * 1e9 / 2)
+  x = jnp.ones((n,), jnp.bfloat16)
+  f = jax.jit(lambda x, s: s + jnp.sum(x, dtype=jnp.float32))
+  s = f(x, jnp.float32(0.0))
+  _fetch(s)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    s = f(x, s)
+  _fetch(s)
+  dt = (time.perf_counter() - t0) / iters
+  return n * 2 / 1e9 / dt
+
+
 def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument("--variant", default="gemma_test",
@@ -112,6 +132,13 @@ def main(argv=None):
     prefill_s = max(t_full - args.decode_len * step_s, 0.0)
     tok_rate = args.batch / step_s
 
+  hbm_gbps = measure_hbm_read_gbps(
+      gb=1.0 if jax.default_backend() != "cpu" else 0.05)
+  param_bytes = sum(x.size * x.dtype.itemsize
+                    for x in jax.tree.leaves(params))
+  # Weight-read floor for one AR step on THIS chip (cache reads excluded).
+  floor_ms = param_bytes / 1e9 / hbm_gbps * 1e3
+
   rnd = lambda x, n: None if x is None else round(x, n)
   print(json.dumps({
       "metric": "paligemma_decode_tok_per_sec",
@@ -130,6 +157,10 @@ def main(argv=None):
       "prefill_len": args.prefill_len,
       "decode_len": args.decode_len,
       "n_params": n_params,
+      "measured_hbm_read_gbps": round(hbm_gbps, 1),
+      "ar_step_weight_read_floor_ms": round(floor_ms, 2),
+      "ar_step_vs_bw_floor": rnd(
+          floor_ms / (step_s * 1e3) if step_s else None, 3),
       "init_s": round(init_s, 1),
       "device": jax.devices()[0].device_kind,
   }))

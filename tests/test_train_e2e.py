@@ -105,3 +105,25 @@ def test_cappa_trainer_e2e(tmp_path):
   assert r.returncode == 0, r.stderr[-3000:]
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "training_loss" in metrics
+
+
+def test_bench_decode_tool_tiny(capsys):
+  """The serving bench runs end-to-end on the tiny variant and emits the
+  JSON contract (value may be null when the AR loop is below timer
+  resolution on tiny models)."""
+  import json
+
+  from big_vision_tpu.tools import bench_decode
+
+  bench_decode.main([
+      "--variant", "gemma_test", "--img_variant", "mu/16", "--res", "32",
+      "--batch", "2", "--prefill_len", "4", "--decode_len", "8",
+      "--iters", "1"])
+  line = capsys.readouterr().out.strip().splitlines()[-1]
+  rec = json.loads(line)
+  assert rec["metric"] == "paligemma_decode_tok_per_sec"
+  for k in ("value", "prefill_ms", "ar_step_ms", "e2e_ms_per_batch",
+            "n_params", "measured_hbm_read_gbps",
+            "ar_step_weight_read_floor_ms", "device"):
+    assert k in rec, k
+  assert rec["e2e_ms_per_batch"] > 0
