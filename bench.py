@@ -53,6 +53,29 @@ def measure_matmul_peak_tflops(n=8192, iters=10):
   return 2 * n**3 / dt / 1e12
 
 
+def measure_h2d_gbps(mb=16, iters=8):
+  """Sustained host->device transfer rate (synced each put).
+
+  On this tunneled platform the h2d link has minute-scale contention
+  phases (measured 19-52+ MB/s); when it throttles, e2e throughput pins
+  at link_rate / bytes_per_img regardless of host or device speed. This
+  field makes such runs self-explaining.
+  """
+  import numpy as np
+  x = np.random.default_rng(0).integers(
+      0, 255, (mb * 1024 * 1024,), np.uint8)
+  d = jax.devices()[0]
+  with jax.transfer_guard("allow"):
+    a = jax.device_put(x, d)
+    _fetch(a[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+      a = jax.device_put(x, d)
+      _fetch(a[:1])
+  dt = (time.perf_counter() - t0) / iters
+  return mb / 1024 / dt
+
+
 def measure_host_decode_rate(res=224, n=256, seconds_cap=10.0):
   """Host-side img/s through the real decode+crop path (no device work)."""
   import io
@@ -159,8 +182,8 @@ def main():
   sync_every = 5
   windows = []
   n_warmup, n_meas = 2, 5
-  for w in range(n_warmup + n_meas):
-    steps = 10
+
+  def run_window(state, steps=10):
     stall = 0.0
     t0 = time.perf_counter()
     for i in range(steps):
@@ -172,8 +195,23 @@ def main():
         _fetch(loss)
     _fetch(loss)
     dt = time.perf_counter() - t0
+    return state, b, (batch * steps / dt, 100.0 * stall / dt)
+
+  for w in range(n_warmup + n_meas):
+    state, b, win = run_window(state)
     if w >= n_warmup:
-      windows.append((batch * steps / dt, 100.0 * stall / dt))
+      windows.append(win)
+  # Shared-chip contention phases last minutes; if this run straddled one
+  # (pathological spread), take a few more samples so the median reflects
+  # the run's typical rate rather than which half dominated.
+  extra = 0
+  while extra < 4:
+    rates_so_far = sorted(wn[0] for wn in windows)
+    if rates_so_far[-1] / max(rates_so_far[0], 1e-9) <= 1.4:
+      break
+    state, b, win = run_window(state)
+    windows.append(win)
+    extra += 1
 
   # Device-only ceiling: chained steps on one preloaded batch, one sync.
   # Measured AFTER the e2e windows so its device hogging doesn't drain the
@@ -197,6 +235,11 @@ def main():
   nominal = NOMINAL_PEAK.get(device_kind, 197e12)
   measured_peak = measure_matmul_peak_tflops()
   host_decode_rate = measure_host_decode_rate(res)
+  h2d_gbps = measure_h2d_gbps()
+  # Bytes shipped per image on the YUV path: Y res^2 + 2 chroma (res/2)^2
+  # uint8 (+ a scalar label; one-hot happens in the device pp phase).
+  bytes_per_img = res * res * 3 // 2 + 8
+  h2d_bound_imgs = h2d_gbps * 1024**3 / bytes_per_img
   target = 0.95 * nominal / FLOPS_PER_IMG_TRAIN
   achieved_tflops = imgs_per_sec_chip * FLOPS_PER_IMG_TRAIN / 1e12
 
@@ -218,6 +261,8 @@ def main():
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
       "host_decode_imgs_per_sec_1thread": round(host_decode_rate, 1),
+      "h2d_link_mb_per_sec": round(h2d_gbps * 1024, 1),
+      "h2d_link_bound_imgs_per_sec": round(h2d_bound_imgs, 1),
       "host_cpus": os.cpu_count(),
       "decode_path": decode_path,
       "device": device_kind,

@@ -245,7 +245,12 @@ def training(input_config, *, devices=None, seed=0):
                                                  jax.process_count())
   local_batch = batch_size // jax.process_count()
   pfn = pp_builder.get_preprocess_fn(cfg.get("pp"))
-  num_threads = cfg.get("num_threads", 16)
+  # Default pp threads: 4/core (decode releases the GIL; more is churn on
+  # few-core hosts — measured 4 threads 657 vs 8 threads 566 img/s on a
+  # 1-CPU host). Configs may still set any explicit value.
+  import os as _os
+  num_threads = (cfg.get("num_threads")
+                 or min(16, max(4, (_os.cpu_count() or 1) * 4)))
   shuffle_buffer = cfg.get("shuffle_buffer_size")
   if not shuffle_buffer:
     # A missing/None/0 buffer means NO shuffling — silent accuracy loss on
@@ -310,7 +315,8 @@ def training(input_config, *, devices=None, seed=0):
 
 
 def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
-                       num_batches=None, keep_on_cpu=(), seed=0):
+                       num_batches=None, keep_on_cpu=(), seed=0,
+                       num_threads=None):
   """Deterministic eval pipeline with the infinite-padding + _mask contract.
 
   Every process yields exactly `ceil(max_per_process / local_batch)` batches
@@ -336,8 +342,11 @@ def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
     capacity = num_batches * local_batch
     count = 0
     proto = None
+    import os
+    nthreads = num_threads or min(16, max(4, (os.cpu_count() or 1) * 4))
     for ex in _pp_threaded(
-        source.get_examples(ordered=True), pfn, num_threads=16, seed=seed):
+        source.get_examples(ordered=True), pfn, num_threads=nthreads,
+        seed=seed):
       if count >= capacity:
         break
       ex = dict(ex)
