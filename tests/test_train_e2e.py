@@ -127,3 +127,27 @@ def test_bench_decode_tool_tiny(capsys):
             "ar_step_weight_read_floor_ms", "device"):
     assert k in rec, k
   assert rec["e2e_ms_per_batch"] > 0
+
+
+def test_graft_entry_forward():
+  """Driver contract: entry() returns a jittable forward + example args."""
+  import jax
+
+  import __graft_entry__ as g
+
+  fn, args = g.entry()
+  out = jax.jit(fn)(*args)
+  assert out.shape == (8, 1000), out.shape
+
+
+def test_bench_probe_functions():
+  """bench.py's probe helpers run on any backend (driver-contract guard:
+  a crash in any probe would empty the round's BENCH json)."""
+  import bench
+
+  r = bench.measure_host_decode_rate(64, n=8, seconds_cap=2.0)
+  assert r > 0
+  g = bench.measure_h2d_gbps(mb=1, iters=2)
+  assert g > 0
+  t = bench.measure_matmul_peak_tflops(n=256, iters=2)
+  assert t > 0
