@@ -14,7 +14,8 @@ import big_vision_tpu.configs.common as bvcc
 
 def get_config(arg=None):
   arg = bvcc.parse_arg(arg, res=32, total_steps=20, batch_size=16,
-                       mixup=True, attn="auto", seq_mesh=0)
+                       mixup=True, attn="auto", seq_mesh=0, log=5,
+                       stop=0, ckpt=10)
   config = mlc.ConfigDict()
 
   config.seed = 0
@@ -40,8 +41,10 @@ def get_config(arg=None):
           "|keep('image', 'labels')"),
   )
 
-  config.log_training_steps = 5
-  config.ckpt_steps = 10
+  config.log_training_steps = arg.log
+  config.ckpt_steps = arg.ckpt
+  if arg.stop:
+    config.stop_after_steps = arg.stop
 
   config.model_name = "vit"
   if arg.seq_mesh:

@@ -62,7 +62,7 @@ def _repeated(source, seed):
 
 
 def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None,
-                 chunk_size=16):
+                 chunk_size=16, index_offset=0):
   """Ordered, bounded map of the host pp phase over a thread pool.
 
   Examples are submitted in chunks: one future per `chunk_size` examples.
@@ -91,7 +91,10 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None,
     out = []
     with jax.transfer_guard("allow"):
       for j, ex in enumerate(chunk):
-        rng = np.random.default_rng((seed, start + j))
+        # index_offset keeps per-example rng keys continuous across a
+        # resume seek: example N of the run gets rng (seed, N) whether or
+        # not the stream was fast-forwarded to reach it.
+        rng = np.random.default_rng((seed, index_offset + start + j))
         out.append(pfn.host(ex, rng))
     return out
 
@@ -118,6 +121,18 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None,
           yield out
   finally:
     pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _skipped(stream, n):
+  """Drops the first n raw examples (pre-decode: cheap byte dicts).
+
+  Sample-exact resume: the shuffled raw stream is deterministic given
+  (source, seed), so skipping `resumed_step * local_batch` examples
+  replays the interrupted run's stream position without decoding anything.
+  """
+  for _ in range(n):
+    next(stream)
+  return stream
 
 
 def _collate(examples):
@@ -154,7 +169,7 @@ def _is_numeric(v):
 
 def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
                  keep_on_cpu=(), preserve_internal=False,
-                 preserve_keys=()):
+                 preserve_keys=(), step_offset=0):
   """Turns local numpy batches into prefetched global device batches.
 
   Numeric keys become jax.Arrays sharded over `devices` along the batch
@@ -190,8 +205,10 @@ def start_global(batch_iter, devices, n_prefetch=2, device_pp=None, seed=0,
                        + tuple(preserve_keys))
           internal = {k: gbatch[k] for k in protected if k in gbatch}
           work = {k: v for k, v in gbatch.items() if k not in internal}
+          # step_offset keeps the device-pp rng continuous across a
+          # resume seek (same role as _pp_threaded's index_offset).
           work = dev_fn(work, jax.random.fold_in(jax.random.PRNGKey(seed),
-                                                 step))
+                                                 step_offset + step))
           gbatch = {**work, **internal}
       yield {**gbatch, **host_part}
 
@@ -231,12 +248,31 @@ def _prefetched(it, depth):
 # ---------------------------------------------------------------------------
 
 
-def training(input_config, *, devices=None, seed=0):
+def total_training_examples(input_config):
+  """Total examples of config.input's data source(s), without building
+  the pipeline (so trainers can resolve durations before deciding a
+  resume position)."""
+  data_cfg = dict(input_config)["data"]
+  if isinstance(data_cfg, (list, tuple)):
+    return sum(ds_core.get(**{k: v for k, v in dict(sub).items()
+                              if k != "pp"}).total_examples
+               for _, sub in data_cfg)
+  return ds_core.get(**data_cfg).total_examples
+
+
+def training(input_config, *, devices=None, seed=0, skip_examples=0):
   """Builds the training iterator from config.input.
 
   Returns (iterator of global batches, total train examples). Weighted
   mixture configs (data = [(weight, cfg), ...]) interleave sources by
   sampled weight.
+
+  skip_examples > 0 fast-forwards this process's raw stream by that many
+  examples before any decoding — sample-exact preemption resume (the
+  reference restarts the stream from scratch on resume). For mixtures the
+  mixture-choice rng is replayed so each sub-stream advances by exactly
+  the examples the interrupted run consumed from it. Unsupported (warned,
+  ignored) with sequence packing, where examples-per-step is variable.
   """
   devices = devices if devices is not None else jax.devices()
   cfg = dict(input_config)
@@ -262,6 +298,13 @@ def training(input_config, *, devices=None, seed=0):
         stacklevel=2)
     shuffle_buffer = 1
 
+  if skip_examples and cfg.get("pack"):
+    warnings.warn(
+        "skip_examples is not sample-exact with sequence packing "
+        "(variable examples per step); resuming without stream seek.",
+        stacklevel=2)
+    skip_examples = 0
+
   data_cfg = cfg["data"]
   if isinstance(data_cfg, (list, tuple)):
     sources = []
@@ -271,15 +314,24 @@ def training(input_config, *, devices=None, seed=0):
       sources.append((weight, ds_core.get(**sub),
                       pp_builder.get_preprocess_fn(sub_pp)))
     total = sum(s.total_examples for _, s, _ in sources)
-    streams = [
-        _pp_threaded(
-            _shuffled(_repeated(s, seed), shuffle_buffer,
-                      np.random.default_rng((seed, 17, i))),
-            pf, num_threads, seed=seed * 1000 + i)
-        for i, (_, s, pf) in enumerate(sources)]
     weights = np.asarray([w for w, _, _ in sources], np.float64)
     weights /= weights.sum()
     rng = np.random.default_rng((seed, 23))
+    # Sample-exact seek: replay the interrupted run's mixture choices so
+    # (a) each sub-stream skips exactly what that run consumed from it and
+    # (b) the choice rng continues from the same position.
+    per_source_skip = [0] * len(sources)
+    for _ in range(skip_examples):
+      per_source_skip[rng.choice(len(sources), p=weights)] += 1
+    streams = [
+        _pp_threaded(
+            _skipped(
+                _shuffled(_repeated(s, seed), shuffle_buffer,
+                          np.random.default_rng((seed, 17, i))),
+                per_source_skip[i]),
+            pf, num_threads, seed=seed * 1000 + i,
+            index_offset=per_source_skip[i])
+        for i, (_, s, pf) in enumerate(sources)]
 
     def mixed():
       while True:
@@ -291,7 +343,9 @@ def training(input_config, *, devices=None, seed=0):
     total = source.total_examples
     raw = _repeated(source, seed)
     raw = _shuffled(raw, shuffle_buffer, np.random.default_rng((seed, 17)))
-    examples = _pp_threaded(raw, pfn, num_threads, seed=seed)
+    raw = _skipped(raw, skip_examples)
+    examples = _pp_threaded(raw, pfn, num_threads, seed=seed,
+                            index_offset=skip_examples)
     device_pp = pfn
 
   preserve_keys = ()
@@ -310,7 +364,8 @@ def training(input_config, *, devices=None, seed=0):
                     n_prefetch=cfg.get("prefetch", 2),
                     device_pp=device_pp, seed=seed,
                     keep_on_cpu=cfg.get("keep_on_cpu", ()),
-                    preserve_keys=preserve_keys)
+                    preserve_keys=preserve_keys,
+                    step_offset=skip_examples // local_batch)
   return it, total
 
 

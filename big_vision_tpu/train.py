@@ -112,9 +112,26 @@ def _main(argv=None, *, config=None, workdir=None):
   batch_size = config.input.batch_size
   assert batch_size % jax.device_count() == 0, (
       f"Global batch {batch_size} % {jax.device_count()} devices != 0")
-  with jax.transfer_guard("allow"):
-    train_iter, ntrain_img = input_pipeline.training(
-        config.input, devices=devices_flat, seed=config.get("seed", 0))
+  # Only the example count is needed here; the iterator itself is built
+  # AFTER the resume ladder so a resumed run can fast-forward the raw
+  # stream to its exact sample position (see make_train_iter below).
+  ntrain_img = input_pipeline.total_training_examples(config.input)
+
+  def make_train_iter(first_step):
+    # Sample-exact preemption resume (beyond the reference, which restarts
+    # the data stream): skip the raw examples the interrupted run already
+    # consumed. Opt out with config.input.resume_seek=False; no-op with
+    # sequence packing (warned in the pipeline).
+    skip = 0
+    if first_step and config.input.get("resume_seek", True):
+      skip = first_step * (batch_size // jax.process_count())
+      u.write_note(f"Seeking input stream to step {first_step} "
+                   f"({skip} raw examples per process)...")
+    with jax.transfer_guard("allow"):
+      it, _ = input_pipeline.training(
+          config.input, devices=devices_flat, seed=config.get("seed", 0),
+          skip_examples=skip)
+    return it
 
   total_steps = u.steps("total", config, ntrain_img, batch_size)
   def get_steps(name, default=ValueError, cfg=config):
@@ -257,6 +274,8 @@ def _main(argv=None, *, config=None, workdir=None):
           dict(config.get("model", {})), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
+  train_iter = make_train_iter(first_step)
+
   # ----------------------------------------------------------------------
   # Evaluators.
   # ----------------------------------------------------------------------
@@ -346,6 +365,14 @@ def _main(argv=None, *, config=None, workdir=None):
 
     run_evals(step)
     mw.step_end()
+
+    if config.get("stop_after_steps") and step >= config.stop_after_steps:
+      # Simulated preemption (tests/ops drills): exit the loop early with
+      # schedules, duration resolution, and checkpoints exactly as a real
+      # preemption would leave them; a restart resumes from ckpt-LAST.
+      u.write_note(f"stop_after_steps={config.stop_after_steps}: "
+                   "stopping early (simulated preemption).")
+      break
 
   if total_steps > 0:
     run_evals(step, final=True)

@@ -124,3 +124,46 @@ def test_keep_on_cpu_strings():
   # Strings never hit the device; they ride along as object arrays.
   assert batch["text"].dtype == object
   assert isinstance(batch["image"], jax.Array)
+
+
+def test_skip_examples_sample_exact():
+  """Resume seek: skipping N examples reproduces the unskipped stream's
+  later batches exactly — including host-pp randomness (inception crop)
+  and device-pp randomness (flip_lr), whose rngs are keyed by absolute
+  stream/step position."""
+  cfg = dict(
+      data=dict(name="synthetic", n=128, num_classes=10, h=48, w=56,
+                unique_images=16),
+      batch_size=16, shuffle_buffer_size=32, num_threads=4, prefetch=0,
+      pp=("decode_jpeg_and_inception_crop_yuv(32)|yuv420_to_rgb|flip_lr"
+          "|value_range(-1, 1)|keep('image', 'label')"))
+
+  it_a, _ = ip.training(cfg, seed=3)
+  a = [np.asarray(next(it_a)["image"]) for _ in range(5)]
+
+  it_b, _ = ip.training(cfg, seed=3, skip_examples=2 * 16)
+  b = [np.asarray(next(it_b)["image"]) for _ in range(3)]
+
+  for x, y in zip(a[2:], b):
+    np.testing.assert_array_equal(x, y)
+
+
+def test_skip_examples_sample_exact_mixture():
+  """Mixture seek: the choice rng is replayed so each sub-stream advances
+  by exactly what the interrupted run consumed from it."""
+  sub = dict(name="synthetic", n=64, num_classes=10, h=48, w=56,
+             unique_images=8)
+  cfg = dict(
+      data=[(1.0, dict(sub)), (2.0, dict(sub, n=48))],
+      batch_size=8, shuffle_buffer_size=16, num_threads=2, prefetch=0,
+      pp=("decode_jpeg_and_inception_crop_yuv(32)|yuv420_to_rgb"
+          "|value_range(-1, 1)|keep('image', 'label')"))
+
+  it_a, _ = ip.training(cfg, seed=5)
+  a = [np.asarray(next(it_a)["image"]) for _ in range(6)]
+
+  it_b, _ = ip.training(cfg, seed=5, skip_examples=3 * 8)
+  b = [np.asarray(next(it_b)["image"]) for _ in range(3)]
+
+  for x, y in zip(a[3:], b):
+    np.testing.assert_array_equal(x, y)

@@ -151,3 +151,30 @@ def test_bench_probe_functions():
   assert g > 0
   t = bench.measure_matmul_peak_tflops(n=256, iters=2)
   assert t > 0
+
+
+@pytest.mark.slow
+def test_resume_is_sample_exact(tmp_path):
+  """Interrupted-and-resumed training matches uninterrupted training
+  bit-exactly: the resume seek replays the input stream (raw position,
+  host-pp rng, device-pp rng) and the update rng is step-keyed, so the
+  losses after the resume point are identical (beyond the reference,
+  which restarts its data stream on resume)."""
+  arg = "total_steps=8,batch_size=16,res=32,log=1,ckpt=4"
+  wd_a = str(tmp_path / "uninterrupted")
+  r = run_train(wd_a, arg)
+  assert r.returncode == 0, r.stderr[-3000:]
+
+  wd_b = str(tmp_path / "resumed")
+  r = run_train(wd_b, arg + ",stop=4")  # simulated preemption at step 4
+  assert r.returncode == 0, r.stderr[-3000:]
+  r = run_train(wd_b, arg)
+  assert r.returncode == 0, r.stderr[-3000:]
+  assert "Seeking input stream to step 4" in (r.stderr + r.stdout)
+
+  def losses(wd):
+    return {row["step"]: row["training_loss"] for row in read_metrics(wd)
+            if "training_loss" in row}
+  la, lb = losses(wd_a), losses(wd_b)
+  for step in (5, 6, 7, 8):
+    assert la[step] == lb[step], (step, la[step], lb[step])
