@@ -15,7 +15,7 @@ import big_vision_tpu.configs.common as bvcc
 
 def get_config(arg=None):
   arg = bvcc.parse_arg(arg, res=16, total_steps=20, batch_size=16,
-                       attn="auto", seq_mesh=0)
+                       attn="auto", seq_mesh=0, log=5, ckpt=10, stop=0)
   config = mlc.ConfigDict()
 
   config.seed = 0
@@ -50,8 +50,10 @@ def get_config(arg=None):
       pp=pp,
   )
 
-  config.log_training_steps = 5
-  config.ckpt_steps = 10
+  config.log_training_steps = arg.log
+  config.ckpt_steps = arg.ckpt
+  if arg.stop:
+    config.stop_after_steps = arg.stop
 
   config.model_name = "proj.paligemma.paligemma"
   config.model = dict(

@@ -75,9 +75,22 @@ def _main(argv=None, *, config=None, workdir=None):
                         [(".*", "fsdp(axis='data')")])
 
   batch_size = config.input.batch_size
-  with jax.transfer_guard("allow"):
-    train_iter, ntrain_img = input_pipeline.training(
-        config.input, devices=devices_flat, seed=config.get("seed", 0))
+  # Iterator built AFTER the resume ladder so a resumed run can seek the
+  # raw stream to its exact sample position (see make_train_iter below).
+  ntrain_img = input_pipeline.total_training_examples(config.input)
+
+  def make_train_iter(first_step):
+    skip = 0
+    if first_step and config.input.get("resume_seek", True):
+      skip = first_step * (batch_size // jax.process_count())
+      u.write_note(f"Seeking input stream to step {first_step} "
+                   f"({skip} raw examples per process)...")
+    with jax.transfer_guard("allow"):
+      it, _ = input_pipeline.training(
+          config.input, devices=devices_flat, seed=config.get("seed", 0),
+          skip_examples=skip)
+    return it
+
   total_steps = u.steps("total", config, ntrain_img, batch_size)
   def get_steps(name, default=ValueError, cfg=config):
     return u.steps(name, cfg, ntrain_img, batch_size, total_steps, default)
@@ -182,6 +195,8 @@ def _main(argv=None, *, config=None, workdir=None):
           config.get("model", {}), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
+  train_iter = make_train_iter(first_step)
+
   # Predict fns: raw logits for perplexity, jitted decode for transfers.
   pfns = pg_predict.make_predict_fns(
       model, **config.get("decode", dict(max_decode_len=64, eos_token=1)))
@@ -253,6 +268,11 @@ def _main(argv=None, *, config=None, workdir=None):
 
     run_evals(step)
     mw.step_end()
+
+    if config.get("stop_after_steps") and step >= config.stop_after_steps:
+      u.write_note(f"stop_after_steps={config.stop_after_steps}: "
+                   "stopping early (simulated preemption).")
+      break
 
   if total_steps > 0:
     run_evals(step, final=True)

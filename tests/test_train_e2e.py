@@ -178,3 +178,31 @@ def test_resume_is_sample_exact(tmp_path):
   la, lb = losses(wd_a), losses(wd_b)
   for step in (5, 6, 7, 8):
     assert la[step] == lb[step], (step, la[step], lb[step])
+
+
+@pytest.mark.slow
+def test_paligemma_resume_is_sample_exact(tmp_path):
+  """The PaliGemma trainer shares the sample-exact resume machinery."""
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  cfg = ("big_vision_tpu/configs/proj/paligemma/smoke.py:"
+         "total_steps=6,batch_size=16,log=1,ckpt=3")
+
+  def run(workdir, extra=""):
+    return subprocess.run(
+        [sys.executable, "-m", "big_vision_tpu.trainers.proj.paligemma.train",
+         "--config", cfg + extra, "--workdir", workdir],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+
+  wd_a, wd_b = str(tmp_path / "a"), str(tmp_path / "b")
+  assert run(wd_a).returncode == 0
+  assert run(wd_b, ",stop=3").returncode == 0
+  r = run(wd_b)
+  assert r.returncode == 0, r.stderr[-3000:]
+  assert "Seeking input stream to step 3" in (r.stderr + r.stdout)
+
+  def losses(wd):
+    return {row["step"]: row["training_loss"] for row in read_metrics(wd)
+            if "training_loss" in row}
+  la, lb = losses(wd_a), losses(wd_b)
+  for step in (4, 5, 6):
+    assert la[step] == lb[step], (step, la[step], lb[step])
