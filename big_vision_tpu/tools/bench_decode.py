@@ -65,6 +65,12 @@ def main(argv=None):
                  help="prompt tokens after the image prefix")
   p.add_argument("--decode_len", type=int, default=64)
   p.add_argument("--iters", type=int, default=5)
+  p.add_argument("--scan", action="store_true",
+                 help="scan-over-layers LLM (training layout). Default is "
+                      "unrolled: ~2.2x faster AR decode on TPU (XLA "
+                      "prefetches layer weights; scan's dynamic-slice "
+                      "reads defeat that) — convert scan-trained params "
+                      "with gemma.scan_to_pyloop for serving.")
   args = p.parse_args(argv)
 
   from big_vision_tpu.models.proj.paligemma import paligemma
@@ -73,7 +79,8 @@ def main(argv=None):
   model = paligemma.Model(
       img=dict(variant=args.img_variant, pool_type="none", scan=True,
                dtype_mm="bfloat16"),
-      llm=dict(variant=args.variant, scan=True, cache_dtype="bfloat16"),
+      llm=dict(variant=args.variant, scan=args.scan,
+               cache_dtype="bfloat16"),
   )
 
   rng = jax.random.PRNGKey(0)
@@ -136,8 +143,6 @@ def main(argv=None):
       gb=1.0 if jax.default_backend() != "cpu" else 0.05)
   param_bytes = sum(x.size * x.dtype.itemsize
                     for x in jax.tree.leaves(params))
-  # Weight-read floor for one AR step on THIS chip (cache reads excluded).
-  floor_ms = param_bytes / 1e9 / hbm_gbps * 1e3
 
   rnd = lambda x, n: None if x is None else round(x, n)
   print(json.dumps({
@@ -151,16 +156,22 @@ def main(argv=None):
       "ar_step_ms": rnd(step_s * 1e3 if step_s is not None else None, 3),
       "e2e_ms_per_batch": round(t_full * 1e3, 1),
       "llm_variant": args.variant,
+      "llm_scan": args.scan,
       "img_variant": args.img_variant,
       "res": args.res,
       "batch": args.batch,
       "prefill_len": args.prefill_len,
       "decode_len": args.decode_len,
       "n_params": n_params,
-      "measured_hbm_read_gbps": round(hbm_gbps, 1),
-      "ar_step_weight_read_floor_ms": round(floor_ms, 2),
-      "ar_step_vs_bw_floor": rnd(
-          floor_ms / (step_s * 1e3) if step_s else None, 3),
+      # Weight streaming implied by the measured step: param_bytes/step.
+      # The primary roofline figure — compare against the device's nominal
+      # HBM bandwidth (v5e: 819 GB/s).
+      "implied_weight_stream_gbps": rnd(
+          param_bytes / 1e9 / step_s if step_s else None, 1),
+      # Secondary: a sum-reduce read probe. VPU-bound and more contention-
+      # sensitive than MXU weight streaming, so it can read well below
+      # what the decode step actually achieves.
+      "hbm_read_probe_gbps": round(hbm_gbps, 1),
       "init_s": round(init_s, 1),
       "device": jax.devices()[0].device_kind,
   }))

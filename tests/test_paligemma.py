@@ -258,3 +258,45 @@ def test_flash_seg_training_forward_matches_xla():
     assert ka == kb
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                err_msg=ka)
+
+
+def test_gemma_scan_pyloop_param_conversion():
+  """scan_to_pyloop/pyloop_to_scan round-trip, and load() converts a
+  scan-layout checkpoint into a scan=False model (the serving layout:
+  unrolled decode measures ~2.2x faster than scan on TPU)."""
+  import numpy as np
+
+  from big_vision_tpu.models.ppp import gemma
+
+  tokens = jnp.ones((2, 5), jnp.int32)
+  cfg = gemma.get_config("gemma_test")
+  cfg.scan = True
+  m_scan = gemma.Model(**cfg)
+  p_scan = m_scan.init(jax.random.PRNGKey(0), tokens)["params"]
+  cfg2 = gemma.get_config("gemma_test")
+  cfg2.scan = False
+  m_loop = gemma.Model(**cfg2)
+  p_loop = m_loop.init(jax.random.PRNGKey(1), tokens)["params"]
+
+  # Round-trip conversion preserves values.
+  rt = gemma.pyloop_to_scan(gemma.scan_to_pyloop(p_scan))
+  jax.tree.map(np.testing.assert_array_equal, p_scan, rt)
+
+  # The converters produce working params for the other layout.
+  converted = gemma.scan_to_pyloop(jax.device_get(p_scan))
+  out_scan, _ = m_scan.apply({"params": p_scan}, tokens)
+  out_loop, _ = m_loop.apply({"params": converted}, tokens)
+  np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
+                             atol=1e-5)
+
+  # load(): an npz saved from a scan model merges into a pyloop model
+  # (and vice versa) via automatic layout conversion.
+  import tempfile, os
+  import big_vision_tpu.utils as u
+  with tempfile.TemporaryDirectory() as d:
+    path = os.path.join(d, "ckpt.npz")
+    u.npz_save(jax.device_get(p_scan), path)
+    merged = gemma.load(jax.device_get(p_loop), path, dict(cfg2))
+    out_merged, _ = m_loop.apply({"params": merged}, tokens)
+    np.testing.assert_allclose(np.asarray(out_scan),
+                               np.asarray(out_merged), atol=1e-5)

@@ -123,8 +123,8 @@ def test_bench_decode_tool_tiny(capsys):
   rec = json.loads(line)
   assert rec["metric"] == "paligemma_decode_tok_per_sec"
   for k in ("value", "prefill_ms", "ar_step_ms", "e2e_ms_per_batch",
-            "n_params", "measured_hbm_read_gbps",
-            "ar_step_weight_read_floor_ms", "device"):
+            "n_params", "implied_weight_stream_gbps",
+            "hbm_read_probe_gbps", "device"):
     assert k in rec, k
   assert rec["e2e_ms_per_batch"] > 0
 
