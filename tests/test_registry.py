@@ -49,3 +49,25 @@ def test_register_duplicate_raises():
     Registry.register("test.dup")(lambda: 2)
   Registry.register("test.dup", replace=True)(lambda: 3)
   assert Registry.lookup("test.dup")() == 3
+
+
+def test_every_module_imports():
+  """Import sweep over the whole package: no stale imports anywhere
+  (configs, trainers, evaluators, pp, models, tools)."""
+  import importlib
+  import pathlib
+
+  import big_vision_tpu
+
+  root = pathlib.Path(big_vision_tpu.__file__).parent
+  failures = []
+  for p in root.rglob("*.py"):
+    mod = "big_vision_tpu." + str(
+        p.relative_to(root))[:-3].replace("/", ".")
+    if mod.endswith("__init__"):
+      mod = mod[: -len(".__init__")]
+    try:
+      importlib.import_module(mod)
+    except Exception as e:  # noqa: BLE001
+      failures.append((mod, repr(e)))
+  assert not failures, failures
