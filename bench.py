@@ -152,7 +152,6 @@ def main():
                             data_size=1_281_167))
   opt = jax.jit(tx.init)(params)
 
-  @jax.jit
   def step_fn(state, batch):
     params, opt = state
     def loss_fn(p):

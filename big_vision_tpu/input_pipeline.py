@@ -73,8 +73,11 @@ def _pp_threaded(stream, pfn, num_threads, seed, filter_fn=None,
   """
   import concurrent.futures
   if num_threads <= 1:
-    rng = np.random.default_rng(seed)
-    for ex in stream:
+    # Same per-example rng keying as the threaded path (absolute stream
+    # index): the stream is identical across thread counts and stays
+    # sample-exact across resume seeks.
+    for i, ex in enumerate(stream):
+      rng = np.random.default_rng((seed, index_offset + i))
       with jax.transfer_guard("allow"):
         ex = pfn.host(ex, rng)
       if filter_fn is None or filter_fn(ex):
@@ -316,13 +319,22 @@ def training(input_config, *, devices=None, seed=0, skip_examples=0):
     total = sum(s.total_examples for _, s, _ in sources)
     weights = np.asarray([w for w, _, _ in sources], np.float64)
     weights /= weights.sum()
+    cum_weights = np.cumsum(weights)
     rng = np.random.default_rng((seed, 23))
     # Sample-exact seek: replay the interrupted run's mixture choices so
     # (a) each sub-stream skips exactly what that run consumed from it and
-    # (b) the choice rng continues from the same position.
-    per_source_skip = [0] * len(sources)
-    for _ in range(skip_examples):
-      per_source_skip[rng.choice(len(sources), p=weights)] += 1
+    # (b) the choice rng continues from the same position. Selection is
+    # one uniform per example (searchsorted over cumulative weights), so
+    # the replay is a single vectorized draw — rng.random(N) consumes the
+    # identical bit stream as N live rng.random() calls — instead of
+    # millions of Python-level choice() calls at large resume steps.
+    if skip_examples:
+      draws = np.searchsorted(cum_weights, rng.random(skip_examples),
+                              side="right")
+      per_source_skip = np.bincount(
+          draws, minlength=len(sources)).tolist()
+    else:
+      per_source_skip = [0] * len(sources)
     streams = [
         _pp_threaded(
             _skipped(
@@ -335,7 +347,8 @@ def training(input_config, *, devices=None, seed=0, skip_examples=0):
 
     def mixed():
       while True:
-        yield next(streams[rng.choice(len(streams), p=weights)])
+        yield next(streams[int(np.searchsorted(cum_weights, rng.random(),
+                                               side="right"))])
     examples = mixed()
     device_pp = pfn  # device phase of the top-level pp (shared suffix)
   else:
@@ -367,6 +380,27 @@ def training(input_config, *, devices=None, seed=0, skip_examples=0):
                     preserve_keys=preserve_keys,
                     step_offset=skip_examples // local_batch)
   return it, total
+
+
+def training_from_step(input_config, first_step, *, devices=None, seed=0):
+  """Training iterator positioned at `first_step` (sample-exact resume).
+
+  The shared resume-seek recipe used by every trainer: skip
+  first_step * local_batch raw examples (pre-decode) unless the config
+  opts out with input.resume_seek=False. Returns just the iterator
+  (use total_training_examples() for duration resolution, which trainers
+  need before the resume step is known).
+  """
+  cfg = dict(input_config)
+  skip = 0
+  if first_step and cfg.get("resume_seek", True):
+    skip = first_step * (cfg["batch_size"] // jax.process_count())
+    u.write_note(f"Seeking input stream to step {first_step} "
+                 f"({skip} raw examples per process)...")
+  with jax.transfer_guard("allow"):
+    it, _ = training(input_config, devices=devices, seed=seed,
+                     skip_examples=skip)
+  return it
 
 
 def make_for_inference(data_cfg, pp, batch_size, *, devices=None,

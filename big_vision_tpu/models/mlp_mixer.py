@@ -78,6 +78,7 @@ class MlpMixer(nn.Module):
     # replaces; see vit.PatchEmbed for the MXU-efficiency rationale).
     x = out["stem"] = vit.PatchEmbed(self.hidden_dim, self.patch_size,
                                      dtype_mm=self.dtype_mm,
+                                     padding="SAME",  # the nn.Conv default
                                      name="stem")(image)
     n, h, w, c = x.shape
     x = out["input_tokens"] = jnp.reshape(x, [n, h * w, c])

@@ -275,8 +275,7 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
                        sampler=sampler, best_of_n=best_of_n):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     batch = _device_only(batch)
-    core = decode_core(max_decode_len, eos_token,
-                       sampler if isinstance(sampler, str) else sampler)
+    core = decode_core(max_decode_len, eos_token, sampler)
     if best_of_n == 1:
       return core(train_state["params"], batch, rng)
     # Best-of-n: replicate the batch, decode, keep max-logp candidates.

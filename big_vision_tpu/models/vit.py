@@ -70,6 +70,9 @@ class PatchEmbed(nn.Module):
   width: int
   patch_size: Sequence[int]
   dtype_mm: str = "float32"
+  padding: str = "VALID"  # VALID: crop remainder rows/cols (ViT conv
+  # semantics); SAME: zero-pad up to the next patch multiple (what the
+  # default nn.Conv the mixer stem replaced did).
 
   @nn.compact
   def __call__(self, image):
@@ -80,6 +83,13 @@ class PatchEmbed(nn.Module):
         jnp.float32)
     bias = self.param("bias", nn.initializers.zeros, (self.width,),
                       jnp.float32)
+    if h % ph or w % pw:
+      if self.padding == "SAME":
+        image = jnp.pad(image, ((0, 0), (0, -h % ph), (0, -w % pw),
+                                (0, 0)))
+      else:  # VALID: drop the remainder, like strided conv
+        image = image[:, :h - h % ph, :w - w % pw]
+      n, h, w, c = image.shape
     gh, gw = h // ph, w // pw
     x = image.reshape(n, gh, ph, gw, pw, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(n, gh * gw,

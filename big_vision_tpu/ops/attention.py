@@ -55,8 +55,15 @@ def _kernel_ok(t, d, b=1, h=1):
     return False
   if not flash_attention.supports(t, d):
     return False
+  # Memory estimate uses the PER-DEVICE batch: under jit the traced shape
+  # is the global batch, but training shards it over the devices (DP /
+  # FSDP default), so dividing by device_count is the right scale for
+  # "would XLA's [b,h,t,t] scores fit". Dispatching on the global size
+  # would route sharded mid-T runs to the blocked kernel even though the
+  # per-device scores fit and XLA is measured ~1.7x faster there.
+  b_local = max(b // jax.device_count(), 1)
   return (flash_attention.oneshot_fits(t, t, d)
-          or b * h * t * t * 2 > XLA_SCORES_BYTES_LIMIT)
+          or b_local * h * t * t * 2 > XLA_SCORES_BYTES_LIMIT)
 
 
 def _flash_available(q, mask):

@@ -109,14 +109,16 @@ def ring_attention(q, k, v, *, axis_name, causal=False, seg=None):
 
   # Accumulate in float32 regardless of the input dtype (bf16 inputs keep
   # MXU matmuls fast; the softmax statistics and output sum must not lose
-  # bits across ring steps). pcast-to-varying: the carry becomes
-  # device-varying inside the loop (it depends on axis_index), so the
-  # initial value must be marked varying too.
+  # bits across ring steps). The loop carry becomes device-varying (it
+  # depends on axis_index and on q's sharding, including any batch axes
+  # the caller sliced over), so the initial values are DERIVED from q —
+  # they inherit exactly q's varying axes, whatever the outer shard_map
+  # sliced (explicit pcast over just the seq axis broke when the batch
+  # was also sharded).
   o0 = jnp.zeros_like(q, jnp.float32)  # device-varying (derived from q)
-  m0 = lax.pcast(jnp.full(q.shape[:-1], -jnp.inf, jnp.float32),
-                 (axis_name,), to="varying")
-  l0 = lax.pcast(jnp.zeros(q.shape[:-1], jnp.float32), (axis_name,),
-                 to="varying")
+  zq = jnp.sum(q.astype(jnp.float32) * 0.0, axis=-1)  # zeros, varies as q
+  m0 = zq - jnp.inf
+  l0 = zq
   # A dummy 1-element seg keeps the carry structure static when seg=None.
   s0 = seg if seg is not None else jnp.zeros((q.shape[0], 1), jnp.int32)
   o, _, l, _, _, _ = lax.fori_loop(0, n, body, (o0, m0, l0, k, v, s0))
@@ -130,14 +132,29 @@ def ring_attention_sharded(q, k, v, mesh, *, seq_axis="seq",
   q, k, v: [B, T, H, D] global arrays; T must divide by the axis size.
   seg: optional [B, T] global segment ids (see `ring_attention`).
   """
-  spec = P(None, seq_axis, None, None)
+  # Shard the batch over the mesh's non-seq axes too (greedy, divisibility
+  # permitting): attention is independent per example, and leaving batch
+  # unsharded in the shard_map specs would make jit all-gather it across
+  # the data axis and compute the WHOLE batch redundantly on every
+  # data-parallel group — D-fold wasted FLOPs and activation memory.
+  rem = q.shape[0]
+  batch_axes = []
+  for a in mesh.axis_names:
+    size = mesh.shape[a]
+    if a == seq_axis or size == 1:
+      continue
+    if rem % size == 0:
+      batch_axes.append(a)
+      rem //= size
+  b_spec = tuple(batch_axes) if batch_axes else None
+  spec = P(b_spec, seq_axis, None, None)
   if seg is None:
     fn = _shard_map(
         functools.partial(ring_attention, axis_name=seq_axis,
                           causal=causal),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)
-  seg_spec = P(None, seq_axis)
+  seg_spec = P(b_spec, seq_axis)
   fn = _shard_map(
       lambda q, k, v, s: ring_attention(
           q, k, v, axis_name=seq_axis, causal=causal, seg=s),

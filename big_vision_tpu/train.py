@@ -114,24 +114,9 @@ def _main(argv=None, *, config=None, workdir=None):
       f"Global batch {batch_size} % {jax.device_count()} devices != 0")
   # Only the example count is needed here; the iterator itself is built
   # AFTER the resume ladder so a resumed run can fast-forward the raw
-  # stream to its exact sample position (see make_train_iter below).
+  # stream to its exact sample position.
   ntrain_img = input_pipeline.total_training_examples(config.input)
 
-  def make_train_iter(first_step):
-    # Sample-exact preemption resume (beyond the reference, which restarts
-    # the data stream): skip the raw examples the interrupted run already
-    # consumed. Opt out with config.input.resume_seek=False; no-op with
-    # sequence packing (warned in the pipeline).
-    skip = 0
-    if first_step and config.input.get("resume_seek", True):
-      skip = first_step * (batch_size // jax.process_count())
-      u.write_note(f"Seeking input stream to step {first_step} "
-                   f"({skip} raw examples per process)...")
-    with jax.transfer_guard("allow"):
-      it, _ = input_pipeline.training(
-          config.input, devices=devices_flat, seed=config.get("seed", 0),
-          skip_examples=skip)
-    return it
 
   total_steps = u.steps("total", config, ntrain_img, batch_size)
   def get_steps(name, default=ValueError, cfg=config):
@@ -274,7 +259,9 @@ def _main(argv=None, *, config=None, workdir=None):
           dict(config.get("model", {})), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
-  train_iter = make_train_iter(first_step)
+  train_iter = input_pipeline.training_from_step(
+      config.input, first_step, devices=devices_flat,
+      seed=config.get("seed", 0))
 
   # ----------------------------------------------------------------------
   # Evaluators.
@@ -374,13 +361,19 @@ def _main(argv=None, *, config=None, workdir=None):
                    "stopping early (simulated preemption).")
       break
 
-  if total_steps > 0:
+  stopped_early = bool(config.get("stop_after_steps")
+                       and step < total_steps)
+  if total_steps > 0 and not stopped_early:
+    # A real preemption never reaches final evals; the simulated one
+    # (stop_after_steps) must not either.
     run_evals(step, final=True)
 
   if ckpt_mgr:
     ckpt_mgr.close()
   mw.close()
-  u.write_note(f"Done: trained {total_steps} steps.")
+  u.write_note(f"Done: trained {step} of {total_steps} steps"
+               + (" (stopped early, simulated preemption)."
+                  if stopped_early else "."))
   u.sync()
   return train_state
 

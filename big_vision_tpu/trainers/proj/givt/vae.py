@@ -65,17 +65,6 @@ def _main(argv=None, *, config=None, workdir=None):
   # raw stream to its exact sample position (sample-exact resume).
   ntrain_img = input_pipeline.total_training_examples(config.input)
 
-  def make_train_iter(first_step):
-    skip = 0
-    if first_step and config.input.get("resume_seek", True):
-      skip = first_step * (config.input.batch_size // jax.process_count())
-      u.write_note(f"Seeking input stream to step {first_step} "
-                   f"({skip} raw examples per process)...")
-    with jax.transfer_guard("allow"):
-      it, _ = input_pipeline.training(
-          config.input, devices=devices_flat, seed=config.get("seed", 0),
-          skip_examples=skip)
-    return it
   total_steps = u.steps("total", config, ntrain_img, batch_size)
   def get_steps(name, default=ValueError, cfg=config):
     return u.steps(name, cfg, ntrain_img, batch_size, total_steps, default)
@@ -161,7 +150,9 @@ def _main(argv=None, *, config=None, workdir=None):
   log_steps = get_steps("log_training", default=50)
   u.write_note("Starting VAE training loop...")
   step = first_step
-  train_iter = make_train_iter(first_step)
+  train_iter = input_pipeline.training_from_step(
+      config.input, first_step, devices=devices_flat,
+      seed=config.get("seed", 0))
 
   for step in range(first_step + 1, total_steps + 1):
     mw.step_start(step)
