@@ -143,7 +143,9 @@ def _train(module, config, workdir):
       [sys.executable, "-m", module, "--config", config,
        "--workdir", workdir],
       cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
-  assert r.returncode == 0, r.stderr[-3000:]
+  assert r.returncode == 0, (
+      f"rc={r.returncode}\nSTDERR:\n{r.stderr[-2500:]}"
+      f"\nSTDOUT:\n{r.stdout[-1000:]}")
   rows = [json.loads(l) for l in
           open(os.path.join(workdir, "big_vision_metrics.txt"))]
   return [r["training_loss"] for r in rows if "training_loss" in r]
