@@ -111,6 +111,48 @@ class Categorical:
     raise NotImplementedError("Categorical has no mean.")
 
 
+def select_component(pdf, rng=None, component=None):
+  """Reduces a mixture to per-channel Normal params by component choice.
+
+  Mirrors reference givt/parallel_decode.py:238
+  (_assert_single_component_get_loc_scale): the mixture component is
+  sampled once (from the *conditional* density) and the same selection is
+  reused for the unconditional density, so guidance compares like against
+  like. Returns (loc [..., D], scale [..., D], component) where
+  `component` is the selection to replay on a second mixture (or None for
+  single-component per-channel mixtures).
+  """
+  if isinstance(pdf, DiagMixture):
+    if component is None:
+      assert rng is not None
+      comp = jax.random.categorical(rng, pdf.logits, axis=-1)
+      component = jax.nn.one_hot(comp, pdf.logits.shape[-1], axis=-1)
+    loc = (pdf.locs * component[..., None]).sum(-2)
+    scale = (pdf.scales * component[..., None]).sum(-2)
+    return loc, scale, component
+  if isinstance(pdf, PerChannelMixture):
+    if pdf.locs.shape[-1] == 1:  # single component: selection is trivial
+      return pdf.locs[..., 0], pdf.scales[..., 0], None
+    # Beyond the reference (which raises here): per-channel component
+    # choice, replayed on the second mixture channel-by-channel.
+    if component is None:
+      assert rng is not None
+      comp = jax.random.categorical(
+          rng, jnp.log(pdf.probs + 1e-12), axis=-1)  # [..., D]
+      component = jax.nn.one_hot(comp, pdf.probs.shape[-1], axis=-1)
+    loc = (pdf.locs * component).sum(-1)
+    scale = (pdf.scales * component).sum(-1)
+    return loc, scale, component
+  raise ValueError(f"CFG needs a mixture pdf, got {type(pdf)}")
+
+
+def make_cfg(pdf_c, pdf_u, w, rng):
+  """Builds the guided density p_c^(1+w)/p_u^w with shared components."""
+  loc_c, scale_c, comp = select_component(pdf_c, rng)
+  loc_u, scale_u, _ = select_component(pdf_u, rng, component=comp)
+  return GaussianCFG(loc_c, scale_c, loc_u, scale_u, w)
+
+
 @dataclasses.dataclass(frozen=True)
 class GaussianCFG:
   """Classifier-free-guidance density p_c^(1+w) / p_u^w, per scalar channel.

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from big_vision_tpu.models.proj.givt import distributions
 from big_vision_tpu.models.proj.givt import givt
 
 
@@ -24,6 +25,7 @@ class MaskedGenerationConfig:
   temperature_scales: float | None = None
   temperature_probs: float | None = None
   choice_temperature: float = 1.0
+  cfg_inference_weight: float = 0.0
 
 
 def decode_masked(params, model, seed, *, batch_size, labels=None,
@@ -31,20 +33,33 @@ def decode_masked(params, model, seed, *, batch_size, labels=None,
   """Returns sampled tokens [B, L, out_dim]."""
   seq_len = model.seq_len
   d = model.out_dim
+  cfg_w = config.cfg_inference_weight
+  cfg = bool(cfg_w) and labels is not None
 
   tokens = jnp.zeros((batch_size, seq_len, d))
   masked = jnp.ones((batch_size, seq_len), bool)
 
-  def apply_model(tokens, masked, rng):
+  def get_pdf(tokens, masked, drop_labels=None):
     logits = model.apply(
         {"params": params}, tokens, labels=labels,
-        input_mask=masked, method=model.decode)
-    pdf = model.get_pdf(logits,
-                        temperature_scales=config.temperature_scales,
-                        temperature_probs=config.temperature_probs)
+        input_mask=masked, drop_labels=drop_labels, method=model.decode)
+    return model.get_pdf(logits,
+                         temperature_scales=config.temperature_scales,
+                         temperature_probs=config.temperature_probs)
+
+  def apply_model(tokens, masked, rng):
+    pdf = get_pdf(tokens, masked)
+    if cfg:
+      # Exact density-based CFG (reference parallel_decode.py:450-481):
+      # a second, unconditional forward pass; sample and rank by the
+      # guided density p_c^(1+w)/p_u^w.
+      pdf_u = get_pdf(tokens, masked,
+                      drop_labels=jnp.ones((batch_size,), bool))
+      pdf = distributions.make_cfg(pdf, pdf_u, cfg_w, rng)
+      rng = jax.random.fold_in(rng, 1)
     sample = pdf.sample(seed=rng)
     conf = pdf.log_prob(sample)
-    if conf.ndim == 3:  # per-channel mixtures give per-dim logps
+    if conf.ndim == 3:  # per-channel/CFG give per-dim logps
       conf = conf.sum(-1)
     return sample, conf
 

@@ -200,3 +200,87 @@ def test_givt_uvim_task_trainer_e2e(tmp_path):
   assert train_state is not None
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "val/nll" in metrics and "depth/RMSE" in metrics
+
+
+def test_cfg_rejection_sampler_matches_density():
+  """DB-CFG sampler (ref parallel_decode.py:264) vs numerically
+  integrated p_c^(1+w)/p_u^w: KS distance on 20k draws."""
+  rs = np.random.RandomState(0)
+  M, dim, w = 3, 2, 0.7
+  logits_c = jnp.asarray(rs.randn(1, 1, M))
+  locs_c = jnp.asarray(rs.randn(1, 1, M, dim))
+  scales_c = jnp.asarray(0.3 + rs.rand(1, 1, M, dim))
+  locs_u = jnp.asarray(rs.randn(1, 1, M, dim) * 0.5)
+  scales_u = scales_c + 0.2  # wider uncond => proper guided density
+  pdf_c = distributions.DiagMixture(logits_c, locs_c, scales_c)
+  pdf_u = distributions.DiagMixture(jnp.asarray(rs.randn(1, 1, M)),
+                                    locs_u, scales_u)
+
+  n = 20000
+  keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+  def draw(k):
+    g = distributions.make_cfg(pdf_c, pdf_u, w, k)
+    return g.sample(seed=jax.random.fold_in(k, 1))
+
+  samples = np.asarray(jax.vmap(draw)(keys))[:, 0, 0, :]
+
+  xs = np.linspace(-8, 8, 4001)
+  pi = np.asarray(jax.nn.softmax(logits_c))[0, 0]
+  for d in range(dim):
+    dens = np.zeros_like(xs)
+    for m in range(M):
+      lc, sc = float(locs_c[0, 0, m, d]), float(scales_c[0, 0, m, d])
+      lu, su = float(locs_u[0, 0, m, d]), float(scales_u[0, 0, m, d])
+      logp = ((1 + w) * (-0.5 * ((xs - lc) / sc) ** 2 - np.log(sc))
+              - w * (-0.5 * ((xs - lu) / su) ** 2 - np.log(su)))
+      p = np.exp(logp - logp.max())
+      dens += pi[m] * p / np.trapezoid(p, xs)
+    cdf = np.cumsum(dens) * (xs[1] - xs[0])
+    cdf /= cdf[-1]
+    emp = np.searchsorted(np.sort(samples[:, d]), xs) / n
+    ks = np.abs(emp - cdf).max()
+    assert ks < 0.02, f"dim {d}: KS {ks}"
+
+
+def test_cfg_per_channel_component_replay():
+  """Same component must be selected for cond and uncond densities."""
+  rs = np.random.RandomState(3)
+  probs = jax.nn.softmax(jnp.asarray(rs.randn(2, 3, 4)), -1)
+  locs = jnp.asarray(rs.randn(2, 3, 4))
+  scales = jnp.asarray(0.5 + rs.rand(2, 3, 4))
+  pdf = distributions.PerChannelMixture(probs, locs, scales)
+  loc1, scale1, comp = distributions.select_component(
+      pdf, jax.random.PRNGKey(0))
+  loc2, scale2, _ = distributions.select_component(pdf, component=comp)
+  np.testing.assert_allclose(np.asarray(loc1), np.asarray(loc2))
+  np.testing.assert_allclose(np.asarray(scale1), np.asarray(scale2))
+
+
+def test_givt_ar_decode_cfg_exact():
+  model, params = make_givt("ar", drop_labels_probability=0.1)
+  kw = dict(batch_size=2, labels=jnp.zeros((2,), jnp.int32))
+  tok = decode.generate({"params": params}, model, jax.random.PRNGKey(0),
+                        cfg_weight=0.8, **kw)
+  assert tok.shape == (2, 6, 4)
+  assert np.isfinite(np.asarray(tok)).all()
+  # CFG must change the samples relative to unguided decoding.
+  tok0 = decode.generate({"params": params}, model, jax.random.PRNGKey(0),
+                         **kw)
+  assert np.abs(np.asarray(tok) - np.asarray(tok0)).max() > 1e-6
+  # Fast loc-shift approximation still available.
+  tok_fast = decode.generate({"params": params}, model,
+                             jax.random.PRNGKey(0), cfg_weight=0.8,
+                             cfg_fast_approx=True, **kw)
+  assert np.isfinite(np.asarray(tok_fast)).all()
+
+
+def test_givt_parallel_decode_cfg_exact():
+  model, params = make_givt("masked", drop_labels_probability=0.1)
+  tokens = parallel_decode.decode_masked(
+      params, model, jax.random.PRNGKey(0), batch_size=2,
+      labels=jnp.zeros((2,), jnp.int32),
+      config=parallel_decode.MaskedGenerationConfig(
+          steps=4, cfg_inference_weight=0.5))
+  assert tokens.shape == (2, 6, 4)
+  assert np.isfinite(np.asarray(tokens)).all()
