@@ -45,6 +45,28 @@ def exists(name, data_dir=None):
                                      "info.json"))
 
 
+def has_split(name, split, data_dir=None):
+  """True if the built dataset can serve `split` (guards stale builds).
+
+  info.json is merged per built split, so a partial build may exist
+  without the requested split; callers fall through to tfds then.
+  """
+  if split is None:
+    return True
+  ds_dir = dataset_dir(name, data_dir)
+  try:
+    with open(os.path.join(ds_dir, "info.json")) as f:
+      splits = json.load(f).get("splits", {})
+  except (OSError, ValueError):
+    return False
+  from big_vision_tpu.datasets import splits as splits_lib
+  try:
+    pieces = splits_lib.parse(split)
+  except ValueError:
+    return False
+  return all(p[0] in splits for p in pieces)
+
+
 @functools.lru_cache(maxsize=64)
 def _load_split(ds_dir, split):
   fname = os.path.join(ds_dir, f"{split}.jsonl")

@@ -18,6 +18,7 @@ Dispatch: `get(name, **kw)`:
 from __future__ import annotations
 
 import importlib
+import logging
 from typing import Iterator
 
 import jax
@@ -76,11 +77,21 @@ def get(name, **kw):
     return mod.DataSource(**kw)
   # Datasets produced by big_vision_tpu.datasets.builders (the TF-free
   # replacement for the reference's custom TFDS builders) take priority
-  # over a tfds installation when present on disk.
+  # over a tfds installation when present on disk — but only when the
+  # built directory can actually serve the requested split, so a partial
+  # or stale build falls through to tfds instead of silently changing
+  # what a run reads.
   from big_vision_tpu.datasets import built
   if built.exists(name, kw.get("data_dir")):
-    return built.DataSource(name, **kw)
+    if built.has_split(name, kw.get("split"), kw.get("data_dir")):
+      logging.info("datasets.get(%r): using built dataset at %s",
+                   name, built.dataset_dir(name, kw.get("data_dir")))
+      return built.DataSource(name, **kw)
+    logging.warning(
+        "datasets.get(%r): built dataset exists but lacks split %r; "
+        "falling through to tfds", name, kw.get("split"))
   from big_vision_tpu.datasets import tfds as tfds_mod
+  logging.info("datasets.get(%r): using tfds source", name)
   return tfds_mod.DataSource(name, **kw)
 
 

@@ -288,8 +288,9 @@ def training(input_config, *, devices=None, seed=0, skip_examples=0):
   # few-core hosts — measured 4 threads 657 vs 8 threads 566 img/s on a
   # 1-CPU host). Configs may still set any explicit value.
   import os as _os
-  num_threads = (cfg.get("num_threads")
-                 or min(16, max(4, (_os.cpu_count() or 1) * 4)))
+  num_threads = cfg.get("num_threads")
+  if num_threads is None:  # explicit 0 = inline single-threaded path
+    num_threads = min(16, max(4, (_os.cpu_count() or 1) * 4))
   shuffle_buffer = cfg.get("shuffle_buffer_size")
   if not shuffle_buffer:
     # A missing/None/0 buffer means NO shuffling — silent accuracy loss on

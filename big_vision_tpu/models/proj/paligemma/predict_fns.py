@@ -258,13 +258,16 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
         batch.get("mask_ar", jnp.zeros_like(batch["text"])))
     return logits, out
 
-  @functools.lru_cache(maxsize=None)
+  # Bounded: each distinct decode setting pins a jitted fn + executables;
+  # evaluators sweeping max_decode_len would otherwise grow memory without
+  # limit. Eviction only costs a recompile.
+  @functools.lru_cache(maxsize=8)
   def decode_core(mdl, eos, smp):
     return jax.jit(functools.partial(
         _decode_jit, model=model, max_decode_len=mdl,
         eos_token=eos, sampler_spec=smp))
 
-  @functools.lru_cache(maxsize=None)
+  @functools.lru_cache(maxsize=8)
   def beam_core(mdl, eos, bs):
     return jax.jit(functools.partial(
         _beam_decode_jit, model=model, max_decode_len=mdl,

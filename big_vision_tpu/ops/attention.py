@@ -40,6 +40,29 @@ def _xla_attention(q, k, v, mask=None):
 # mid-T (measured v5e, T=1056 BH=128: xla grad 6.1ms vs blocked 10.3ms).
 XLA_SCORES_BYTES_LIMIT = 2 * 1024**3
 
+# Mesh axes over which the batch is sharded (data/fsdp conventions used by
+# sharding.py and the trainers). Axes like "model"/"seq" replicate the
+# batch and must not shrink the per-device estimate.
+_DATA_AXES = ("data", "fsdp", "replica", "batch")
+
+
+def _batch_shard_factor():
+  """How many ways the ambient mesh shards the batch dimension.
+
+  Uses the data-like axes of the mesh entered by the trainer; with no
+  mesh, falls back conservatively to jax.device_count() (pure-DP default,
+  the common case for tests and single-config runs).
+  """
+  from big_vision_tpu.utils.mesh import ambient_mesh
+  mesh = ambient_mesh()
+  if mesh is None:
+    return jax.device_count()
+  f = 1
+  for name in mesh.axis_names:
+    if name in _DATA_AXES:
+      f *= int(mesh.shape[name])
+  return f
+
 
 def _kernel_ok(t, d, b=1, h=1):
   """Shared auto-dispatch policy.
@@ -56,12 +79,13 @@ def _kernel_ok(t, d, b=1, h=1):
   if not flash_attention.supports(t, d):
     return False
   # Memory estimate uses the PER-DEVICE batch: under jit the traced shape
-  # is the global batch, but training shards it over the devices (DP /
-  # FSDP default), so dividing by device_count is the right scale for
-  # "would XLA's [b,h,t,t] scores fit". Dispatching on the global size
-  # would route sharded mid-T runs to the blocked kernel even though the
-  # per-device scores fit and XLA is measured ~1.7x faster there.
-  b_local = max(b // jax.device_count(), 1)
+  # is the global batch, but training shards it over the data axes (DP /
+  # FSDP), so divide by the ambient mesh's data-like axis sizes — NOT
+  # jax.device_count(), which over-divides on model/seq-parallel meshes
+  # (replicated batch there) and under-estimates the per-device scores.
+  # Dispatching on the global size would route sharded mid-T runs to the
+  # blocked kernel even though per-device scores fit and XLA is faster.
+  b_local = max(b // _batch_shard_factor(), 1)
   return (flash_attention.oneshot_fits(t, t, d)
           or b_local * h * t * t * 2 > XLA_SCORES_BYTES_LIMIT)
 

@@ -178,8 +178,19 @@ def ring_attention_auto(q, k, v, *, causal=False, seg=None,
   regardless of the launch topology.
   """
   mesh = _resolve_mesh()
-  if (mesh is None or seq_axis not in mesh.axis_names
-      or mesh.shape[seq_axis] == 1 or q.shape[1] % mesh.shape[seq_axis]):
+  has_seq = (mesh is not None and seq_axis in mesh.axis_names
+             and mesh.shape[seq_axis] > 1)
+  if has_seq and q.shape[1] % mesh.shape[seq_axis]:
+    # A seq axis exists but can't be used: that's a misconfiguration
+    # (e.g. token count not divisible by the axis), not a benign
+    # single-device launch — losing context parallelism silently would
+    # waste the whole mesh axis.
+    raise ValueError(
+        f"ring attention: T={q.shape[1]} not divisible by mesh axis "
+        f"{seq_axis!r} of size {mesh.shape[seq_axis]}; pad the sequence "
+        f"or resize the axis (falling back would silently drop context "
+        f"parallelism)")
+  if not has_seq:
     # Degenerate ring: the same blockwise math on a single device.
     bias = jnp.zeros((q.shape[1], q.shape[1]), jnp.float32)
     if causal:

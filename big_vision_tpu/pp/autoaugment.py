@@ -159,8 +159,12 @@ def _affine_nearest(image, a, b, c, d, e, f, replace=_REPLACE):
   x_out = jnp.arange(w, dtype=jnp.float32)[None, :]
   x_in = a * x_out + b * y_out + c
   y_in = d * x_out + e * y_out + f
-  xi = jnp.round(x_in).astype(jnp.int32)
-  yi = jnp.round(y_in).astype(jnp.int32)
+  # TF's NEAREST sampling rounds half AWAY from zero (std::round);
+  # jnp.round is half-to-even, which pairs up pixels whenever the shear
+  # puts coordinates exactly on .5 (e.g. level*row = 1.5).
+  _round_away = lambda v: jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+  xi = _round_away(x_in).astype(jnp.int32)
+  yi = _round_away(y_in).astype(jnp.int32)
   valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
   xi = jnp.clip(xi, 0, w - 1)
   yi = jnp.clip(yi, 0, h - 1)

@@ -206,23 +206,49 @@ def get_resize_long(longer_size, method="area", antialias=True, key="image",
 
 
 def _sample_inception_box(np_rng, h, w, area_min, area_max, ratio_min,
-                          ratio_max, max_tries=10):
+                          ratio_max, max_tries=100):
   """Samples a crop box with area/aspect in range (host RNG).
 
-  Same distribution family as tf.image.sample_distorted_bounding_box with
-  min_object_covered=0: uniform aspect in range, uniform area fraction;
-  falls back to the full image after `max_tries`.
+  Reproduces tf.image.sample_distorted_bounding_box's GenerateRandomCrop
+  (min_object_covered=0): per attempt, sample the aspect ratio uniformly,
+  derive the [min,max] crop height from the area range, sample the height
+  UNIFORMLY in that interval (not uniform in area — the distributions
+  differ, and the published numbers trained on this one), round the width
+  from the aspect, and nudge ±1 row to stay inside the area bounds.
+  Position is uniform. Falls back to the full image after `max_tries`
+  (TF default 100). Validated distributionally against the TF op in
+  tests/test_reference_parity.py.
   """
-  area = h * w
+  min_area = area_min * h * w
+  max_area = area_max * h * w
   for _ in range(max_tries):
-    target_area = np_rng.uniform(area_min, area_max) * area
     aspect = np_rng.uniform(ratio_min, ratio_max)
-    cw = int(round(np.sqrt(target_area * aspect)))
-    ch = int(round(np.sqrt(target_area / aspect)))
-    if cw <= w and ch <= h and cw > 0 and ch > 0:
-      y0 = int(np_rng.integers(0, h - ch + 1))
-      x0 = int(np_rng.integers(0, w - cw + 1))
-      return y0, x0, ch, cw
+    ch = int(round(np.sqrt(min_area / aspect)))
+    max_h = int(round(np.sqrt(max_area / aspect)))
+    if round(max_h * aspect) > w:
+      # Largest height whose rounded width still fits.
+      max_h = int((w + 0.5 - 1e-7) / aspect)
+    max_h = min(max_h, h)
+    if ch >= max_h:
+      ch = max_h
+    else:
+      ch += int(np_rng.integers(0, max_h - ch + 1))
+    cw = int(round(ch * aspect))
+    area = cw * ch
+    if area < min_area:
+      ch += 1
+      cw = int(round(ch * aspect))
+      area = cw * ch
+    if area > max_area:
+      ch -= 1
+      cw = int(round(ch * aspect))
+      area = cw * ch
+    if (area < min_area or area > max_area or cw > w or ch > h
+        or cw <= 0 or ch <= 0):
+      continue
+    y0 = int(np_rng.integers(0, h - ch + 1)) if ch < h else 0
+    x0 = int(np_rng.integers(0, w - cw + 1)) if cw < w else 0
+    return y0, x0, ch, cw
   return 0, 0, h, w
 
 
