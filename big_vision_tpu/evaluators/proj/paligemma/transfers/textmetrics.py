@@ -123,12 +123,15 @@ def cider_d(gts: dict, res: dict, n_max: int = 4,
   log_num_imgs = math.log(max(len(gts), 1))
 
   def tfidf_vec(tokens, n):
+    # RAW term frequency, like pycocoevalcap's cider_scorer counts2vec
+    # (length-normalizing would change the clipped dot product whenever
+    # hyp and ref lengths differ, since the clip compares across the two
+    # differently-scaled vectors).
     counts = _ngrams(tokens, n + 1)
-    length = sum(counts.values())
     vec, norm_sq = {}, 0.0
     for g, cnt in counts.items():
       idf = log_num_imgs - math.log(max(dfs[n][g], 1))
-      w = (cnt / length) * idf if length else 0.0
+      w = cnt * idf
       vec[g] = w
       norm_sq += w * w
     return vec, math.sqrt(norm_sq)

@@ -33,7 +33,13 @@ def get_pp_tokenize(max_len, eos, model="c4_en", lower=True,
   """Tokenizes data[inkey] into int32 [max_len] (host op). Ref :114."""
   if eos not in ("yes", "none", "sticky"):
     raise ValueError(f"Invalid eos mode {eos!r}")
-  tokenizer = get_tokenizer(model)
+  try:
+    tokenizer = get_tokenizer(model)
+  except (ValueError, KeyError, ModuleNotFoundError):
+    # Reference semantics (ops_text.py:64): a bare name/path means a
+    # SentencePiece vocab (known alias or .model file path). eos/bos are
+    # applied per-call below, so the backend adds none by default.
+    tokenizer = get_tokenizer(f'sp(model="{model}", add_eos=False)')
   if isinstance(pad_value, str):
     pad_value = tokenizer.string_to_id(pad_value)
   ik = key or inkey

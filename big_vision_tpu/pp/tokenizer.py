@@ -82,6 +82,16 @@ def _get_seg(n=128):
   return [f"<seg{i:03d}>" for i in range(n)]
 
 
+@Registry.register("tokensets.sp_extra_tokens")
+def _get_sp_extra_tokens():
+  """SentencePiece structural tokens (ref pp/ops_text_test.py:191).
+
+  Making these visible lets decoding surface them; tokens absent from a
+  vocab (e.g. "<pad>" in mistral) are appended, growing vocab_size.
+  """
+  return ["<s>", "</s>", "<pad>"]
+
+
 class _ListOrOne:
   """Mixin handling str vs list[str] inputs uniformly."""
 
@@ -101,15 +111,12 @@ def _as_str(t):
 @Registry.register("tokenizers.sp")
 def get_sp_tokenizer(model="c4_en", add_bos=False, add_eos=True,
                      tokensets=()):
-  """SentencePiece tokenizer (ref ops_text.py:322). Needs sentencepiece."""
-  try:
-    import sentencepiece  # noqa: F401
-  except ImportError as e:
-    raise ImportError(
-        "The sentencepiece package is not installed in this image. Use "
-        "tokenizers.hf(path_to_tokenizer_json) or tokenizers.test(n) "
-        "instead, or install sentencepiece for published vocabs.") from e
+  """SentencePiece tokenizer (ref ops_text.py:322).
 
+  Backend: the sentencepiece package when installed; otherwise the native
+  pure-Python unigram implementation (pp/sentencepiece_native.py) reads
+  the same .model file — no extra dependency for inference.
+  """
   known = {
       "c4_en": "gs://t5-data/vocabs/cc_en.32000/sentencepiece.model",
       "cc_all": "gs://t5-data/vocabs/cc_all.32000/sentencepiece.model",
@@ -120,9 +127,14 @@ def get_sp_tokenizer(model="c4_en", add_bos=False, add_eos=True,
 
   class SPTokenizer(_ListOrOne):
     def __init__(self):
-      import sentencepiece as spm
       with open(model, "rb") as f:
-        self.sp = spm.SentencePieceProcessor(model_proto=f.read())
+        blob = f.read()
+      try:
+        import sentencepiece as spm
+        self.sp = spm.SentencePieceProcessor(model_proto=blob)
+      except ImportError:
+        from big_vision_tpu.pp import sentencepiece_native
+        self.sp = sentencepiece_native.SentencePieceNative(blob)
       self._extra = {t: self.sp.GetPieceSize() + i
                      for i, t in enumerate(get_extra_tokens(tokensets))}
 
