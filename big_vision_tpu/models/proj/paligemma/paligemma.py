@@ -115,47 +115,47 @@ class Model(nn.Module):
       return self._llm.extend_cache(x)
     return self._fallback_extend_cache(x)
 
-  # Slow reference path: recompute over the whole cached sequence every
-  # token. Kept as the decode-correctness oracle (tests diff fast vs slow).
+  # Decode-correctness oracle, derived from the property it checks: the
+  # logit for a new token must equal a FULL prefix-LM forward over the
+  # growing sequence, read at the last live position. The cache therefore
+  # stores the raw embedded sequence plus a per-example length vector;
+  # each step writes one slot (dynamic_update_slice at length) and
+  # recomputes everything — O(T^2) per token, tests/debugging only.
+  # Tests diff the fast right-aligned KV path against this at every step.
   def _fallback_prefill_cache(self, x, input_mask, mask_ar, cache_size):
-    attn_mask = make_attn_mask(input_mask, mask_ar)
-    logits, _ = self._llm(x, mask=attn_mask)
-    pad = cache_size - x.shape[1]
-    x = jnp.pad(jnp.where(input_mask[..., None], x, 0),
-                [(0, 0), (0, pad), (0, 0)])
-    mask_ar = jnp.pad(jnp.where(input_mask, mask_ar, 0),
-                      [(0, 0), (0, pad)])
-    input_mask = jnp.pad(input_mask, [(0, 0), (0, pad)])
-    self.put_variable("cache", "x_cache", x)
-    self.put_variable("cache", "input_mask_cache", input_mask)
-    self.put_variable("cache", "mask_ar_cache", mask_ar)
-    last_pos = jnp.sum(input_mask, axis=1)[:, None] - 1
-    last_onehot = jax.nn.one_hot(last_pos, logits.shape[1],
-                                 dtype=jnp.int32)
-    return jnp.einsum("bnh,ben->beh", logits, last_onehot)
+    logits, _ = self._llm(x, mask=make_attn_mask(input_mask, mask_ar))
+    length = jnp.sum(input_mask, axis=1)  # int[B], live prefix per example
+    grow = [(0, 0), (0, cache_size - x.shape[1])]
+    self.put_variable("cache", "x_cache",
+                      jnp.pad(jnp.where(input_mask[..., None], x, 0),
+                              grow + [(0, 0)]))
+    self.put_variable("cache", "mask_ar_cache",
+                      jnp.pad(jnp.where(input_mask, mask_ar, 0), grow))
+    self.put_variable("cache", "length", length)
+    return jnp.take_along_axis(logits, (length - 1)[:, None, None], axis=1)
 
   def _fallback_extend_cache(self, x):
     assert x.shape[1] == 1
-    mask_ar = jnp.full(x.shape[:-1], 1)
-    input_mask = jnp.full(x.shape[:-1], True)
-    c_x = self.get_variable("cache", "x_cache")
-    c_input_mask = self.get_variable("cache", "input_mask_cache")
-    c_mask_ar = self.get_variable("cache", "mask_ar_cache")
-    next_pos = jnp.sum(c_input_mask, axis=1)[:, None]
-    move = jax.nn.one_hot(next_pos, c_x.shape[1], dtype=jnp.int32)
-    x = jnp.add(c_x, jnp.einsum("beh,ben->bnh", x, move))
-    mask_ar = jnp.add(c_mask_ar, jnp.einsum("be,ben->bn", mask_ar, move))
-    input_mask = jnp.logical_or(
-        c_input_mask, jnp.einsum("be,ben->bn", input_mask, move))
-    self.put_variable("cache", "x_cache", x)
-    self.put_variable("cache", "input_mask_cache", input_mask)
-    self.put_variable("cache", "mask_ar_cache", mask_ar)
-    attn_mask = make_attn_mask(input_mask, mask_ar)
-    logits, _ = self._llm(x, mask=attn_mask)
-    last_pos = jnp.sum(input_mask, axis=1)[:, None] - 1
-    last_onehot = jax.nn.one_hot(last_pos, logits.shape[1],
-                                 dtype=jnp.int32)
-    return jnp.einsum("bnh,ben->beh", logits, last_onehot)
+    cx = self.get_variable("cache", "x_cache")
+    car = self.get_variable("cache", "mask_ar_cache")
+    length = self.get_variable("cache", "length")
+
+    # Append the token at each example's current length (generated tokens
+    # are always causal: mask_ar = 1).
+    cx = jax.vmap(
+        lambda c, t, i: jax.lax.dynamic_update_slice(c, t, (i, 0)))(
+            cx, x, length)
+    car = jax.vmap(
+        lambda c, i: jax.lax.dynamic_update_slice(
+            c, jnp.ones((1,), c.dtype), (i,)))(car, length)
+    length = length + 1
+    self.put_variable("cache", "x_cache", cx)
+    self.put_variable("cache", "mask_ar_cache", car)
+    self.put_variable("cache", "length", length)
+
+    live = jnp.arange(cx.shape[1])[None, :] < length[:, None]
+    logits, _ = self._llm(cx, mask=make_attn_mask(live, car))
+    return jnp.take_along_axis(logits, (length - 1)[:, None, None], axis=1)
 
 
 GEMMA_DIR = os.environ.get("BV_GEMMA_DIR", "PLEASE_SET_BV_GEMMA_DIR")

@@ -104,11 +104,21 @@ def _tree_names(tree):
 
 
 def _perturb(tree, seed=7):
-  """Adds per-leaf noise so zero-init heads still produce nonzero logits."""
-  leaves, tdef = jtu.tree_flatten(tree)
+  """Adds per-leaf noise so zero-init heads still produce nonzero logits.
+
+  Structural constants (Jet's frozen one-hot permutation masks) keep
+  their exact values: they are frozen during training, and perturbing
+  them would compare a continuous matmul against an exact permutation.
+  """
+  paths_leaves, tdef = jtu.tree_flatten_with_path(tree)
+  leaves = [v for _, v in paths_leaves]
+  skip = ["FREEZE_ME" in jtu.keystr(p) for p, _ in paths_leaves]
   keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
   out = []
-  for leaf, k in zip(leaves, keys):
+  for leaf, k, sk in zip(leaves, keys, skip):
+    if sk:
+      out.append(leaf)
+      continue
     if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
       s = jnp.maximum(jnp.std(leaf), 0.02)
       out.append(leaf + 0.05 * s * jax.random.normal(k, leaf.shape,
@@ -181,6 +191,11 @@ def assert_model_parity(ref_mod, my_mod, model_kw, args, kw=None, *,
   gworst = 0.0
   for (ka, a), (_, b) in zip(_tree_names(gr).items(),
                              _tree_names(gm).items()):
+    if "FREEZE_ME" in ka:
+      # Optimizer-frozen structural constants: the reference's dense
+      # matmul leaks a gradient into them, the gather here has none;
+      # neither is ever applied.
+      continue
     d = float(np.abs(np.asarray(a, np.float64)
                      - np.asarray(b, np.float64)).max())
     gworst = max(gworst, d)
