@@ -242,21 +242,53 @@ def main():
   target = 0.95 * nominal / FLOPS_PER_IMG_TRAIN
   achieved_tflops = imgs_per_sec_chip * FLOPS_PER_IMG_TRAIN / 1e12
 
+  # Verdict fields: which resource binds e2e, and whether the run is
+  # within tolerance of that ceiling. The residual below the binding
+  # ceiling is the only part the code owns; everything above it is
+  # environment (1-CPU host, tunneled h2d link, shared-chip phases).
+  # On this 1-CPU host threads don't multiply decode throughput, so the
+  # single-thread decode rate IS the host ceiling (glue overlaps a bit).
+  ceilings = {
+      "host": host_decode_rate,
+      "h2d": h2d_bound_imgs,
+      "device": device_only_ceiling,
+  }
+  binding = min(ceilings, key=ceilings.get)
+  eff_vs_ceiling = imgs_per_sec_chip / max(ceilings[binding], 1e-9)
+  if eff_vs_ceiling < 0.85:
+    import sys
+    print(f"WARNING: e2e {imgs_per_sec_chip:.0f} img/s is only "
+          f"{100 * eff_vs_ceiling:.0f}% of the binding ceiling "
+          f"({binding} = {ceilings[binding]:.0f} img/s) — the residual "
+          f"is repo-owned, investigate.", file=sys.stderr)
+
+  # Device step throughput in TFLOP/s vs the same-session matmul probe:
+  # the contention-robust efficiency number (the probe and the step see
+  # the same platform phase).
+  device_step_tflops = device_only_ceiling * FLOPS_PER_IMG_TRAIN / 1e12
+
   print(json.dumps({
+      # device_only_ceiling is the primary cross-round regression metric
+      # (repo-owned); the e2e headline `value` is explicitly
+      # environmental on this host (see binding_ceiling).
       "metric": "vit_b16_224px_train_images_per_sec_per_chip",
       "value": round(imgs_per_sec_chip, 2),
       "unit": "img/s/chip",
       "vs_baseline": round(imgs_per_sec_chip / target, 4),
+      "primary_metric": "device_only_ceiling",
+      "device_only_ceiling": round(device_only_ceiling, 2),
+      "binding_ceiling": binding,
+      "ceilings_img_per_sec": {k: round(v, 1) for k, v in ceilings.items()},
+      "e2e_vs_binding_ceiling": round(eff_vs_ceiling, 4),
+      "below_ceiling_warning": eff_vs_ceiling < 0.85,
       "best_window": round(best_rate / n_chips, 2),
       "window_spread": [round(r / n_chips, 1) for r in rates],
-      "device_only_ceiling": round(device_only_ceiling, 2),
       "mfu_nominal": round(achieved_tflops / (nominal / 1e12), 4),
       "mfu_vs_measured_peak": round(achieved_tflops / measured_peak, 4),
-      "mfu_device_only": round(
-          device_only_ceiling * FLOPS_PER_IMG_TRAIN / nominal, 4),
+      "mfu_device_only": round(device_step_tflops * 1e12 / nominal, 4),
       "mfu_device_only_vs_measured_peak": round(
-          device_only_ceiling * FLOPS_PER_IMG_TRAIN / 1e12 / measured_peak,
-          4),
+          device_step_tflops / measured_peak, 4),
+      "device_step_tflops": round(device_step_tflops, 1),
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
       "host_decode_imgs_per_sec_1thread": round(host_decode_rate, 1),

@@ -7,8 +7,10 @@ posemb resampling, checkpoint surgery, AugReg/DeiT3/SigLIP vanity names).
 TPU-first design points:
   * One attention call-site (`ops.attention`) with a selectable backend, so
     the Pallas flash kernel slots in without touching the model.
-  * `dtype_mm` controls matmul dtype (bfloat16 in all perf configs); softmax
-    and LayerNorm stay float32.
+  * `dtype_mm` controls matmul dtype (bfloat16 in all perf configs) AND the
+    block LayerNorm output dtype (keeping the residual stream bf16; LN
+    statistics still accumulate in f32, and the final encoder_norm stays
+    f32). Softmax always accumulates f32.
   * Layer-scan + remat for O(1) compile time and activation memory control.
   * Logical activation axes ("act_batch", "act_len", "act_emb") annotated at
     block boundaries so any mesh mapping (DP/FSDP/TP/SP) is a config choice.
@@ -159,7 +161,11 @@ class Encoder1DBlock(nn.Module):
   def __call__(self, x, deterministic=True):
     out = {}
     x = _constrain(x)
-    y = nn.LayerNorm()(x)
+    # dtype=dtype_mm keeps the residual stream in bf16: the default f32
+    # LayerNorm output promotes every residual add (and all inter-block
+    # HBM traffic) to f32 — measured 50 ms of pure LN time per B/16 step.
+    # Stats still accumulate in f32 inside flax's _compute_stats.
+    y = nn.LayerNorm(dtype=self.dtype_mm)(x)
     y = out["sa"] = MultiHeadAttention(
         num_heads=self.num_heads, dtype_mm=self.dtype_mm,
         attn_impl=self.attn_impl,
@@ -169,7 +175,7 @@ class Encoder1DBlock(nn.Module):
     y = nn.Dropout(rate=self.dropout)(y, deterministic)
     x = out["+sa"] = x + y
 
-    y = nn.LayerNorm()(x)
+    y = nn.LayerNorm(dtype=self.dtype_mm)(x)
     y = out["mlp"] = MlpBlock(
         mlp_dim=self.mlp_dim, dropout=self.dropout, dtype_mm=self.dtype_mm,
     )(y, deterministic)
