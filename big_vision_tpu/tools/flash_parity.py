@@ -89,11 +89,18 @@ def train_curves(steps, batch=64):
   import big_vision_tpu.utils as u
   from big_vision_tpu.models import vit
 
+  # Learnable task: each class is a fixed random template plus noise, so
+  # the loss must actually FALL (round-2's random labels only evidenced
+  # drift, not learning dynamics: losses sat at ln(100) for 200 steps).
+  n_classes = 16
+  templates = jax.random.normal(
+      jax.random.PRNGKey(42), (n_classes, 224, 224, 3)) * 0.6
+
   losses = {}
   for impl in ("flash", "xla"):
-    model = vit.Model(num_classes=100, variant="S/16", posemb="sincos2d",
-                      pool_type="gap", dtype_mm="bfloat16",
-                      attn_impl=impl)
+    model = vit.Model(num_classes=n_classes, variant="S/16",
+                      posemb="sincos2d", pool_type="gap",
+                      dtype_mm="bfloat16", attn_impl=impl)
     params = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, 224, 224, 3)))["params"])(jax.random.PRNGKey(0))
     tx = optax.adam(1e-3)
@@ -103,10 +110,10 @@ def train_curves(steps, batch=64):
     def step(state, rng):
       params, opt = state
       rng, r1, r2 = jax.random.split(rng, 3)
-      img = jax.random.uniform(r1, (batch, 224, 224, 3), jnp.float32,
-                               -1, 1)
-      lab = jax.nn.one_hot(
-          jax.random.randint(r2, (batch,), 0, 100), 100)
+      lab_idx = jax.random.randint(r2, (batch,), 0, n_classes)
+      img = (templates[lab_idx]
+             + 0.7 * jax.random.normal(r1, (batch, 224, 224, 3)))
+      lab = jax.nn.one_hot(lab_idx, n_classes)
       def loss_fn(p):
         logits, _ = model.apply({"params": p}, img, train=True)
         return u.softmax_xent(logits=logits, labels=lab)
@@ -145,13 +152,21 @@ def main(argv=None):
             "\n\n| T | D | seg | path | out | dq | dk | dv |\n"
             "|---|---|---|---|---|---|---|---|\n")
   worst = 0.0
+  n_entries = n_over = 0
+  bf16_res = 7.8e-3
   for r in rows:
-    worst = max(worst, r["out"][1], r["dq"][1], r["dk"][1], r["dv"][1])
+    for k in ("out", "dq", "dk", "dv"):
+      n_entries += 1
+      n_over += r[k][1] > bf16_res
+      worst = max(worst, r[k][1])
     buf.write(f"| {r['t']} | {r['d']} | {r['seg']} | {r['path']} | "
               + " | ".join(f"{r[k][1]:.2e}" for k in
                            ("out", "dq", "dk", "dv")) + " |\n")
-  buf.write(f"\nWorst relative error: {worst:.2e} (bf16 resolution is"
-            " ~7.8e-3; everything at or below it).\n")
+  buf.write(
+      f"\n{n_entries - n_over} of {n_entries} entries are at or below "
+      f"bf16 resolution (~{bf16_res:.1e}); {n_over} exceed it, worst "
+      f"{worst:.2e} (~{worst / bf16_res:.1f}x resolution — accumulated "
+      "rounding over the longest reduction chains).\n")
   buf.write(f"\n## Training-curve parity (ViT-S/16, {args.steps} steps,"
             " identical init/data)\n\n| step | flash loss | xla loss |\n"
             "|---|---|---|\n")

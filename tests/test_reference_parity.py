@@ -94,6 +94,79 @@ if os.path.isdir(os.path.join(REF, "big_vision")):
   sys.modules.setdefault("tensorflow_addons", _tfa)
   sys.modules.setdefault("tensorflow_addons.image", _tfa.image)
 
+  # Reference GIVT/JetFormer need distrax; back a minimal stub with this
+  # repo's own distribution math (models/proj/givt/distributions.py) so
+  # the reference models run and their densities are comparable.
+  def _distrax_stub():
+    from big_vision_tpu.models.proj.givt import distributions as _D
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    class Categorical:
+      def __init__(self, probs=None, logits=None):
+        self.probs = probs
+        self.logits = (logits if logits is not None
+                       else _jnp.log(probs + 1e-12))
+
+      def sample(self, seed):
+        return _jax.random.categorical(seed, self.logits, axis=-1)
+
+    class Normal:
+      def __init__(self, loc, scale):
+        self.loc, self.scale = loc, scale
+
+    class MultivariateNormalDiag:
+      def __init__(self, loc, scale_diag):
+        self.loc, self.scale_diag = loc, scale_diag
+
+    class MultivariateNormalTri:
+      def __init__(self, loc, scale_tri):
+        self._d = _D.MultivariateNormalTri(loc, scale_tri)
+
+      def log_prob(self, x):
+        return self._d.log_prob(x)
+
+      def sample(self, seed, sample_shape=()):
+        return self._d.sample(seed)
+
+      def mean(self):
+        return self._d.mean()
+
+    class MixtureSameFamily:
+      def __init__(self, mixture_distribution, components_distribution):
+        self.mixture_distribution = mixture_distribution
+        self.components_distribution = components_distribution
+        c = components_distribution
+        if isinstance(c, Normal):  # per-channel 1-D mixture
+          self._d = _D.PerChannelMixture(
+              jax.nn.softmax(mixture_distribution.logits, -1),
+              c.loc, c.scale)
+        elif isinstance(c, MultivariateNormalDiag):
+          self._d = _D.DiagMixture(mixture_distribution.logits,
+                                   c.loc, c.scale_diag)
+        else:
+          raise TypeError(type(c))
+
+      def log_prob(self, x):
+        return self._d.log_prob(x)
+
+      def sample(self, seed, sample_shape=()):
+        return self._d.sample(seed)
+
+      def mean(self):
+        return self._d.mean()
+
+    mod = types.ModuleType("distrax")
+    mod.Distribution = object
+    mod.Categorical = Categorical
+    mod.Normal = Normal
+    mod.MultivariateNormalDiag = MultivariateNormalDiag
+    mod.MultivariateNormalTri = MultivariateNormalTri
+    mod.MixtureSameFamily = MixtureSameFamily
+    return mod
+
+  sys.modules.setdefault("distrax", _distrax_stub())
+
 
 # ---------------------------------------------------------------------------
 # Helpers
@@ -347,6 +420,49 @@ class TestModelParity:
     assert_model_parity(_R("ppp.gemma"), _M("ppp.gemma"),
                         self._tiny_gemma(scan=True), (_TXT(),),
                         atol=1e-5, gtol=1e-5)
+
+  def test_givt(self):
+    """Reference GIVT runs on the distrax stub; logits AND the predicted
+    density's log_prob must match (bit-exact measured)."""
+    kw = dict(num_decoder_layers=2, num_heads=2, mlp_dim=32, emb_dim=16,
+              num_labels=10, seq_len=6, out_dim=4, num_mixtures=2,
+              style="ar")
+    seq = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 4))
+    labels = jnp.zeros((2,), jnp.int32)
+    ref_m = _R("proj.givt.givt").Model(**kw)
+    my_m = _M("proj.givt.givt").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), seq, labels)
+    mv = my_m.init(jax.random.PRNGKey(0), seq, labels)
+    assert set(_tree_names(rv)) == set(_tree_names(mv))
+    V = _perturb(rv)
+    ro, rpdf = ref_m.apply(V, seq, labels)
+    mo, mpdf = my_m.apply(V, seq, labels)
+    np.testing.assert_allclose(np.asarray(ro), np.asarray(mo), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rpdf.log_prob(seq)),
+                               np.asarray(mpdf.log_prob(seq)), atol=1e-5)
+
+  def test_jetformer(self):
+    kw = dict(width=32, depth=2, mlp_dim=64, num_heads=2, num_kv_heads=1,
+              head_dim=16, vocab_size=32, out_dim=8, num_mixtures=2,
+              bos_id=1, boi_id=2, nolabel_id=3)
+    txt = jnp.array([[1, 5, 9], [3, 4, 2]])
+    imt = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 8))
+    tfm = jnp.array([True, False])
+    ref_m = _R("proj.jetformer.jetformer").Model(**kw)
+    my_m = _M("proj.jetformer.jetformer").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), txt, imt, tfm)
+    mv = my_m.init(jax.random.PRNGKey(0), txt, imt, tfm)
+    assert set(_tree_names(rv)) == set(_tree_names(mv))
+    V = _perturb(rv)
+    ro = ref_m.apply(V, txt, imt, tfm)
+    mo = my_m.apply(V, txt, imt, tfm)
+    ra = [x for x in jtu.tree_leaves(ro[0])
+          if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    ma = [x for x in jtu.tree_leaves(mo[0])
+          if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    assert len(ra) == len(ma)
+    for a, b in zip(ra, ma):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
   def test_paligemma(self, monkeypatch):
     import ml_collections as mlc
