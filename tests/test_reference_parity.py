@@ -1000,3 +1000,111 @@ class TestShardingInferParity:
     jax.tree.map(
         lambda a, b: (a.spec, b.spec) and None if a.spec == b.spec else
         pytest.fail(f"{a.spec} != {b.spec} for {strategy}"), r, m)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator metrics: the computations that decide published eval numbers
+# (ref evaluators/fewshot_lsr.py:39-112 LSR solver,
+#  evaluators/proj/image_text/image_text_retrieval.py:23-84 Recall@k,
+#  evaluators/proj/image_text/prompt_engineering.py:79-113 CLIP prompts).
+# ---------------------------------------------------------------------------
+
+class TestFewshotSolverParity:
+
+  def _data(self, n_train, dim, num_classes=5, seed=0):
+    rs = np.random.RandomState(seed)
+    w = rs.randn(dim, num_classes)
+    xtr = rs.randn(n_train, dim).astype(np.float32)
+    ytr = (xtr @ w + 0.5 * rs.randn(n_train, num_classes)).argmax(1)
+    xte = rs.randn(64, dim).astype(np.float32)
+    yte = (xte @ w).argmax(1)
+    return xtr, ytr, xte, yte
+
+  @pytest.mark.parametrize("n_train, dim", [(80, 16), (12, 40)])
+  @pytest.mark.parametrize("l2_reg", [2**4, 2**8, 2**12])
+  def test_lsr_accuracy(self, n_train, dim, l2_reg):
+    """Both eigendecomposition branches (n>=d and n<d) and several regs."""
+    import big_vision.evaluators.fewshot_lsr as ref_f
+    import big_vision_tpu.evaluators.fewshot_lsr as my_f
+    xtr, ytr, xte, yte = self._data(n_train, dim)
+
+    ref_cache = ref_f._precompute_cache(
+        jnp.asarray(xtr), jnp.asarray(ytr), 5)
+    ref_acc = np.asarray(ref_f._eig_fewshot_acc_fn(
+        ref_cache, jnp.asarray(xte), jnp.asarray(yte), l2_reg))
+
+    my_cache = my_f._precompute_cache(xtr, ytr, 5)
+    my_acc = my_f._fewshot_acc(my_cache, xte, yte, l2_reg)
+
+    # The learned readout must match, not just the argmax.
+    scal = 1.0 / (np.asarray(ref_cache["eigs"]) + l2_reg)
+    ref_w = (np.asarray(ref_cache["lhs"]) * scal[None]) @ np.asarray(
+        ref_cache["rhs"])
+    my_w = (my_cache["lhs"] * (1.0 / (my_cache["eigs"] + l2_reg))[None]
+            ) @ my_cache["rhs"]
+    # Eigenvectors differ by sign/rotation between impls; compare the
+    # resulting predictor, which is basis-independent.
+    np.testing.assert_allclose(ref_w, my_w, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(ref_acc, my_acc, atol=1e-6)
+
+
+class TestRetrievalParity:
+
+  def test_recall_at_k(self):
+    import big_vision.evaluators.proj.image_text.image_text_retrieval as ref_r
+    import big_vision_tpu.evaluators.proj.image_text.image_text_retrieval \
+        as my_r
+    rs = np.random.RandomState(5)
+    n_img, n_txt = 30, 75
+    dist = rs.rand(n_img, n_txt)
+    corr = list(rs.randint(0, n_img, n_txt))
+    # Every image needs at least one text for image->text eval.
+    corr[:n_img] = list(range(n_img))
+    r1 = ref_r.text_to_image_retrieval_eval(dist, corr)
+    m1 = my_r.text_to_image_retrieval_eval(dist, corr)
+    r2 = ref_r.image_to_text_retrieval_eval(dist, corr)
+    m2 = my_r.image_to_text_retrieval_eval(dist, corr)
+    assert set(r1) == set(m1) and set(r2) == set(m2)
+    for k in r1:
+      np.testing.assert_allclose(r1[k], m1[k], atol=1e-9, err_msg=f"t2i {k}")
+    for k in r2:
+      np.testing.assert_allclose(r2[k], m2[k], atol=1e-9, err_msg=f"i2t {k}")
+
+
+class TestPromptEngineeringParity:
+
+  @pytest.fixture(scope="class")
+  def ref_pe(self):
+    import types as _types
+    sys.modules.setdefault(
+        "tensorflow_datasets", _types.ModuleType("tensorflow_datasets"))
+    import big_vision.evaluators.proj.image_text.prompt_engineering as ref_pe
+    return ref_pe
+
+  @pytest.mark.parametrize("text", [
+      "Great_white_shark!", "  a photo of a {}.", "king-crab, (large)",
+      "rock 'n' roll", "A.B.C's  test_case", "{} x {{}} y {}",
+  ])
+  def test_canonicalize_text(self, ref_pe, text):
+    from big_vision_tpu.evaluators.proj.image_text import prompt_engineering
+    for keep in (None, "{}"):
+      r = ref_pe.canonicalize_text(text, keep_punctuation_exact_string=keep)
+      m = prompt_engineering.canonicalize_text(
+          text, keep_punctuation_exact_string=keep)
+      assert r == m, (text, keep, r, m)
+
+  def test_clip_paper_templates(self, ref_pe):
+    from big_vision_tpu.evaluators.proj.image_text import prompt_engineering
+    for canon in (True, False):
+      r = ref_pe.get_prompt_templates("clip_paper", canonicalize=canon)
+      m = prompt_engineering.get_prompt_templates(
+          "clip_paper", canonicalize=canon)
+      assert r == m, f"clip_paper canonicalize={canon}"
+
+  def test_clip_imagenet_class_names(self, ref_pe):
+    from big_vision_tpu.evaluators.proj.image_text import prompt_engineering
+    ref_names = ref_pe.get_class_names(
+        dataset_name="imagenet2012", source="clip")
+    my_names = prompt_engineering.get_class_names("imagenet2012",
+                                                  source="clip")
+    assert ref_names == my_names
