@@ -32,15 +32,37 @@ pytestmark = pytest.mark.skipif(
 
 if os.path.isdir(os.path.join(REF, "big_vision")):
   sys.path.insert(0, REF)
-  # Reference pp/ops_text.py imports sentencepiece at module scope; stub it
-  # (the tokenizer object itself is faked per-test, see TestTokenizeParity).
-  _sp = types.ModuleType("sentencepiece")
-  _sp.SentencePieceProcessor = object
-  _pb = types.ModuleType("sentencepiece.sentencepiece_model_pb2")
-  _pb.ModelProto = object
-  _sp.sentencepiece_model_pb2 = _pb
-  sys.modules.setdefault("sentencepiece", _sp)
-  sys.modules.setdefault("sentencepiece.sentencepiece_model_pb2", _pb)
+
+  # Pytest imports this module at collection time, so anything placed in
+  # sys.modules here is visible to EVERY test in the suite. Stubs therefore
+  # must (a) carry a real ModuleSpec — importlib.util.find_spec raises
+  # ValueError on __spec__=None modules, which broke importorskip(...) in
+  # unrelated tests — and (b) raise ImportError when actually *used*, so
+  # availability gates (e.g. pp/tokenizer.py's sentencepiece fallback)
+  # behave exactly as if the package were absent.
+  def _stub_module(name, **attrs):
+    import importlib.machinery
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+      setattr(mod, k, v)
+    return sys.modules.setdefault(name, mod)
+
+  class _UnavailableStub:
+    """Placeholder class: importable for isinstance/module scans, but any
+    instantiation re-raises ImportError like a missing dependency."""
+
+    def __init__(self, *a, **kw):
+      raise ImportError(
+          "stubbed by test_reference_parity (package not installed; stub "
+          "exists only so reference modules import)")
+
+  # Reference pp/ops_text.py imports sentencepiece at module scope (the
+  # tokenizer object itself is faked per-test, see TestTokenizeParity).
+  _pb = _stub_module("sentencepiece.sentencepiece_model_pb2",
+                     ModelProto=_UnavailableStub)
+  _stub_module("sentencepiece", SentencePieceProcessor=_UnavailableStub,
+               sentencepiece_model_pb2=_pb)
 
   # Reference pp/autoaugment.py imports tensorflow_addons, whose
   # image.transform/rotate/translate are thin wrappers over core TF's
@@ -1075,10 +1097,21 @@ class TestPromptEngineeringParity:
 
   @pytest.fixture(scope="class")
   def ref_pe(self):
-    import types as _types
-    sys.modules.setdefault(
-        "tensorflow_datasets", _types.ModuleType("tensorflow_datasets"))
-    import big_vision.evaluators.proj.image_text.prompt_engineering as ref_pe
+    # Temporary tfds stub just to satisfy the reference module's import
+    # (its tfds use is in get_class_names(source="dataset_info"), untested
+    # here); removed again so availability gates elsewhere stay truthful.
+    import importlib.machinery
+    added = "tensorflow_datasets" not in sys.modules
+    if added:
+      mod = types.ModuleType("tensorflow_datasets")
+      mod.__spec__ = importlib.machinery.ModuleSpec(
+          "tensorflow_datasets", loader=None)
+      sys.modules["tensorflow_datasets"] = mod
+    try:
+      import big_vision.evaluators.proj.image_text.prompt_engineering as ref_pe
+    finally:
+      if added:
+        del sys.modules["tensorflow_datasets"]
     return ref_pe
 
   @pytest.mark.parametrize("text", [
