@@ -404,6 +404,39 @@ def training_from_step(input_config, first_step, *, devices=None, seed=0):
   return it
 
 
+def element_spec(input_config, *, seed=0):
+  """Per-example shapes/dtypes after the full pp chain, from ONE example.
+
+  The reference trainer derives model-init shapes from tf.data's
+  element_spec (ref train.py:195-197), so its configs never declare
+  init_shapes. This TF-free equivalent pulls a single raw example, runs
+  the host pp phase on it, and shape-traces (eval_shape, no execution)
+  the device phase. Returns {key: jax.ShapeDtypeStruct} for numeric keys,
+  without the batch dimension.
+  """
+  cfg = dict(input_config)
+  data_cfg = cfg["data"]
+  host_fn = pfn = pp_builder.get_preprocess_fn(cfg.get("pp"))
+  if isinstance(data_cfg, (list, tuple)):  # mixture: all sources must agree
+    _, sub = data_cfg[0]
+    sub = dict(sub)
+    host_fn = pp_builder.get_preprocess_fn(sub.pop("pp", cfg.get("pp")))
+    data_cfg = sub
+  source = ds_core.get(**data_cfg)
+  ex = next(iter(source.get_examples(ordered=True, seed=seed, epoch=0)))
+  ex = host_fn.host(dict(ex), np.random.default_rng(seed))
+  # Collate like _batched does: scalars become ndarray rows; drop
+  # non-numeric (string) keys, which ride on the host side of the feed.
+  ex = {k: np.asarray(v) for k, v in ex.items()}
+  batch = {k: v[None] for k, v in ex.items() if _is_numeric(v)}
+  if pfn.device_ops:
+    key = jax.ShapeDtypeStruct((2,), np.uint32)
+    batch = jax.eval_shape(pfn.device, batch, key)
+  return {k: jax.ShapeDtypeStruct(np.shape(v)[1:], np.asarray(v).dtype
+                                  if not hasattr(v, "dtype") else v.dtype)
+          for k, v in batch.items()}
+
+
 def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
                        num_batches=None, keep_on_cpu=(), seed=0,
                        num_threads=None):

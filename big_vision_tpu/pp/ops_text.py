@@ -33,26 +33,38 @@ def get_pp_tokenize(max_len, eos, model="c4_en", lower=True,
   """Tokenizes data[inkey] into int32 [max_len] (host op). Ref :114."""
   if eos not in ("yes", "none", "sticky"):
     raise ValueError(f"Invalid eos mode {eos!r}")
-  try:
-    tokenizer = get_tokenizer(model)
-  except (ValueError, KeyError, ModuleNotFoundError):
-    # Reference semantics (ops_text.py:64): a bare name/path means a
-    # SentencePiece vocab (known alias or .model file path). eos/bos are
-    # applied per-call below, so the backend adds none by default.
-    tokenizer = get_tokenizer(f'sp(model="{model}", add_eos=False)')
-  if isinstance(pad_value, str):
-    pad_value = tokenizer.string_to_id(pad_value)
+  # The vocab file is NOT read here: pp-string parsing stays pure so
+  # configs referencing remote vocabs (gs://...) can be parsed, validated,
+  # and sharded without network access; the tokenizer materializes in the
+  # loader threads on first use (and get_tokenizer caches it).
+  _state = {}
+
+  def _resolve():
+    if "tok" not in _state:
+      try:
+        tok = get_tokenizer(model)
+      except (ValueError, KeyError, ModuleNotFoundError):
+        # Reference semantics (ops_text.py:64): a bare name/path means a
+        # SentencePiece vocab (known alias or .model file path). eos/bos
+        # are applied per-call below, so the backend adds none by default.
+        tok = get_tokenizer(f'sp(model="{model}", add_eos=False)')
+      _state["tok"] = tok
+      _state["pad"] = (tok.string_to_id(pad_value)
+                       if isinstance(pad_value, str) else pad_value)
+    return _state["tok"], _state["pad"]
+
   ik = key or inkey
   ok = key or outkey
   assert ik, "tokenize needs key= or inkey="
 
   def _tokenize_one(txt):
+    tokenizer, pad = _resolve()
     if isinstance(txt, bytes):
       txt = txt.decode()
     if lower:
       txt = txt.lower()
     ids = tokenizer.to_int(txt, bos=add_bos, eos=eos != "none")
-    return _pad_tokens(ids, max_len, pad_value, tokenizer.eos_token,
+    return _pad_tokens(ids, max_len, pad, tokenizer.eos_token,
                        force_eos=eos == "sticky")
 
   def _op(data, np_rng):

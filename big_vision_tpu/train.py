@@ -134,8 +134,16 @@ def _main(argv=None, *, config=None, workdir=None):
   model = model_mod.Model(
       num_classes=config.num_classes, **config.get("model", {}))
 
+  if "init_shapes" in config:
+    init_shape = config.init_shapes[0]
+  else:
+    # Reference configs omit init_shapes; derive the post-pp image shape
+    # from the data like the reference does (ref train.py:195-197).
+    spec = input_pipeline.element_spec(config.input)["image"]
+    init_shape = (1, *spec.shape)
+
   def init(rng):
-    dummy = jnp.zeros(config.init_shapes[0], jnp.float32)
+    dummy = jnp.zeros(init_shape, jnp.float32)
     params = model.init(rng, dummy, train=True)["params"]
     if config.get("init_head_bias") is not None:
       params["head"]["bias"] = jnp.full_like(

@@ -5,8 +5,59 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from big_vision_tpu.evaluators.proj.distill import cka as cka_mod
 from big_vision_tpu.evaluators.proj.distill import distance as dd
 from big_vision_tpu.trainers.proj.gsam import gsam
+
+
+def _cka(x, y, n_batches=4):
+  """Accumulate the minibatch-CKA estimator the way the evaluator does."""
+  cross = s_norm = t_norm = 0.0
+  for xb, yb in zip(np.split(x, n_batches), np.split(y, n_batches)):
+    xb = jnp.asarray(xb - xb.mean(0, keepdims=True), jnp.float32)
+    yb = jnp.asarray(yb - yb.mean(0, keepdims=True), jnp.float32)
+    gx, gy = xb @ xb.T, yb @ yb.T
+    cross += float(cka_mod.hsic1(gx, gy))
+    s_norm += float(cka_mod.hsic1(gx, gx))
+    t_norm += float(cka_mod.hsic1(gy, gy))
+  return cross / (np.sqrt(s_norm) * np.sqrt(t_norm))
+
+
+def test_cka_properties():
+  rs = np.random.RandomState(0)
+  x = rs.randn(64, 12).astype(np.float32)
+  # Self-similarity is 1.
+  np.testing.assert_allclose(_cka(x, x), 1.0, atol=1e-5)
+  # Invariant to orthogonal transforms and isotropic scaling.
+  q, _ = np.linalg.qr(rs.randn(12, 12))
+  np.testing.assert_allclose(_cka(x, 3.7 * (x @ q.astype(np.float32))),
+                             1.0, atol=1e-4)
+  # Low similarity against independent features.
+  y = rs.randn(64, 12).astype(np.float32)
+  assert _cka(x, y) < 0.3
+
+
+def test_cka_matches_full_batch_reference():
+  """Minibatch accumulation with ONE batch equals textbook unbiased CKA."""
+  rs = np.random.RandomState(1)
+  x = rs.randn(32, 8).astype(np.float32)
+  y = (x @ rs.randn(8, 6).astype(np.float32)
+       + 0.1 * rs.randn(32, 6).astype(np.float32))
+  got = _cka(x, y, n_batches=1)
+
+  def hsic_np(k, l):
+    n = k.shape[0]
+    np.fill_diagonal(k, 0), np.fill_diagonal(l, 0)
+    t1 = np.trace(k @ l)
+    t2 = k.sum() * l.sum() / ((n - 1) * (n - 2))
+    t3 = 2 / (n - 2) * (k.sum(0) @ l.sum(0))
+    return (t1 + t2 - t3) / (n * (n - 3))
+
+  xc, yc = x - x.mean(0), y - y.mean(0)
+  kx, ky = xc @ xc.T, yc @ yc.T
+  want = hsic_np(kx.copy(), ky.copy()) / np.sqrt(
+      hsic_np(kx.copy(), kx.copy()) * hsic_np(ky.copy(), ky.copy()))
+  np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
 def test_dist_kinds():

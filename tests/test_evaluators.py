@@ -104,3 +104,44 @@ def test_pp_label_name_ops():
   pfn = builder.get_preprocess_fn("clip_i1k_label_names")
   out = pfn.host({"label": np.int32(1)}, np.random.default_rng(0))
   assert out["labels"] == "goldfish"
+
+
+def test_labelmap_classification():
+  """classification_with_labelmap: mapping resolution + mapped top-1."""
+  import json
+  import jax.numpy as jnp
+  from big_vision_tpu.evaluators import classification_with_labelmap as cwl
+
+  # Resolution: list, json file, unknown name.
+  np.testing.assert_array_equal(cwl.resolve_label_mapping([5, 2, 9]),
+                                [5, 2, 9])
+  import tempfile, os
+  with tempfile.TemporaryDirectory() as d:
+    p = os.path.join(d, "map.json")
+    json.dump([1, 0], open(p, "w"))
+    np.testing.assert_array_equal(cwl.resolve_label_mapping(p), [1, 0])
+  with pytest.raises(ValueError):
+    cwl.resolve_label_mapping("no_such_named_mapping")
+
+  # Metric math: model speaks 10 classes, eval labels live in 3 classes
+  # mapped to logit columns [5, 2, 9].
+  mapping = cwl.resolve_label_mapping([5, 2, 9])
+
+  def predict_fn(train_state, batch):
+    del train_state
+    return batch["logits"], None
+
+  eval_fn = cwl.make_eval_fn(predict_fn, "softmax_xent", mapping)
+  logits = np.full((4, 10), -5.0, np.float32)
+  logits[0, 5] = 5.0   # -> small-space class 0
+  logits[1, 2] = 5.0   # -> class 1
+  logits[2, 9] = 5.0   # -> class 2
+  logits[3, 0] = 5.0   # unmapped column: never wins in mapped space
+  labels = np.eye(3, dtype=np.float32)[[0, 1, 0, 2]]
+  mask = np.ones(4, np.float32)
+  nc, loss, ns = jax.device_get(eval_fn(
+      None, {"logits": jnp.asarray(logits)}, jnp.asarray(labels),
+      jnp.asarray(mask)))
+  assert ns == 4
+  assert nc == 2  # rows 0 and 1 correct; row 2 mislabeled; row 3 uniform
+  assert np.isfinite(loss)
