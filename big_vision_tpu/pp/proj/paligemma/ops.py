@@ -74,11 +74,15 @@ def get_tok(model, length=None, *, bos="no", eos="no", text=None, key=None,
 
   if text is not None:
     assert inkey is None, "Either inkey or text, not both"
-    const_tokens = tokenize(text)
+    # Tokenized on first use, not at parse time: the vocab may be a
+    # remote file (gs://...) that pp-string validation must not touch.
+    const_state = {}
 
     def _op_const(data):
+      if "tokens" not in const_state:
+        const_state["tokens"] = tokenize(text)
       data = dict(data)
-      data[ok] = const_tokens
+      data[ok] = const_state["tokens"]
       return data
     return PPOp(host_fn=_op_const, phase="host", staticizer=bool(length),
                 name="tok")

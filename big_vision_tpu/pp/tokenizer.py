@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import importlib
+import threading
 from typing import Protocol
 
 import numpy as np
@@ -126,17 +127,37 @@ def get_sp_tokenizer(model="c4_en", add_bos=False, add_eos=True,
   model = known.get(model, model)
 
   class SPTokenizer(_ListOrOne):
+    """Reads the vocab lazily: constructing the tokenizer (and therefore
+    parsing a pp string that names a remote gs:// vocab) needs no file
+    access; the first encode/decode/property call materializes it."""
+
     def __init__(self):
-      with open(model, "rb") as f:
-        blob = f.read()
-      try:
-        import sentencepiece as spm
-        self.sp = spm.SentencePieceProcessor(model_proto=blob)
-      except ImportError:
-        from big_vision_tpu.pp import sentencepiece_native
-        self.sp = sentencepiece_native.SentencePieceNative(blob)
-      self._extra = {t: self.sp.GetPieceSize() + i
-                     for i, t in enumerate(get_extra_tokens(tokensets))}
+      self._sp = None
+      self._lock = threading.Lock()
+
+    @property
+    def sp(self):
+      if self._sp is None:
+        with self._lock:
+          if self._sp is None:
+            with open(model, "rb") as f:
+              blob = f.read()
+            try:
+              import sentencepiece as spm
+              sp = spm.SentencePieceProcessor(model_proto=blob)
+            except ImportError:
+              from big_vision_tpu.pp import sentencepiece_native
+              sp = sentencepiece_native.SentencePieceNative(blob)
+            self._extra_tokens = {
+                t: sp.GetPieceSize() + i
+                for i, t in enumerate(get_extra_tokens(tokensets))}
+            self._sp = sp
+      return self._sp
+
+    @property
+    def _extra(self):
+      self.sp  # materialize
+      return self._extra_tokens
 
     def _one_to_int(self, text, bos, eos):
       ids = self.sp.EncodeAsIds(text)

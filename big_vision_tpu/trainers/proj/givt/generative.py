@@ -48,7 +48,8 @@ def _main(argv=None, *, config=None, workdir=None):
     jax.distributed.initialize()
   jax.config.update("jax_transfer_guard", "disallow")
 
-  for m in config.get("pp_modules", ["ops_general", "ops_image"]):
+  for m in config.get("pp_modules", ["ops_general", "ops_image", "ops_text",
+                                    "proj.uvim.pp_ops", "proj.givt.pp_ops"]):
     importlib.import_module(f"big_vision_tpu.pp.{m}")
 
   mw = u.MetricWriter(workdir if jax.process_index() == 0 else None,

@@ -51,7 +51,7 @@ def _main(argv=None, *, config=None, workdir=None):
     jax.distributed.initialize()
   jax.config.update("jax_transfer_guard", "disallow")
 
-  for m in config.get("pp_modules", ["ops_general", "ops_image"]):
+  for m in config.get("pp_modules", ["ops_general", "ops_image", "proj.uvim.pp_ops"]):
     importlib.import_module(f"big_vision_tpu.pp.{m}")
 
   mw = u.MetricWriter(workdir if jax.process_index() == 0 else None,

@@ -31,7 +31,8 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "big_vision")),
     reason="reference checkout not available")
 
-# (config module name, get_config arg)
+# Configs that get deep checks (model + optimizer build on a 224px image
+# classification surface).
 CONFIGS = [
     ("vit_s16_i1k", None),
     ("vit_i1k", "variant=B/16"),
@@ -42,22 +43,61 @@ CONFIGS = [
     ("load_and_eval", "name=vit_i21k,batch_size=8"),
 ]
 
-# Project configs: structural checks only (their trainers/models have
-# family-specific config schemas exercised by the per-family e2e tests in
-# test_train_e2e.py and friends).
-STRUCTURAL = [
-    ("proj.flexivit.i21k_sup", None),
-    ("proj.flexivit.i1k_deit3_distill", None),
-    ("proj.gsam.vit_i1k_gsam_no_aug", None),
-    ("proj.distill.bit_i1k", None),
-    ("proj.jet.imagenet64", None),
-    ("proj.givt.givt_imagenet2012", None),
-    ("proj.jetformer.jetformer_imagenet2012", None),
-    ("proj.uvim.train_coco_panoptic_pretrained", None),
-    ("proj.cappa.pretrain", None),
-    ("proj.image_text.siglip_lit_coco", None),
-    ("proj.clippo.train_clippo", None),
-]
+# get_config args for configs that require one.
+NEEDS_ARG = {name: arg for name, arg in CONFIGS if arg}
+
+# Reference config files that are BROKEN in the public snapshot; loading
+# them fails in the reference itself (pinned below), and this repo ships a
+# repaired port under the same name.
+REF_BROKEN = {
+    # split='train) — unterminated string, vqvae_nyu_depth.py:39.
+    "proj.uvim.vqvae_nyu_depth": SyntaxError,
+    # dict(log_steps=..., **get_fewshot_lsr()) duplicates log_steps
+    # (train_vit_g.py:85) since common_fewshot grew its own default.
+    "proj.scaling_laws.train_vit_g": TypeError,
+}
+
+# Video transfer templates: get_config() raises NotImplementedError by
+# design ("Please implement a video reader of choice!") until the user
+# plugs in a video reader; this repo's ports mirror that contract.
+REF_VIDEO_TEMPLATES = {
+    "proj.paligemma.transfers.activitynet_cap",
+    "proj.paligemma.transfers.activitynet_qa",
+    "proj.paligemma.transfers.msrvtt_cap",
+    "proj.paligemma.transfers.msrvtt_qa",
+    "proj.paligemma.transfers.msvd_qa",
+    "proj.paligemma.transfers.vatex_cap",
+}
+
+# Not configs: detection_reward.py is the reward-fn library used by the
+# reward_tune trainer (covered by tests/test_reward_tune.py).
+NOT_CONFIGS = {"proj.reward_tune.detection_reward"}
+
+
+def _all_ref_config_modules():
+  """Every get_config()-loadable config module in the reference snapshot."""
+  import pathlib
+  root = pathlib.Path(REF) / "big_vision" / "configs"
+  if not root.is_dir():
+    return []
+  out = []
+  for p in sorted(root.rglob("*.py")):
+    mod = ".".join(p.relative_to(root).with_suffix("").parts)
+    if mod.endswith("__init__"):
+      continue
+    if mod.split(".")[-1] in ("common", "common_fewshot"):
+      continue  # helper libraries, no get_config
+    if mod in NOT_CONFIGS or mod in REF_BROKEN or mod in REF_VIDEO_TEMPLATES:
+      continue
+    out.append((mod, NEEDS_ARG.get(mod)))
+  return out
+
+
+ALL_LOADABLE = _all_ref_config_modules()
+# The enumeration is the completeness claim: every reference config file is
+# in exactly one bucket. Guard the count so a snapshot change can't silently
+# shrink coverage.
+assert not ALL_LOADABLE or len(ALL_LOADABLE) == 60, len(ALL_LOADABLE)
 
 IMAGENET_N = 1_281_167
 
@@ -86,8 +126,12 @@ def iter_pp_strings(config):
 def import_pp_modules(config, name=""):
   # Per-family defaults mirror the reference trainers (e.g. the uvim
   # trainer defaults pp_modules to include proj.uvim.pp_ops,
-  # ref trainers/proj/uvim/train.py:115-116).
-  family_defaults = {"proj.uvim": ["proj.uvim.pp_ops"]}
+  # ref trainers/proj/uvim/train.py:115-116; the givt trainer adds
+  # proj.givt.pp_ops, ref trainers/proj/givt/generative.py:106-107).
+  family_defaults = {
+      "proj.uvim": ["proj.uvim.pp_ops"],
+      "proj.givt": ["proj.uvim.pp_ops", "proj.givt.pp_ops"],
+  }
   extra = [m for fam, ms in family_defaults.items()
            if name.startswith(fam) for m in ms]
   mods = list(config.get("pp_modules",
@@ -97,15 +141,17 @@ def import_pp_modules(config, name=""):
     importlib.import_module(f"big_vision_tpu.pp.{m}")
 
 
-@pytest.mark.parametrize("name, arg", CONFIGS + STRUCTURAL)
+@pytest.mark.parametrize("name, arg", ALL_LOADABLE)
 def test_config_loads(name, arg):
   config = load_ref_config(name, arg)
   # Distill configs name a student/teacher pair instead of model_name.
   assert config.get("model_name") or config.get("student_name")
-  assert "lr" in config
+  # Eval-only configs (flexivit timing) carry no training input and no lr.
+  if "lr" not in config:
+    assert not (config.get("input") or {}).get("data"), name
 
 
-@pytest.mark.parametrize("name, arg", CONFIGS + STRUCTURAL)
+@pytest.mark.parametrize("name, arg", ALL_LOADABLE)
 def test_pp_strings_parse(name, arg):
   from big_vision_tpu.pp import builder as pp_builder
   config = load_ref_config(name, arg)
@@ -115,7 +161,9 @@ def test_pp_strings_parse(name, arg):
     pfn = pp_builder.get_preprocess_fn(str(s))
     assert pfn.ops, f"{name}: empty pipeline from {where}: {s}"
     n += 1
-  assert n, f"{name}: no pp strings found"
+  # Eval-only configs with synthetic inputs (flexivit timing) have none.
+  if name != "proj.flexivit.timing":
+    assert n, f"{name}: no pp strings found"
 
 
 @pytest.mark.parametrize("name, arg", CONFIGS)
@@ -148,7 +196,7 @@ def test_model_and_optimizer_build(name, arg):
   assert state is not None
 
 
-@pytest.mark.parametrize("name, arg", CONFIGS + STRUCTURAL)
+@pytest.mark.parametrize("name, arg", ALL_LOADABLE)
 def test_evaluator_types_resolve(name, arg):
   config = load_ref_config(name, arg)
   for ev_name, ev in (config.get("evals") or {}).items():
@@ -157,13 +205,61 @@ def test_evaluator_types_resolve(name, arg):
     assert hasattr(mod, "Evaluator"), f"{name}: evals.{ev_name} type {typ}"
 
 
-@pytest.mark.parametrize("name, arg", STRUCTURAL)
+@pytest.mark.parametrize("name, arg", ALL_LOADABLE)
 def test_model_module_resolves(name, arg):
   config = load_ref_config(name, arg)
   for key in ("model_name", "student_name", "teacher_name"):
     if config.get(key):
       mod = importlib.import_module(f"big_vision_tpu.models.{config[key]}")
       assert hasattr(mod, "Model"), f"{name}: {key}={config[key]}"
+
+
+@pytest.mark.parametrize("name", sorted(REF_BROKEN))
+def test_broken_snapshot_config_has_repaired_port(name):
+  """These files are syntactically/semantically broken in the public
+  snapshot; pin the breakage (so a fixed snapshot flips this test and we
+  re-enable full checks) and prove this repo's same-named port loads."""
+  with pytest.raises(REF_BROKEN[name]):
+    load_ref_config(name)
+  mod = importlib.import_module(f"big_vision_tpu.configs.{name}")
+  config = mod.get_config()
+  assert config.get("model_name") or config.get("student_name")
+
+
+@pytest.mark.parametrize("name", sorted(REF_VIDEO_TEMPLATES))
+def test_video_template_contract(name):
+  """Video transfers ship as templates: get_config() raises until a video
+  reader is plugged in (ref configs/proj/paligemma/transfers/
+  activitynet_cap.py:57). This repo's ports keep the same contract."""
+  with pytest.raises(NotImplementedError):
+    load_ref_config(name)
+  mod = importlib.import_module(f"big_vision_tpu.configs.{name}")
+  with pytest.raises(NotImplementedError):
+    mod.get_config()
+
+
+def test_timing_evaluator_runs():
+  """The flexivit timing config's evaluator (snapshot gap: type='timing'
+  has no public implementation) measures a real predict_fn."""
+  import jax
+  import jax.numpy as jnp
+  from big_vision_tpu.evaluators import timing as timing_eval
+  from big_vision_tpu.models.xp.flexivit import vit as xp_vit
+
+  model = xp_vit.Model(0, width=16, depth=1, mlp_dim=32, num_heads=2,
+                       patch_size=(10, 10), seqhw=(4, 4), pool_type="tok")
+  params = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 40, 40, 3)))["params"]
+
+  def predict_fn(train_state, batch):
+    return model.apply({"params": train_state["params"]}, batch["image"])
+
+  ev = timing_eval.Evaluator(predict_fn, input_shapes=[(40, 40, 3)],
+                             batch_size=2, warmup=1, reps=3, timing=True)
+  metrics = dict(ev.run({"params": params}))
+  assert metrics["latency_ms"] > 0
+  assert metrics["examples_per_sec"] > 0
+  assert metrics["compile_ms"] >= metrics["latency_min_ms"]
 
 
 def test_dummy_data_source():
