@@ -150,6 +150,7 @@ class SentencePieceNative:
       self._max_piece_len = max(self._max_piece_len, len(p))
       if t == USER_DEFINED:
         self._user_defined.add(p)
+    self._unk_penalty = min(self._scores.values(), default=0.0) - 10.0
 
   # -- normalization ------------------------------------------------------
 
@@ -178,7 +179,7 @@ class SentencePieceNative:
     best = [NEG] * (n + 1)
     back = [None] * (n + 1)
     best[0] = 0.0
-    unk_penalty = min(self._scores.values(), default=0.0) - 10.0
+    unk_penalty = self._unk_penalty
     for i in range(n):
       if best[i] == NEG:
         continue

@@ -1,0 +1,157 @@
+"""bv:video DataSource + the video transfer configs it makes runnable.
+
+The reference ships its six video configs raising NotImplementedError until
+the user brings a DMVR-style reader (ref configs/proj/paligemma/transfers/
+activitynet_cap.py:58-71); datasets/video.py implements that reader
+contract natively (cv2 / pre-extracted frame dirs)."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from big_vision_tpu.datasets import video as video_ds
+
+
+def _write_video(path, frame_values, size=(32, 24)):
+  """Writes one constant-valued frame per entry of frame_values."""
+  w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, size)
+  assert w.isOpened(), "cv2 mp4v encoder unavailable"
+  for v in frame_values:
+    w.write(np.full((size[1], size[0], 3), v, np.uint8))
+  w.release()
+
+
+def _jpeg_mean(raw):
+  from PIL import Image
+  return float(np.asarray(Image.open(io.BytesIO(raw))).mean())
+
+
+@pytest.fixture(scope="module")
+def video_root(tmp_path_factory):
+  root = tmp_path_factory.mktemp("videos")
+  d = root / "msrvtt_qa"
+  (d / "videos").mkdir(parents=True)
+  (d / "frames" / "c").mkdir(parents=True)
+  # 20-frame clip, frame i has constant value 10*i.
+  _write_video(str(d / "videos" / "a.mp4"), [10 * i for i in range(20)])
+  # Short 3-frame clip.
+  _write_video(str(d / "videos" / "b.mp4"), [0, 100, 200])
+  # Pre-extracted frames (no cv2 needed on read).
+  from PIL import Image
+  for i in range(6):
+    Image.fromarray(np.full((8, 8, 3), 40 * i, np.uint8)).save(
+        d / "frames" / "c" / f"{i:03d}.jpg")
+  rows = [
+      {"video": "videos/a.mp4", "question": "what is shown",
+       "answer": ["gradient"], "example/video_id": "a"},
+      {"video": "videos/b.mp4", "question": "how many",
+       "answer": ["three"], "example/video_id": "b"},
+      {"video": "frames/c", "question": "color",
+       "answer": ["grey"], "example/video_id": "c"},
+  ]
+  with open(d / "train.jsonl", "w") as f:
+    for r in rows:
+      f.write(json.dumps(r) + "\n")
+  return str(root)
+
+
+def _examples(src):
+  return list(src.get_examples(ordered=True))
+
+
+def test_samples_frames_at_stride(video_root):
+  src = video_ds.DataSource("msrvtt_qa", split="train", data_dir=video_root,
+                            num_frames=4, deterministic_fs=True)
+  exs = {e["example/video_id"]: e for e in _examples(src)}
+  # 20 frames, default stride 20//4=5, deterministic start 0 -> 0,5,10,15.
+  means = [_jpeg_mean(r) for r in exs["a"]["episodic_images"]]
+  assert len(means) == 4
+  np.testing.assert_allclose(means, [0, 50, 100, 150], atol=12)
+  # Short clip: fewer frames (video_replicate_img pp op tiles them up).
+  assert len(exs["b"]["episodic_images"]) == 3
+  # Frame-dir layout: bytes are the files themselves, in sorted order.
+  raws = exs["c"]["episodic_images"]
+  assert len(raws) == 4
+  np.testing.assert_allclose([_jpeg_mean(r) for r in raws],
+                             [0, 40, 80, 120], atol=4)
+
+
+def test_explicit_stride_and_offset_rng(video_root):
+  kw = dict(split="train", data_dir=video_root, num_frames=2, stride=2)
+  det = video_ds.DataSource("msrvtt_qa", deterministic_fs=True, **kw)
+  a = [e for e in _examples(det) if e["example/video_id"] == "a"][0]
+  np.testing.assert_allclose(
+      [_jpeg_mean(r) for r in a["episodic_images"]], [0, 20], atol=12)
+
+  rnd = video_ds.DataSource("msrvtt_qa", deterministic_fs=False, **kw)
+  def first_means(epoch):
+    return [round(_jpeg_mean(e["episodic_images"][0]))
+            for e in rnd.get_examples(ordered=True, seed=3, epoch=epoch)]
+  # Deterministic given (seed, epoch) — the sample-exact-resume contract.
+  assert first_means(0) == first_means(0)
+  # Random offsets actually vary across epochs (17 possible offsets for
+  # clip "a"; 6 identical epochs would be a ~1e-6 fluke).
+  assert len({tuple(first_means(ep)) for ep in range(6)}) > 1
+
+
+def test_first_k_shards(video_root):
+  src = video_ds.DataSource("msrvtt_qa", split="train", data_dir=video_root,
+                            num_frames=1, first_k_shards=5)
+  # Default shard_count=10 over 3 rows -> first 5 shards = ceil-ish half.
+  assert src.total_examples < 3
+  assert len(_examples(src)) == src.total_examples
+
+
+def test_config_pp_chain_end_to_end(video_root, monkeypatch):
+  """The reference msrvtt_qa recipe runs start-to-finish on real video."""
+  import importlib
+  import big_vision_tpu.pp.tokenizer as bvt_tok
+  from big_vision_tpu.pp import builder as pp_builder
+  from big_vision_tpu.configs.proj.paligemma.transfers import msrvtt_qa
+
+  real_get = bvt_tok.get_tokenizer.__wrapped__
+  monkeypatch.setattr(
+      bvt_tok, "get_tokenizer",
+      lambda spec: real_get('test(vocab_size=1000, tokensets=("loc","seg"))'))
+
+  c = msrvtt_qa.get_config(f"reader=bv:video,data_dir={video_root},res=28")
+  for m in c.pp_modules:
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+  pfn = pp_builder.get_preprocess_fn(str(c.input.pp))
+
+  from big_vision_tpu.datasets import core as ds_core
+  src = ds_core.get(**dict(c.input.data))
+  ex = next(iter(src.get_examples(ordered=True)))
+  out = pfn.host(dict(ex), np.random.default_rng(0))
+  assert out["image"].shape == (8, 28, 28, 3)
+  assert out["image"].min() >= -1 and out["image"].max() <= 1
+  # Short clips were tiled up to num_frames by video_replicate_img.
+  assert out["text"].shape == (33,)  # text_len+1; trainer drops EOS
+  assert set(np.unique(out["mask_ar"])) <= {0, 1}
+  assert out["mask_loss"].shape == (33,)
+
+
+def test_element_spec_on_video_config(video_root, monkeypatch):
+  import big_vision_tpu.pp.tokenizer as bvt_tok
+  from big_vision_tpu import input_pipeline
+  from big_vision_tpu.configs.proj.paligemma.transfers import msvd_qa
+
+  real_get = bvt_tok.get_tokenizer.__wrapped__
+  monkeypatch.setattr(
+      bvt_tok, "get_tokenizer",
+      lambda spec: real_get('test(vocab_size=1000, tokensets=("loc","seg"))'))
+
+  c = msvd_qa.get_config(f"reader=bv:video,data_dir={video_root},res=28")
+  # msvd_qa shares the msrvtt_qa fixture layout; repoint the dataset.
+  c.input.data["dataset_name"] = "msrvtt_qa"
+  import importlib
+  for m in c.pp_modules:
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+  spec = input_pipeline.element_spec(c.input.to_dict())
+  assert spec["image"].shape == (8, 28, 28, 3)
+  assert spec["text"].shape == (33,)
