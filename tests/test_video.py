@@ -155,3 +155,52 @@ def test_element_spec_on_video_config(video_root, monkeypatch):
   spec = input_pipeline.element_spec(c.input.to_dict())
   assert spec["image"].shape == (8, 28, 28, 3)
   assert spec["text"].shape == (33,)
+
+
+@pytest.mark.slow
+def test_video_transfer_trains_e2e(video_root, tmp_path):
+  """The reference msrvtt_qa recipe TRAINS with this repo's PaliGemma
+  trainer on real (synthesized) video — only the reader (bv:video), the
+  tokenizer (hermetic test vocab), model size, and run-length knobs are
+  overridden; pp recipe, prefix-LM masking, loss, and optimizer are the
+  config's own."""
+  import subprocess
+  import sys
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  code = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from big_vision_tpu.configs.proj.paligemma.transfers import msrvtt_qa
+
+c = msrvtt_qa.get_config("reader=bv:video,data_dir={video_root},res=16")
+c.input.pp = c.input.pp.replace(
+    "model='gemma(tokensets=(\\"loc\\", \\"seg\\"))'",
+    "model='test(vocab_size=1000, tokensets=(\\"loc\\", \\"seg\\"))'")
+del c.total_epochs
+c.total_steps = 2
+c.input.batch_size = 8
+c.input.shuffle_buffer_size = 8
+c.input["num_threads"] = 2
+c.log_training_steps = 1
+c.ckpt_steps = 0
+del c.model_init
+c.model.img = dict(variant="mu/16", pool_type="none", posemb="sincos2d",
+                   head_zeroinit=False)
+c.model.llm = dict(variant="gemma_test", scan=True, cache_dtype=None,
+                   vocab_size=2176)
+c.init_shapes = [(1, 8, 16, 16, 3), (1, 33)]
+c.schedule = dict(decay_type="cosine", warmup_steps=1)
+
+from big_vision_tpu.trainers.proj.paligemma import train
+train.main(config=c, workdir={str(tmp_path / "wd")!r})
+print("VIDEO_E2E_OK")
+"""
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+  r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                     capture_output=True, text=True, timeout=1200)
+  assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+  assert "VIDEO_E2E_OK" in r.stdout
+  rows = [json.loads(l) for l in
+          open(tmp_path / "wd" / "big_vision_metrics.txt")]
+  final = [row for row in rows if row["step"] == 2][-1]
+  assert np.isfinite(final["training_loss"])
