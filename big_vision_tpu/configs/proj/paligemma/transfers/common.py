@@ -114,6 +114,71 @@ def add_eval_pplx(c, train_data, splits, prefix):
         pp_fn=train_data["pp"])
 
 
+def add_video_evals(c, train_cfg, *, prefix_name, task, res,
+                    num_frames, text_len=32, first_k_shards=2,
+                    skip_first_heavy=False, pplx_splits=("minitrain",
+                                                         "minival")):
+  """Decode + perplexity evaluators for the six video transfers.
+
+  Mirrors the reference's shared eval table (e.g. reference
+  configs/proj/paligemma/transfers/msrvtt_qa.py:100-115 add_eval /
+  add_eval_pplx): minitrain/minival on the first shards every ~eighth of
+  the run, full val/eval once. `task` is "qa" (vqa EM/ANLS scoring) or
+  "cap" (coco_caption CIDEr/BLEU scoring).
+  """
+  decode_chain = [
+      f"video_decode({res})|video_replicate_img({num_frames},"
+      f" {num_frames})",
+      f"video_ensure_shape('image', {(num_frames, res, res, 3)})",
+  ]
+  if task == "qa":
+    eval_type = "proj.paligemma.transfers.vqa"
+    pp = "|".join([
+        *decode_chain,
+        "strfmt('answer en {question}', outkey='prefix')",
+        # One GT answer per example (the QA sets are single-answer; the
+        # reference reshapes [1]->[] the same way, ref msrvtt_qa.py:96).
+        "video_choice(inkey='answer', outkey='answer')",
+        "copy('example/video_id', 'question_id')",
+        combine_and_keep_eval(text_len, keep=("question_id", "answer")),
+    ])
+  elif task == "cap":
+    eval_type = "proj.paligemma.transfers.coco_caption"
+    pp = "|".join([
+        *decode_chain,
+        "strfmt('caption en', outkey='prefix')",
+        "copy('example/video_id', 'image/id')",
+        "copy('caption/string', 'captions')",
+        combine_and_keep_eval(text_len, keep=("image/id", "captions")),
+    ])
+  else:
+    raise ValueError(f"unknown video eval task {task!r}")
+
+  for freq, name, split, fks, skip_first in [
+      (1 / 8, "minitrain", "train", first_k_shards, False),
+      (1 / 4, "minival", "valid", first_k_shards, False),
+      (1, "val", "valid", None, skip_first_heavy),
+      (1, "eval", "test", None, skip_first_heavy),
+  ]:
+    c.evals[f"{prefix_name}/{name}"] = dict(
+        type=eval_type,
+        pred="decode", pred_kw={"max_decode_len": text_len},
+        data={**train_cfg.data, "split": split,
+              "first_k_shards": fks, "deterministic_fs": True},
+        log_percent=freq, tokenizer=TOKENIZER,
+        pp_fn=pp, skip_first=skip_first)
+
+  for name in pplx_splits:
+    split = {"minitrain": "train", "minival": "valid"}[name]
+    c.evals[f"{prefix_name}/{name}/pplx"] = dict(
+        type="proj.paligemma.perplexity", pred="logits",
+        key="text", shift_labels=True, log_percent=1 / 8,
+        data={**train_cfg.data, "split": split,
+              "first_k_shards": first_k_shards,
+              "deterministic_fs": True},
+        pp_fn=train_cfg.pp)
+
+
 def vqa_task_config(arg, *, data_name, prefix, suffix_pp, train_split,
                     final_train_split, eval_splits, eval_type="vqa",
                     eval_keep=("answers", "question_id"), text_len=32,

@@ -43,7 +43,12 @@ def get_config(arg=None):
                     reader="", data_dir="")
   c.input = training_data(c.res, final_split=c.final_split,
                           reader=c.reader, data_dir=c.data_dir)
-  c.evals = {}  # Add a vqa evaluator once a data loader exists.
+  c.evals = {}
+  c7n.add_video_evals(
+      c, training_data(c.res, final_split=True, reader=c.reader,
+                       data_dir=c.data_dir),
+      prefix_name=DATASET_NAME, task="qa", res=c.res,
+      num_frames=NUM_FRAMES, first_k_shards=1)
   c7n.mkbase(c, res=c.res, total_epochs=1, lr=1e-5, wd=0.0)
   c.model.llm["vocab_size"] = 256_000 + 1024 + 128
   c.pp_modules += ["proj.paligemma.video"]

@@ -145,8 +145,18 @@ def _collate(examples):
     vals = [e[k] for e in examples]
     if isinstance(vals[0], (bytes, str)):
       out[k] = np.asarray(vals, dtype=object)
+      continue
+    arrs = [np.asarray(v) for v in vals]
+    if (arrs[0].dtype.kind in "USO"
+        or any(a.shape != arrs[0].shape for a in arrs)):
+      # Ragged (e.g. per-example caption lists) or stringy: carry as an
+      # object array — these keys ride host-side (keep_on_cpu contract).
+      obj = np.empty(len(vals), dtype=object)
+      for i, v in enumerate(vals):
+        obj[i] = v
+      out[k] = obj
     else:
-      out[k] = np.stack([np.asarray(v) for v in vals])
+      out[k] = np.stack(arrs)
   return out
 
 

@@ -57,6 +57,13 @@ def video_root(tmp_path_factory):
   with open(d / "train.jsonl", "w") as f:
     for r in rows:
       f.write(json.dumps(r) + "\n")
+  # Eval splits (the transfer configs wire minival/val on "valid" and the
+  # final metric on "test" — same videos, different questions).
+  for split in ("valid", "test"):
+    with open(d / f"{split}.jsonl", "w") as f:
+      for r in rows[:2]:
+        r = dict(r, question=f"{split} q about {r['example/video_id']}")
+        f.write(json.dumps(r) + "\n")
   return str(root)
 
 
@@ -176,6 +183,18 @@ c = msrvtt_qa.get_config("reader=bv:video,data_dir={video_root},res=16")
 c.input.pp = c.input.pp.replace(
     "model='gemma(tokensets=(\\"loc\\", \\"seg\\"))'",
     "model='test(vocab_size=1000, tokensets=(\\"loc\\", \\"seg\\"))'")
+# Keep one decode (vqa) and one perplexity evaluator; swap in the hermetic
+# test tokenizer everywhere the config names the gemma one.
+for k in list(c.evals):
+    if k not in ("msrvtt_qa/minival", "msrvtt_qa/minitrain/pplx"):
+        del c.evals[k]
+for ev in c.evals.values():
+    for field in ("pp_fn", "tokenizer"):
+        if field in ev:
+            ev[field] = ev[field].replace("gemma(", "test(vocab_size=1000, ")
+    ev["log_percent"] = 0.5
+    # first_k_shards=2 of a 2-row fixture rounds down to 0 examples.
+    ev["data"]["first_k_shards"] = None
 del c.total_epochs
 c.total_steps = 2
 c.input.batch_size = 8
@@ -204,3 +223,9 @@ print("VIDEO_E2E_OK")
           open(tmp_path / "wd" / "big_vision_metrics.txt")]
   final = [row for row in rows if row["step"] == 2][-1]
   assert np.isfinite(final["training_loss"])
+  # The wired-in evaluators actually ran: vqa decode scoring + perplexity.
+  merged = {k: v for row in rows for k, v in row.items()}
+  assert "msrvtt_qa/minival/acc" in merged
+  assert "msrvtt_qa/minival/num" in merged and merged[
+      "msrvtt_qa/minival/num"] == 2
+  assert np.isfinite(merged["msrvtt_qa/minitrain/pplx/avg"])
