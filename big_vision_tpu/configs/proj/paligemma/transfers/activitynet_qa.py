@@ -11,31 +11,26 @@ from big_vision_tpu.configs.proj.paligemma.transfers import common as c7n
 
 NUM_FRAMES = 8
 DATASET_NAME = "activitynet_qa"
+# Published split sizes (reference activitynet_qa.py:29); weights for the
+# final_split train+valid mixture.
+SPLIT_SIZE = {'train': 27610, 'valid': 15760, 'test': 6900}
 
 
 def training_data(res, *, final_split, num_frames=NUM_FRAMES,
                   stride=None, reader="", data_dir=""):
-  """Video pp; the video reader itself must be supplied by the user.
+  """Video pp over the DMVR-contract reader (native: bv:video).
 
-  The reference ships these configs with a placeholder data loader too:
-  the datasets are not in tfds, so users plug in their own DataSource.
+  The reference ships these configs with a placeholder data loader;
+  `final_split` trains on train+valid weighted by SPLIT_SIZE, like the
+  reference's multi-split data dict.
   """
-  cfg = c7n.parse_arg("")
-  cfg.data = dict(name=reader or "<add_your_video_data_loader_here>",
-                  dataset_name=DATASET_NAME, split="train",
-                  num_frames=num_frames, stride=stride,
-                  deterministic_fs=False)
-  if data_dir:
-    cfg.data["data_dir"] = data_dir
-  cfg.pp = "|".join([
-      f"video_decode({res})|video_replicate_img({num_frames},"
-      f" {num_frames})",
-      f"video_ensure_shape('image', {(num_frames, res, res, 3)})",
+  return c7n.video_training_data(
+      res, dataset_name=DATASET_NAME, split_size=SPLIT_SIZE,
+      final_split=final_split, num_frames=num_frames, stride=stride,
+      reader=reader, data_dir=data_dir, task_pp=[
       "strfmt('answer en {question}', outkey='prefix')",
       "video_choice(inkey='answer', outkey='suffix')",
-      c7n.combine_and_keep_train(32),
-  ])
-  return cfg
+      ])
 
 
 def get_config(arg=None):
@@ -45,7 +40,7 @@ def get_config(arg=None):
                           reader=c.reader, data_dir=c.data_dir)
   c.evals = {}
   c7n.add_video_evals(
-      c, training_data(c.res, final_split=True, reader=c.reader,
+      c, training_data(c.res, final_split=False, reader=c.reader,
                        data_dir=c.data_dir),
       prefix_name=DATASET_NAME, task="qa", res=c.res,
       num_frames=NUM_FRAMES, skip_first_heavy=True)

@@ -114,6 +114,43 @@ def add_eval_pplx(c, train_data, splits, prefix):
         pp_fn=train_data["pp"])
 
 
+def video_training_data(res, *, dataset_name, task_pp, split_size=None,
+                        final_split=False, num_frames=8, stride=None,
+                        reader="", data_dir="", text_len=32):
+  """Input section shared by the six video transfers.
+
+  Mirrors the reference's per-config training_data (e.g. reference
+  configs/proj/paligemma/transfers/msrvtt_qa.py:33-82): `final_split`
+  trains on train+valid, weighted by the published split sizes, exactly
+  like the reference's multi-split data dict.
+  """
+  cfg = parse_arg("")
+
+  def split_data(split):
+    d = dict(name=reader or "<add_your_video_data_loader_here>",
+             dataset_name=dataset_name, split=split,
+             num_frames=num_frames, stride=stride,
+             deterministic_fs=False)
+    if data_dir:
+      d["data_dir"] = data_dir
+    return d
+
+  if final_split:
+    split_size = split_size or {"train": 1, "valid": 1}
+    cfg.data = [(split_size["train"], split_data("train")),
+                (split_size["valid"], split_data("valid"))]
+  else:
+    cfg.data = split_data("train")
+  cfg.pp = "|".join([
+      f"video_decode({res})|video_replicate_img({num_frames},"
+      f" {num_frames})",
+      f"video_ensure_shape('image', {(num_frames, res, res, 3)})",
+      *task_pp,
+      combine_and_keep_train(text_len),
+  ])
+  return cfg
+
+
 def add_video_evals(c, train_cfg, *, prefix_name, task, res,
                     num_frames, text_len=32, first_k_shards=2,
                     skip_first_heavy=False, pplx_splits=("minitrain",

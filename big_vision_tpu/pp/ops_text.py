@@ -13,7 +13,10 @@ from __future__ import annotations
 import numpy as np
 
 from big_vision_tpu.registry import Registry
-from big_vision_tpu.pp.tokenizer import get_tokenizer
+# Late-bound module-attr access (not a by-value import): tests patch
+# tokenizer.get_tokenizer, and a by-value binding taken mid-patch would
+# leak the patched function forever into this module.
+from big_vision_tpu.pp import tokenizer as bv_tok
 from big_vision_tpu.pp.utils import PPOp
 
 
@@ -42,12 +45,12 @@ def get_pp_tokenize(max_len, eos, model="c4_en", lower=True,
   def _resolve():
     if "tok" not in _state:
       try:
-        tok = get_tokenizer(model)
+        tok = bv_tok.get_tokenizer(model)
       except (ValueError, KeyError, ModuleNotFoundError):
         # Reference semantics (ops_text.py:64): a bare name/path means a
         # SentencePiece vocab (known alias or .model file path). eos/bos
         # are applied per-call below, so the backend adds none by default.
-        tok = get_tokenizer(f'sp(model="{model}", add_eos=False)')
+        tok = bv_tok.get_tokenizer(f'sp(model="{model}", add_eos=False)')
       _state["tok"] = tok
       _state["pad"] = (tok.string_to_id(pad_value)
                        if isinstance(pad_value, str) else pad_value)

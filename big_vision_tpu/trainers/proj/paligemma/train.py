@@ -216,8 +216,10 @@ def _main(argv=None, *, config=None, workdir=None):
 
   last_eval = {}
 
-  def run_evals(step, final=False):
+  def run_evals(step, final=False, initial=False):
     for (name, evaluator, log_steps, prefix) in evaluators():
+      if initial and config.evals[name].get("skip_first"):
+        continue
       due = final or (log_steps and step % log_steps == 0)
       if due and last_eval.get(name) != step:
         last_eval[name] = step
@@ -230,8 +232,11 @@ def _main(argv=None, *, config=None, workdir=None):
 
   log_steps = get_steps("log_training", default=50)
   u.write_note("Starting PaliGemma training loop...")
-  if total_steps == 0:
-    run_evals(0, final=True)
+  if first_step in (total_steps, 0):
+    # Initial-or-final evals (ref train.py:410-418): a fresh run evals at
+    # step 0 minus `skip_first` evaluators; a fully-trained resume runs
+    # the final evals it may have been preempted out of.
+    run_evals(first_step, final=True, initial=first_step != total_steps)
 
   step = first_step
   for step in range(first_step + 1, total_steps + 1):

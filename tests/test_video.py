@@ -164,6 +164,35 @@ def test_element_spec_on_video_config(video_root, monkeypatch):
   assert spec["text"].shape == (33,)
 
 
+def test_final_split_trains_on_train_plus_valid(video_root, monkeypatch):
+  """final_split=True builds a train+valid mixture (reference parity:
+  ref msrvtt_qa.py:57 trains on both splits, weighted by size)."""
+  import big_vision_tpu.pp.tokenizer as bvt_tok
+  from big_vision_tpu import input_pipeline
+  from big_vision_tpu.configs.proj.paligemma.transfers import msrvtt_qa
+
+  real_get = bvt_tok.get_tokenizer.__wrapped__
+  monkeypatch.setattr(
+      bvt_tok, "get_tokenizer",
+      lambda spec: real_get('test(vocab_size=1000, tokensets=("loc","seg"))'))
+
+  c = msrvtt_qa.get_config(
+      f"reader=bv:video,data_dir={video_root},res=28,final_split=True")
+  assert isinstance(c.input.data, list) and len(c.input.data) == 2
+  assert [dict(d)["split"] for _, d in c.input.data] == ["train", "valid"]
+
+  import importlib
+  for m in c.pp_modules:
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+  cfg = c.input.to_dict()
+  cfg.update(batch_size=8, shuffle_buffer_size=1, num_threads=0)
+  it, total = input_pipeline.training(cfg)
+  # Mixture total = train rows + valid rows of the fixture (3 + 2).
+  assert total == 5
+  batch = next(iter(it))
+  assert batch["image"].shape == (8, 8, 28, 28, 3)
+
+
 @pytest.mark.slow
 def test_video_transfer_trains_e2e(video_root, tmp_path):
   """The reference msrvtt_qa recipe TRAINS with this repo's PaliGemma
