@@ -180,8 +180,10 @@ def _main(argv=None, *, config=None, workdir=None):
 
   last_eval = {}
 
-  def run_evals(step, final=False):
+  def run_evals(step, final=False, initial=False):
     for (name, evaluator, log_steps, prefix) in evaluators():
+      if initial and config.evals[name].get("skip_first"):
+        continue
       due = final or (log_steps and step % log_steps == 0)
       if due and last_eval.get(name) != step:
         last_eval[name] = step
@@ -194,6 +196,14 @@ def _main(argv=None, *, config=None, workdir=None):
 
   log_steps = get_steps("log_training", default=50)
   u.write_note("Starting Jet training loop...")
+  if first_step in (total_steps, 0):
+    # Initial-or-final evals (ref trainers, e.g. ref paligemma/train.py
+    # :410-418): a fresh run evals at step 0 minus `skip_first`
+    # evaluators; a fully-trained resume runs the final evals it may
+    # have been preempted out of.
+    mw.step_start(first_step)
+    run_evals(first_step, final=True, initial=first_step != total_steps)
+    mw.step_end()
   step = first_step
   train_iter = input_pipeline.training_from_step(
       config.input, first_step, devices=devices_flat,

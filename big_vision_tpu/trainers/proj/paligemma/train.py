@@ -236,7 +236,9 @@ def _main(argv=None, *, config=None, workdir=None):
     # Initial-or-final evals (ref train.py:410-418): a fresh run evals at
     # step 0 minus `skip_first` evaluators; a fully-trained resume runs
     # the final evals it may have been preempted out of.
+    mw.step_start(first_step)
     run_evals(first_step, final=True, initial=first_step != total_steps)
+    mw.step_end()
 
   step = first_step
   for step in range(first_step + 1, total_steps + 1):

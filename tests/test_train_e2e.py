@@ -55,6 +55,36 @@ def test_smoke_train_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_initial_evals_respect_skip_first(tmp_path):
+  """Fresh runs eval at step 0, except skip_first evaluators (reference
+  parity: ref trainers run initial-or-final evals, e.g. ref
+  trainers/proj/paligemma/train.py:410-418)."""
+  wd = str(tmp_path / "wd")
+  code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+import importlib
+smoke = importlib.import_module("big_vision_tpu.configs.smoke")
+c = smoke.get_config("total_steps=2,batch_size=16,res=32,log=1,ckpt=0")
+c.schedule = dict(warmup_steps=1, decay_type="cosine")
+val = c.evals["val"].to_dict()
+c.evals = dict(val=val, val_skip={{**val, "skip_first": True}})
+from big_vision_tpu import train
+train.main(config=c, workdir={wd!r})
+"""
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                     capture_output=True, text=True, timeout=600)
+  assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+  rows = read_metrics(wd)
+  step0 = {k for row in rows if row["step"] == 0 for k in row}
+  assert "val/prec@1" in step0, rows
+  assert not any(k.startswith("val_skip/") for k in step0), rows
+  last = {k for row in rows if row["step"] == 2 for k in row}
+  assert "val_skip/prec@1" in last, rows
+
+
+@pytest.mark.slow
 def test_graft_entry_multichip_dryrun(tmp_path):
   """The driver contract: dryrun_multichip must compile+run on 8 devices.
 
