@@ -77,19 +77,24 @@ def eval_input_pipeline(data, pp_fn, batch_size, devices, keep_on_cpu=(),
                         cache="pipeline", prefetch=1, warmup=False):
   """(get_data_iter, steps) for an eval dataset, with pipeline caching.
 
-  cache="pipeline": reuse the constructed pipeline across evaluator
-  instances keyed by its config. cache="final_data": additionally memoize
-  the realized batches in host RAM (small eval sets).
+  cache levels (reference evaluators/common.py:128-134), cheap to rich:
+  "none" rebuilds everything per run; "pipeline" reuses the constructed
+  pipeline across evaluator instances keyed by its config; "raw_data"
+  additionally memoizes the raw (pre-pp) examples in host RAM and re-runs
+  pp each eval; "final_data" memoizes the realized global batches (small
+  eval sets).
   """
   del warmup
+  cache = (cache or "none").lower()
+  assert cache in ("none", "pipeline", "raw_data", "final_data"), cache
   key = (json.dumps(data, sort_keys=True, default=str), pp_fn, batch_size,
-         tuple(keep_on_cpu))
-  if cache in ("pipeline", "final_data") and key in _PIPELINE_CACHE:
+         tuple(keep_on_cpu), cache)
+  if cache != "none" and key in _PIPELINE_CACHE:
     return _PIPELINE_CACHE[key]
 
   make_iter, steps = input_pipeline.make_for_inference(
       dict(data), pp=pp_fn, batch_size=batch_size, devices=devices,
-      keep_on_cpu=keep_on_cpu)
+      keep_on_cpu=keep_on_cpu, cache_raw=cache == "raw_data")
 
   if cache == "final_data":
     @functools.lru_cache(maxsize=1)
@@ -100,7 +105,7 @@ def eval_input_pipeline(data, pp_fn, batch_size, devices, keep_on_cpu=(),
     get_iter = make_iter
 
   result = (get_iter, steps)
-  if cache in ("pipeline", "final_data"):
+  if cache != "none":
     _PIPELINE_CACHE[key] = result
   return result
 

@@ -449,11 +449,14 @@ def element_spec(input_config, *, seed=0):
 
 def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
                        num_batches=None, keep_on_cpu=(), seed=0,
-                       num_threads=None):
+                       num_threads=None, cache_raw=False):
   """Deterministic eval pipeline with the infinite-padding + _mask contract.
 
   Every process yields exactly `ceil(max_per_process / local_batch)` batches
   so jitted global reductions see identical batch counts everywhere.
+  `cache_raw` memoizes this process's raw (pre-pp) examples in host RAM on
+  first use, so repeat evals skip dataset IO but re-run pp (the reference's
+  cache="raw_data" level, ref evaluators/common.py:128-134).
   Returns (make_iterator_fn, num_batches_per_process).
   """
   devices = devices if devices is not None else jax.devices()
@@ -471,6 +474,16 @@ def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
   if num_batches is None:
     num_batches = -(-max_local // local_batch)  # ceil
 
+  if cache_raw:
+    raw_cache = []
+
+    def raw_examples():
+      if not raw_cache:
+        raw_cache.extend(source.get_examples(ordered=True))
+      return iter(raw_cache)
+  else:
+    raw_examples = lambda: source.get_examples(ordered=True)
+
   def example_stream():
     capacity = num_batches * local_batch
     count = 0
@@ -478,7 +491,7 @@ def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
     import os
     nthreads = num_threads or min(16, max(4, (os.cpu_count() or 1) * 4))
     for ex in _pp_threaded(
-        source.get_examples(ordered=True), pfn, num_threads=nthreads,
+        raw_examples(), pfn, num_threads=nthreads,
         seed=seed):
       if count >= capacity:
         break

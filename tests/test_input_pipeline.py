@@ -91,6 +91,55 @@ def test_inference_is_repeatable():
     np.testing.assert_allclose(x, y)
 
 
+def test_inference_cache_raw_skips_dataset_io():
+  """cache_raw memoizes raw examples: the source is read once, results
+  are identical across runs (reference cache='raw_data' level)."""
+  from big_vision_tpu.datasets import core as ds_core
+
+  reads = {"n": 0}
+  real_get = ds_core.get
+
+  def counting_get(**kw):
+    src = real_get(**kw)
+    orig = src.get_examples
+
+    def spy(*a, **k):
+      reads["n"] += 1
+      return orig(*a, **k)
+
+    src.get_examples = spy
+    return src
+
+  ds_core_get, ds_core.get = ds_core.get, counting_get
+  try:
+    make_iter, _ = ip.make_for_inference(
+        dict(name="synthetic", n=10, num_classes=10, h=24, w=24),
+        pp=EVAL_PP, batch_size=8, cache_raw=True)
+    a = [np.asarray(b["image"]) for b in make_iter()]
+    b = [np.asarray(b["image"]) for b in make_iter()]
+  finally:
+    ds_core.get = ds_core_get
+  assert reads["n"] == 1, reads
+  for x, y in zip(a, b):
+    np.testing.assert_allclose(x, y)
+
+
+def test_eval_input_pipeline_cache_levels():
+  from big_vision_tpu.evaluators import common as ec
+  import jax
+  import pytest
+
+  data = dict(name="synthetic", n=9, num_classes=10, h=24, w=24)
+  kw = dict(pp_fn=EVAL_PP, batch_size=8, devices=jax.devices())
+  g1, s1 = ec.eval_input_pipeline(data=data, cache="raw_data", **kw)
+  g2, s2 = ec.eval_input_pipeline(data=data, cache="raw_data", **kw)
+  assert g1 is g2 and s1 == s2  # memoized pipeline
+  g3, _ = ec.eval_input_pipeline(data=data, cache="none", **kw)
+  assert g3 is not g1  # "none" bypasses the cache
+  with pytest.raises(AssertionError):
+    ec.eval_input_pipeline(data=data, cache="bogus", **kw)
+
+
 def test_jsonl_source(tmp_path):
   import json
   fname = tmp_path / "d.jsonl"
