@@ -302,5 +302,41 @@ def main():
   }))
 
 
+def _device_init_or_die(seconds=240):
+  """jax.devices() with a watchdog: the tunneled chip can hang forever
+  (observed: backend init blocked >20 min with zero CPU), which would
+  swallow the round's bench artifact entirely. Probe in a daemon thread;
+  on timeout raise so __main__ still emits the JSON contract line."""
+  import threading
+  out = {}
+
+  def probe():
+    try:
+      out["devices"] = jax.devices()
+    except Exception as e:  # backend init error: report, don't hang
+      out["error"] = repr(e)
+
+  t = threading.Thread(target=probe, daemon=True)
+  t.start()
+  t.join(seconds)
+  if "devices" in out:
+    return out["devices"]
+  raise TimeoutError(out.get(
+      "error",
+      f"jax.devices() did not return within {seconds}s "
+      "(tunneled accelerator hung?)"))
+
+
 if __name__ == "__main__":
-  main()
+  try:
+    _device_init_or_die()
+    main()
+  except Exception as e:  # noqa: BLE001 - contract line, then loud exit
+    import sys
+    import traceback
+    traceback.print_exc()
+    print(json.dumps({
+        "metric": "vit_b16_224px_train_images_per_sec_per_chip",
+        "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+        "error": f"{type(e).__name__}: {e}"}), flush=True)
+    sys.exit(1)
