@@ -24,6 +24,10 @@ class Model(nn.Module):
   num_res_blocks: int = 2
   channel_multipliers: Sequence[int] = (1, 2, 4)
   out_channels: int = 3
+  # Latent-token dropout during training ("none" | "seq" | "random"):
+  # "seq" drops later tokens with higher probability; "random" permutes
+  # that mask per example (ref models/proj/givt/vae.py:75-88).
+  code_dropout: str = "none"
 
   def setup(self):
     self.encoder = cnn.Encoder(
@@ -57,10 +61,32 @@ class Model(nn.Module):
     hw = int(round(l ** 0.5))
     return self.decoder(z.reshape(b, hw, hw, d))
 
+  def code_dropout_fn(self, z, *, train=False, rng=None):
+    if self.code_dropout not in ("none", "seq", "random"):
+      raise ValueError(f"Unknown code_dropout: {self.code_dropout!r}")
+    if not train or self.code_dropout == "none":
+      return z
+    if rng is None:
+      rng = self.make_rng("dropout")
+    rng_thr, rng_perm = jax.random.split(rng)
+    code_len = z.shape[1]
+    importance = jnp.linspace(1.0, 0.0, code_len + 2)[1:-1]
+    thr = jax.random.uniform(rng_thr, z.shape[:1])
+    mask = importance[None, :] > thr[:, None]
+    if self.code_dropout == "random":
+      mask = jax.random.permutation(rng_perm, mask, axis=-1, independent=True)
+    return z * mask[:, :, None]
+
   def __call__(self, image, *, train=False, rng=None):
     mu, logvar = self.encode(image, train=train)
-    z = self.reparametrize(mu, logvar,
-                           rng if train else None)
+    if train:
+      if rng is None:
+        rng = self.make_rng("dropout")
+      rng_rep, rng_cd = jax.random.split(rng)
+      z = self.reparametrize(mu, logvar, rng_rep)
+      z = self.code_dropout_fn(z, train=True, rng=rng_cd)
+    else:
+      z = mu
     recon = self.decode(z, train=train)
     out = {"mu": mu, "logvar": logvar, "z": z, "recon": recon}
     return recon, out

@@ -1,8 +1,11 @@
-"""GIVT VAE trainer: beta-VAE ELBO (MSE reconstruction + KL).
+"""GIVT VAE trainer: beta-VAE ELBO (l2 or categorical-xent reconstruction).
 
-Parity target: reference trainers/proj/givt/vae.py (the GAN/perceptual
-terms of the full recipe are marked TODO; the beta-weighted Gaussian ELBO
-core is here).
+Parity target: reference trainers/proj/givt/vae.py — `vae_loss_fn`
+(ref :264-296) with rec_loss_fn "l2" (0.5 * per-example summed square
+error) or "xent" (per-channel categorical xent over `model.inout_specs`,
+optional `mask_zero_target`), Gaussian KL summed per example, beta
+weighting, plus the validation / predict / predict_panoptic /
+predict_depth eval fns (ref :406-443).
 """
 
 from __future__ import annotations
@@ -19,11 +22,12 @@ from ml_collections import config_flags
 import numpy as np
 import optax
 
+import big_vision_tpu.evaluators.common as eval_common
 import big_vision_tpu.input_pipeline as input_pipeline
 import big_vision_tpu.optim as bv_optim
 import big_vision_tpu.sharding as bv_sharding
 import big_vision_tpu.utils as u
-from big_vision_tpu.models.proj.givt import vae as vae_mod_lib
+from big_vision_tpu.trainers.proj.givt import utils as gutils
 
 NamedSharding = jax.sharding.NamedSharding
 P = jax.sharding.PartitionSpec
@@ -74,7 +78,36 @@ def _main(argv=None, *, config=None, workdir=None):
   model_mod = importlib.import_module(
       f"big_vision_tpu.models.{config.get('model_name', 'proj.givt.vae')}")
   model = model_mod.Model(**config.get("model", {}))
-  beta = config.get("beta", 1e-4)
+  beta = config.get("beta", 1.0)
+
+  def vae_loss_fn(logits, image, mu, logvar, keep_batch_dim=False):
+    """Reference vae_loss_fn (trainers/proj/givt/vae.py:264-296)."""
+    rec_loss_fn = config.get("rec_loss_fn", "l2")
+    if rec_loss_fn == "l2":
+      loss_rec = 0.5 * jnp.sum(
+          jnp.square(logits - image), axis=tuple(range(1, logits.ndim)))
+    elif rec_loss_fn == "xent":
+      loss_rec = 0.0
+      for k, (in_ch, _) in config.model.inout_specs.items():
+        cur_logits = logits[k]
+        b, c = cur_logits.shape[0], cur_logits.shape[-1]
+        labels_flat = image[..., in_ch].reshape((b, -1)).astype(jnp.int32)
+        if config.get("mask_zero_target", False):
+          weights = (labels_flat != 0).astype(jnp.float32)
+        else:
+          weights = None
+        loss_rec += u.weighted_softmax_xent(
+            logits=cur_logits.reshape((b, -1, c)),
+            labels=labels_flat, reduction=False, weights=weights)
+    else:
+      raise ValueError(f"Unknown reconstruction loss: {rec_loss_fn}")
+    loss_kl = -0.5 * jnp.sum(
+        1 + logvar - jnp.square(mu) - jnp.exp(logvar),
+        axis=tuple(range(1, mu.ndim)))
+    if not keep_batch_dim:
+      loss_rec, loss_kl = jnp.mean(loss_rec), jnp.mean(loss_kl)
+    loss = loss_rec + beta * loss_kl
+    return loss, {"loss": loss, "loss_rec": loss_rec, "loss_kl": loss_kl}
 
   def init(rng):
     dummy = jnp.zeros(config.init_shapes[0], jnp.float32)
@@ -117,9 +150,7 @@ def _main(argv=None, *, config=None, workdir=None):
     def loss_fn(params):
       recon, out = model.apply({"params": params}, batch["image"],
                                train=True, rng=step_rng)
-      mse = jnp.mean(jnp.square(recon - batch["image"]))
-      kl = jnp.mean(vae_mod_lib.kl_divergence(out["mu"], out["logvar"]))
-      return mse + beta * kl, {"mse": mse, "kl": kl}
+      return vae_loss_fn(recon, batch["image"], out["mu"], out["logvar"])
 
     params, opt = train_state["params"], train_state["opt"]
     (loss, extras), grads = jax.value_and_grad(
@@ -147,8 +178,74 @@ def _main(argv=None, *, config=None, workdir=None):
       first_step = bv_optim.get_count(train_state["opt"])
     chrono.inform(first_step=first_step)
 
+  # Eval fns (ref trainers/proj/givt/vae.py:406-443): "validation" feeds a
+  # mean evaluator with per-example ELBO terms; "predict" exposes raw
+  # decode logits; the panoptic/depth variants post-process into the
+  # evaluator contracts ({"semantics","instances"} maps / {"depth"}).
+  def validation_fn(train_state, batch, seed=0):
+    local_rng = gutils.get_local_rng(seed, batch)
+    recon, out = model.apply({"params": train_state["params"]},
+                             batch["image"], train=True, rng=local_rng)
+    _, aux = vae_loss_fn(recon, batch["image"], out["mu"], out["logvar"],
+                         keep_batch_dim=True)
+    return jax.tree.map(
+        lambda x: jnp.mean(x, axis=tuple(range(1, x.ndim))), aux)
+
+  def predict_fn(train_state, batch, seed=0):
+    image = batch["image"] if isinstance(batch, dict) else batch
+    local_rng = gutils.get_local_rng(seed, {"image": image})
+    recon, _ = model.apply({"params": train_state["params"]}, image,
+                           train=True, rng=local_rng)
+    return {"logits": recon}
+
+  def predict_fn_panoptic(train_state, batch, **kw):
+    from big_vision_tpu.trainers.proj.uvim import panoptic_task
+    logits = predict_fn(train_state, batch)["logits"]
+    out = panoptic_task.panoptic_predictions_from_logits(
+        logits["semantics"], logits["instances"], **kw)
+    return {"semantics": out[..., 0], "instances": out[..., 1]}
+
+  def predict_fn_depth(train_state, batch):
+    depth_logits = predict_fn(train_state, batch)["logits"]["depth"]
+    return {"depth": gutils.unbin_depth(
+        depth_logits, min_depth=config.min_depth,
+        max_depth=config.max_depth,
+        num_bins=config.model.inout_specs["depth"][1])}
+
+  @functools.cache
+  def evaluators():
+    return eval_common.from_config(
+        config, {"predict": predict_fn,
+                 "predict_panoptic": predict_fn_panoptic,
+                 "predict_depth": predict_fn_depth,
+                 "validation": validation_fn},
+        write_note=u.write_note,
+        get_steps=lambda key, cfg: u.steps(
+            key, cfg, ntrain_img, batch_size, total_steps, default=None),
+        devices=list(devices_flat))
+
+  last_eval = {}
+
+  def run_evals(step, final=False, initial=False):
+    for (name, evaluator, eval_log_steps, prefix) in evaluators():
+      if initial and config.evals[name].get("skip_first"):
+        continue
+      due = final or (eval_log_steps and step % eval_log_steps == 0)
+      if due and last_eval.get(name) != step:
+        last_eval[name] = step
+        chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+        with nn.logical_axis_rules(sharding_rules), \
+             jax.transfer_guard("allow"), mesh:
+          for key, value in evaluator.run(train_state):
+            mw.measure(f"{prefix}{key}", value)
+        chrono.resume()
+
   log_steps = get_steps("log_training", default=50)
   u.write_note("Starting VAE training loop...")
+  if first_step in (total_steps, 0):
+    mw.step_start(first_step)
+    run_evals(first_step, final=True, initial=first_step != total_steps)
+    mw.step_end()
   step = first_step
   train_iter = input_pipeline.training_from_step(
       config.input, first_step, devices=devices_flat,
@@ -176,8 +273,12 @@ def _main(argv=None, *, config=None, workdir=None):
         ckpt_mgr.save({**train_state, "chrono": u.put_cpu(chrono.save())},
                       ckpt_prefix, step)
       chrono.resume()
+
+    run_evals(step)
     mw.step_end()
 
+  if total_steps > 0:
+    run_evals(step, final=True)
   if ckpt_mgr:
     ckpt_mgr.close()
   mw.close()

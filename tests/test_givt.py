@@ -284,3 +284,159 @@ def test_givt_parallel_decode_cfg_exact():
           steps=4, cfg_inference_weight=0.5))
   assert tokens.shape == (2, 6, 4)
   assert np.isfinite(np.asarray(tokens)).all()
+
+
+def test_vae_trainer_xent_panoptic_e2e(tmp_path):
+  """Stage-I VAE trainer with the reference's categorical-xent ELBO
+  (ref trainers/proj/givt/vae.py:264-296): rec_loss_fn="xent" over
+  inout_specs + code_dropout, validation ELBO eval and the panoptic
+  evaluator fed by predict_panoptic."""
+  import ml_collections as mlc
+  from big_vision_tpu.trainers.proj.givt import vae as vae_trainer
+
+  rs = np.random.RandomState(0)
+  n, res, patch = 16, 16, 8
+  # Channel 0: semantic class in [0, 5); channel 1: instance id in [0, 4).
+  maps = [np.stack([rs.randint(0, 5, (res, res)),
+                    rs.randint(0, 4, (res, res))],
+                   -1).astype(np.float32) for _ in range(n)]
+  gts = [m.astype(np.int32) for m in maps]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.rec_loss_fn = "xent"
+  config.input = dict(
+      data=dict(name="arrays", data={"image": maps}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.model_name = "proj.givt.vit"
+  config.model = mlc.ConfigDict(dict(
+      input_size=(res, res), patch_size=(patch, patch),
+      code_len=4, codeword_dim=8, width=32, enc_depth=1, dec_depth=1,
+      num_heads=2, bottleneck_resize=True, code_dropout="seq",
+      inout_specs={"semantics": (0, 5), "instances": (1, 4)}))
+  config.init_shapes = [(1, res, res, 2)]
+  config.beta = 2.5e-4
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="mean", pred="validation",
+      data=dict(name="arrays", data={"image": maps}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.pq = dict(
+      type="proj.givt.coco_panoptic", pred="predict_panoptic",
+      data=dict(name="arrays", data={"image": maps, "ground_truth": gts}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = vae_trainer.main(config=config,
+                                 workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "val/loss_rec" in metrics and "val/loss_kl" in metrics
+  assert "pq/PQ" in metrics
+
+
+def test_vae_trainer_xent_depth_e2e(tmp_path):
+  """VAE trainer xent-depth variant (ref vae_nyu_depth.py): binned depth
+  labels with mask_zero_target; predict_depth unbins logits through the
+  nyu_depth evaluator."""
+  import ml_collections as mlc
+  from big_vision_tpu.trainers.proj.givt import vae as vae_trainer
+
+  rs = np.random.RandomState(1)
+  n, res, patch = 16, 16, 8
+  depth = [rs.uniform(1.0, 9.0, (res, res, 1)).astype(np.float32)
+           for _ in range(n)]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.rec_loss_fn = "xent"
+  config.mask_zero_target = True
+  config.min_depth = 0.001
+  config.max_depth = 10.0
+  config.input = dict(
+      data=dict(name="arrays", data={"image": depth}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.model_name = "proj.givt.vit"
+  config.model = mlc.ConfigDict(dict(
+      input_size=(res, res), patch_size=(patch, patch),
+      code_len=4, codeword_dim=8, width=32, enc_depth=1, dec_depth=1,
+      num_heads=2, bottleneck_resize=True,
+      inout_specs={"depth": (0, 16)}))
+  config.init_shapes = [(1, res, res, 1)]
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.depth = dict(
+      type="proj.givt.nyu_depth", pred="predict_depth",
+      data=dict(name="arrays",
+                data={"image": depth, "ground_truth": depth}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = vae_trainer.main(config=config,
+                                 workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "depth/RMSE" in metrics
+
+
+def test_vae_trainer_l2_e2e(tmp_path):
+  """VAE trainer default l2 path (0.5 * per-example summed square error +
+  summed KL, ref vae_loss_fn) with the CNN VAE backbone and the
+  per-example validation ELBO eval."""
+  import ml_collections as mlc
+  from big_vision_tpu.trainers.proj.givt import vae as vae_trainer
+
+  rs = np.random.RandomState(2)
+  n, res = 16, 16
+  images = [rs.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+            for _ in range(n)]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.input = dict(
+      data=dict(name="arrays", data={"image": images}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.model_name = "proj.givt.vae"
+  config.model = mlc.ConfigDict(dict(
+      codeword_dim=4, filters=8, num_res_blocks=1,
+      channel_multipliers=(1, 2)))
+  config.init_shapes = [(1, res, res, 3)]
+  config.beta = 1e-4
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="mean", pred="validation",
+      data=dict(name="arrays", data={"image": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = vae_trainer.main(config=config,
+                                 workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "val/loss" in metrics and "training_loss" in metrics
