@@ -42,6 +42,8 @@ def get_config(arg=None):
       with_encoder_ctx=True, with_decoder_ctx=True,
       code_dropout="random", bottleneck_resize=True)
   config.with_ctx = True
+  config.freeze_dict = False  # Stage I trains the codebook dictionary.
+  config.w_commitment = 0.0   # Ref vqvae_nyu_depth.py:98-99.
 
   config.optax_name = "big_vision.scale_by_adafactor"
   config.optax = dict(beta2_cap=0.95)

@@ -40,7 +40,9 @@ class Evaluator:
     for _, batch in zip(range(self.steps), self.get_data_iter()):
       dev_batch, _ = c.split_batch(batch)
       y = self.predict_fn(train_state, dev_batch, **self.predict_kwargs)
-      (pred,) = y.values()  # Single-item dict contract.
+      # Single-item dict contract; "logits" wins when the predict fn also
+      # reports side outputs (e.g. GIVT sampling logprobs).
+      pred = y["logits"] if "logits" in y else next(iter(y.values()))
       vals = jax.device_get(_psnr(pred, dev_batch["labels"], 2.0))
       mask = np.asarray(jax.device_get(dev_batch["_mask"])).astype(bool)
       psnrs += float(np.sum(np.asarray(vals)[mask]))

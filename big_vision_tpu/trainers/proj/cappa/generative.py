@@ -122,9 +122,15 @@ def _main(argv=None, *, config=None, workdir=None):
       logits = model.apply(
           {"params": params}, batch["image"], batch["labels"],
           train=True, rngs={"dropout": step_rng})
-      weights = (batch["labels"] != 0).astype(jnp.float32)
+      # Pad positions carry no loss; optional per-token label_masks (e.g.
+      # parallel-prediction tokens) scale further (ref cappa :290-296).
+      weights = (batch["labels"]
+                 != config.get("pad_token", 0)).astype(jnp.float32)
+      if (label_masks := batch.get("label_masks")) is not None:
+        weights = weights * label_masks
       return u.weighted_softmax_xent(
           logits=logits, labels=batch["labels"], weights=weights,
+          label_smoothing=config.get("label_smoothing", 0.0),
           reduction=True, normalize=True)
 
     params, opt = train_state["params"], train_state["opt"]
@@ -138,7 +144,11 @@ def _main(argv=None, *, config=None, workdir=None):
   ckpt_steps = get_steps("ckpt", default=None)
   ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     with jax.transfer_guard("allow"):
       abstract = jax.tree.map(
           lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),

@@ -136,10 +136,14 @@ def _main(argv=None, *, config=None, workdir=None):
                         config.get(name, {}),
                         **config.get(f"{name}_load", {}))
       params[name] = u.reshard(loaded, params_sharding[name])
-    if config.get("model_init"):  # student init
+    # Student warm-start: reference name is student_init/student_load
+    # (ref distill.py:320-324); model_init/model_load kept as aliases.
+    student_init = config.get("student_init", config.get("model_init"))
+    if student_init:
       loaded = student_mod.load(
-          jax.device_get(params["student"]), config.model_init,
-          config.get("student", {}), **config.get("model_load", {}))
+          jax.device_get(params["student"]), student_init,
+          config.get("student", {}),
+          **config.get("student_load", config.get("model_load", {})))
       params["student"] = u.reshard(loaded, params_sharding["student"])
 
   train_state = {"params": params, "opt": opt}
@@ -202,9 +206,14 @@ def _main(argv=None, *, config=None, workdir=None):
   # Resume (student only; teachers are frozen and reloaded each start).
   first_step = 0
   ckpt_steps = get_steps("ckpt", default=None)
-  ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
+  ckpt_mgr = (u.CheckpointManager(timeout=config.get("ckpt_timeout"))
+              if (workdir and ckpt_steps) else None)
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     u.write_note(f"Resuming student from {last}...")
     with jax.transfer_guard("allow"):
       abstract = {

@@ -161,7 +161,11 @@ def _main(argv=None, *, config=None, workdir=None):
   ckpt_steps = get_steps("ckpt", default=None)
   ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     with jax.transfer_guard("allow"):
       abstract = jax.tree.map(
           lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),

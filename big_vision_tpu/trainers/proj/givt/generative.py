@@ -4,7 +4,14 @@ Parity target: reference trainers/proj/givt/generative.py. Each step: the
 frozen Gaussian VAE encodes images to latent tokens (sampled via the
 reparameterization trick, acting as data augmentation); GIVT maximizes
 their likelihood, causally ("ar") or with MaskGIT masking ("masked" — the
-loss is then restricted to masked positions).
+loss is then restricted to masked positions, ref :342-358). An optional
+invertible adaptor (`config.adaptor_name`, ref :199-233) is trained
+jointly: it maps VAE latents into GIVT's modeling space (forward) and
+back before VAE decoding (inverse); its params live in
+`params["params_adaptor"]` exactly like the reference so checkpoints are
+tree-compatible. Predict fns mirror ref :410-556: validation,
+sample_teacher_forced, sample, sample_panoptic, sample_depth,
+representation.
 """
 
 from __future__ import annotations
@@ -94,11 +101,27 @@ def _main(argv=None, *, config=None, workdir=None):
       f"big_vision_tpu.models.{config.get('model_name', 'proj.givt.givt')}")
   model = model_mod.Model(**config.get("model", {}))
 
+  # Optional invertible adaptor between VAE latents and GIVT space,
+  # trained jointly (ref generative.py:199-206).
+  if config.get("adaptor_name"):
+    adaptor_mod = importlib.import_module(
+        f"big_vision_tpu.models.{config.adaptor_name}")
+    adaptor = adaptor_mod.Model(num_channels=model.out_dim,
+                                **config.adaptor.get("model", {}))
+  else:
+    adaptor = None
+
   # UViM-style GIVT: the VAE tokenizes the task output (config.vae.inkey,
   # e.g. "labels" depth/panoptic maps) while the transformer conditions on
   # the RGB image through its encoder (config.cond_image).
   vae_inkey = dict(config.vae).get("inkey", "image")
   cond_image = config.get("cond_image")  # e.g. "image" for UViM tasks
+
+  def get_labels(batch):
+    if not model.num_labels:
+      return None
+    labels = batch.get("labels", batch.get("label"))
+    return None if labels is None else labels.astype(jnp.int32)
 
   def init(rng):
     seq = jnp.zeros((1, model.seq_len, model.out_dim), jnp.float32)
@@ -107,8 +130,15 @@ def _main(argv=None, *, config=None, workdir=None):
             if model.style == "masked" else None)
     image = (jnp.zeros((1, *model.input_size, 3), jnp.float32)
              if cond_image is not None else None)
-    return model.init(rng, seq, labels, image=image,
-                      input_mask=mask)["params"]
+    params = model.init(rng, seq, labels, image=image,
+                        input_mask=mask)["params"]
+    if adaptor is not None:
+      # Stored inside the same params dict, as in the reference
+      # (generative.py:229-233), so checkpoints are tree-compatible.
+      _, rng_adaptor = jax.random.split(rng)
+      params = dict(params)
+      params["params_adaptor"] = adaptor.init(rng_adaptor, seq)["params"]
+    return params
 
   rng, rng_init = jax.random.split(rng)
   with nn.logical_axis_rules(sharding_rules):
@@ -143,53 +173,86 @@ def _main(argv=None, *, config=None, workdir=None):
     return vae.apply({"params": vae_params}, mu, logvar, rng,
                      method=vae.reparametrize)
 
+  def loss_fn(params, batch, rng):
+    """Reference loss_fn (generative.py:314-360): NLL of the (optionally
+    adaptor-transformed) latent sequence, mean over ALL dims (incl.
+    channels); masked mode averages only over masked positions
+    (`mean(where=mask)`, MaskGIT-style)."""
+    r_lat, r_mask, r_drop, r_train = jax.random.split(rng, 4)
+    sequence = latents_of(batch, r_lat)
+    if adaptor is not None:
+      # iRevNet couplings are volume-preserving, so no log-det term.
+      sequence = adaptor.apply({"params": params["params_adaptor"]},
+                               sequence, method=adaptor.forward)
+    labels = get_labels(batch)
+    input_mask = model.get_input_mask_training(r_mask, sequence.shape[:2])
+    drop_labels = model.get_drop_labels(r_drop, sequence.shape[0])
+
+    if cond_image is not None:
+      (logits, pdf) = model.apply(
+          {"params": params}, sequence, labels=labels,
+          image=batch[cond_image], input_mask=input_mask,
+          drop_labels=drop_labels, train=True,
+          rngs={"dropout": r_train})
+      del logits
+    else:
+      logits = model.apply(
+          {"params": params}, sequence, labels=labels,
+          input_mask=input_mask, drop_labels=drop_labels, train=True,
+          rngs={"dropout": r_train}, method=model.decode)
+      pdf = model.apply({"params": params}, logits, method=model.get_pdf)
+
+    nll = -pdf.log_prob(sequence)  # [B, L] or [B, L, D] per-channel
+    metrics = {"nll": nll}
+    if input_mask is not None:  # masked mode: only masked positions
+      metrics["fraction_masked_out"] = (
+          input_mask.astype(jnp.float32).mean(axis=1))
+      mask = input_mask[:, :, None] if nll.ndim == 3 else input_mask
+      nll = jnp.where(mask, nll, 0.0)
+      loss = nll.mean(where=mask)
+    else:
+      loss = nll.mean()
+    return loss, metrics
+
   @functools.partial(
       jax.jit, donate_argnums=(0,),
       out_shardings=(train_state_sharding, repl_sharding))
   def update_fn(train_state, rng, batch):
     step_rng = jax.random.fold_in(
         rng, bv_optim.get_count(train_state["opt"], jittable=True))
-    r_lat, r_mask, r_drop, r_train = jax.random.split(step_rng, 4)
-    z = latents_of(batch, r_lat)
-    labels = batch.get("label") if model.num_labels else None
-    input_mask = model.get_input_mask_training(r_mask, z.shape[:2])
-    drop_labels = model.get_drop_labels(r_drop, z.shape[0])
-
-    def loss_fn(params):
-      if cond_image is not None:
-        (logits, _) = model.apply(
-            {"params": params}, z, labels=labels,
-            image=batch[cond_image], input_mask=input_mask,
-            drop_labels=drop_labels, train=True,
-            rngs={"dropout": r_train})
-      else:
-        logits = model.apply(
-            {"params": params}, z, labels=labels, input_mask=input_mask,
-            drop_labels=drop_labels, train=True,
-            rngs={"dropout": r_train}, method=model.decode)
-      pdf = model.apply({"params": params}, logits, method=model.get_pdf)
-      nll = -pdf.log_prob(z)
-      if nll.ndim == 3:  # per-channel: [B, L, D]
-        nll = nll.sum(-1)
-      if input_mask is not None:  # masked mode: only masked positions
-        nll = jnp.sum(nll * input_mask, axis=-1) / jnp.clip(
-            jnp.sum(input_mask, axis=-1), 1)
-      else:
-        nll = nll.mean(axis=-1)
-      return nll.mean()
+    _, rng_model = jax.random.split(step_rng)
 
     params, opt = train_state["params"], train_state["opt"]
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, rng_model)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
-    return {"params": params, "opt": opt}, {
-        "training_loss": loss, "l2_grads": optax.global_norm(grads)}
+
+    measurements = {"training_loss": loss}
+    gs = jax.tree.leaves(
+        bv_optim.replace_frozen(config.schedule, grads, 0.))
+    measurements["l2_grads"] = jnp.sqrt(sum(jnp.vdot(g, g) for g in gs))
+    ps = jax.tree.leaves(params)
+    measurements["l2_params"] = jnp.sqrt(sum(jnp.vdot(p, p) for p in ps))
+    us = jax.tree.leaves(updates)
+    measurements["l2_updates"] = jnp.sqrt(sum(jnp.vdot(v, v) for v in us))
+    if adaptor is not None:
+      ps_a = jax.tree.leaves(params["params_adaptor"])
+      measurements["l2_params_adaptor"] = jnp.sqrt(
+          sum(jnp.vdot(p, p) for p in ps_a))
+    measurements.update(
+        {f"train/{k}": v.mean() for k, v in metrics.items()})
+    return {"params": params, "opt": opt}, measurements
 
   first_step = 0
   ckpt_steps = get_steps("ckpt", default=None)
   ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     with jax.transfer_guard("allow"):
       abstract = jax.tree.map(
           lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
@@ -208,51 +271,155 @@ def _main(argv=None, *, config=None, workdir=None):
           config.get("model", {}), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
-  def nll_fn(train_state, batch):
-    z = latents_of(batch, jax.random.PRNGKey(0))
-    labels = batch.get("label") if model.num_labels else None
-    input_mask = model.get_input_mask_teacher_forced(z.shape[:2])
-    if cond_image is not None:
-      (logits, _) = model.apply({"params": train_state["params"]}, z,
-                                labels=labels, image=batch[cond_image],
-                                input_mask=input_mask)
+  from big_vision_tpu.models.proj.givt import decode as givt_decode
+  from big_vision_tpu.models.proj.givt import parallel_decode
+  from big_vision_tpu.trainers.proj.givt import utils as gutils
+
+  def adaptor_inverse(params, codes):
+    if adaptor is None:
+      return codes
+    return adaptor.apply({"params": params["params_adaptor"]}, codes,
+                         method=adaptor.inverse)
+
+  def validation_fn(train_state, batch, seed=0):
+    """Per-example means of the training aux metrics (ref :410-421)."""
+    local_rng = gutils.get_local_rng(seed, batch)
+    _, aux = loss_fn(train_state["params"], batch, local_rng)
+    return {k: jnp.mean(v, axis=tuple(range(1, v.ndim)))
+            for k, v in aux.items()}
+
+  def maybe_encode_cond(params, batch):
+    if cond_image is not None and cond_image in batch:
+      return model.apply({"params": params}, batch[cond_image],
+                         method=model.encode)
+    return None
+
+  def predict_fn_teacher_forcing(train_state, batch, seed=0):
+    """Sample each position from the teacher-forced pdf, decode through
+    the VAE (ref :423-457)."""
+    params = train_state["params"]
+    local_rng = gutils.get_local_rng(seed, batch)
+    r_lat, r_sample = jax.random.split(local_rng)
+    sequence = latents_of(batch, r_lat)
+    if adaptor is not None:
+      sequence = adaptor.apply({"params": params["params_adaptor"]},
+                               sequence, method=adaptor.forward)
+    input_mask = model.get_input_mask_teacher_forced(sequence.shape[:2])
+    logits = model.apply(
+        {"params": params}, sequence, labels=get_labels(batch),
+        encoded=maybe_encode_cond(params, batch), input_mask=input_mask,
+        method=model.decode)
+    pdf = model.apply({"params": params}, logits, method=model.get_pdf)
+    sampled = pdf.sample(seed=r_sample)
+    sampled = adaptor_inverse(params, sampled)
+    return {"logits": vae.apply({"params": vae_params}, sampled,
+                                method=vae.decode)}
+
+  def predict_fn_rep(train_state, batch, seed=0):
+    """Pre-logits representations for probes (ref :459-471)."""
+    assert model.style == "ar"
+    params = train_state["params"]
+    local_rng = gutils.get_local_rng(seed, batch)
+    sequence = latents_of(batch, local_rng)
+    if adaptor is not None:
+      sequence = adaptor.apply({"params": params["params_adaptor"]},
+                               sequence, method=adaptor.forward)
+    placeholder_labels = (
+        jnp.zeros((sequence.shape[0],), jnp.int32)
+        if model.num_labels else None)
+    logits, out = model.apply(
+        {"params": params}, sequence, labels=placeholder_labels,
+        encoded=maybe_encode_cond(params, batch), return_reps=True,
+        method=model.decode)
+    del logits
+    return out
+
+  def predict_fn_sampling(train_state, batch, seed=0):
+    """Unconditional/class-/image-conditional sampling (ref :473-530):
+    AR decode or MaskGIT parallel decode, adaptor inverse, VAE decode."""
+    params = train_state["params"]
+    labels = get_labels(batch)
+    local_rng = gutils.get_local_rng(seed, batch)
+    encoded = maybe_encode_cond(params, batch)
+
+    if labels is not None:
+      sampling_batch_size = labels.shape[0]
+    elif "image" in batch:
+      sampling_batch_size = batch["image"].shape[0]
+    elif cond_image is not None and cond_image in batch:
+      sampling_batch_size = batch[cond_image].shape[0]
     else:
-      logits = model.apply({"params": train_state["params"]}, z,
-                           labels=labels, input_mask=input_mask,
-                           method=model.decode)
-    pdf = model.apply({"params": train_state["params"]}, logits,
-                      method=model.get_pdf)
-    nll = -pdf.log_prob(z)
-    if nll.ndim == 3:
-      nll = nll.sum(-1)
-    return {"nll": nll.mean(axis=-1)}
+      sampling_batch_size = config.get("sampling_batch_size", 4)
 
-  predict_fns = {"nll": nll_fn, "validation": nll_fn}
-
-  if cond_image is not None:
-    from big_vision_tpu.models.proj.givt import decode as givt_decode
-
-    def task_output_fn(train_state, batch, **kw):
-      """Sample latents conditioned on the image, VAE-decode to the task
-      output (UViM-with-GIVT inference, ref givt/generative.py)."""
-      del kw
+    code_logprobs = None
+    if model.style == "ar":
       gen = dict(config.get("ar_generation_config", {}))
-      encoded = model.apply({"params": train_state["params"]},
-                            batch[cond_image], method=model.encode)
-      z = givt_decode.generate(
-          {"params": train_state["params"]}, model,
-          jax.random.PRNGKey(0), batch_size=batch[cond_image].shape[0],
-          encoded=encoded,
+      sampled_codes, code_logprobs = givt_decode.generate(
+          {"params": params}, model, local_rng,
+          batch_size=sampling_batch_size, labels=labels, encoded=encoded,
           temperature_scales=gen.get("temp"),
           temperature_probs=gen.get("temp_probs"),
-          cfg_weight=gen.get("cfg_inference_weight", 0.0))
-      raw = vae.apply({"params": vae_params}, z, method=vae.decode)
+          cfg_weight=gen.get("cfg_inference_weight", 0.0),
+          beam_size=gen.get("beam_size", 1),
+          fan_size=gen.get("fan_size", 1),
+          rand_top_k=gen.get("rand_top_k", False),
+          rand_top_k_temp=gen.get("rand_top_k_temp", 1.0),
+          return_logprobs=True)
+    elif model.style == "masked":
+      assert encoded is None
+      sampled_codes = parallel_decode.decode_masked(
+          params, model, local_rng, batch_size=sampling_batch_size,
+          labels=labels,
+          config=parallel_decode.MaskedGenerationConfig(
+              **config.get("masked_generation_config", {})))
+    else:
+      raise NotImplementedError(model.style)
+
+    sampled_codes = adaptor_inverse(params, sampled_codes)
+    results = {"logits": vae.apply({"params": vae_params}, sampled_codes,
+                                   method=vae.decode)}
+    if code_logprobs is not None:
+      results["logprobs"] = code_logprobs
+    return results
+
+  def predict_fn_sampling_panoptic(train_state, batch, seed=0,
+                                   min_fraction=0.0):
+    from big_vision_tpu.trainers.proj.uvim import panoptic_task
+    logits = predict_fn_sampling(train_state, batch, seed)["logits"]
+    out = panoptic_task.panoptic_predictions_from_logits(
+        logits["semantics"], logits["instances"],
+        min_fraction=min_fraction)
+    return {"semantics": out[..., 0], "instances": out[..., 1]}
+
+  def predict_fn_sampling_depth(train_state, batch, seed=0):
+    depth = predict_fn_sampling(train_state, batch, seed)["logits"]["depth"]
+    return {"depth": gutils.unbin_depth(
+        depth, min_depth=config.min_depth, max_depth=config.max_depth,
+        num_bins=dict(config.vae.model)["inout_specs"]["depth"][1])}
+
+  predict_fns = {
+      "validation": validation_fn,
+      "nll": validation_fn,  # legacy alias
+      "sample_teacher_forced": predict_fn_teacher_forcing,
+      "sample": predict_fn_sampling,
+      "sample_panoptic": predict_fn_sampling_panoptic,
+      "sample_depth": predict_fn_sampling_depth,
+      "representation": predict_fn_rep,
+      # Legacy aliases used by earlier configs/tests.
+      "depth": predict_fn_sampling_depth,
+      "panoptic": predict_fn_sampling_panoptic,
+  }
+
+  if cond_image is not None:
+    def task_output_fn(train_state, batch, **kw):
+      """Sample latents conditioned on the image, VAE-decode and argmax
+      each categorical task head (UViM-with-GIVT inference)."""
+      del kw
+      raw = predict_fn_sampling(train_state, batch)["logits"]
       if not isinstance(raw, dict):
         return {"image": raw}
-      # inout_specs: categorical logits per task key.
       out = {k: jnp.argmax(v, axis=-1) for k, v in raw.items()}
       if "depth" in raw and config.get("max_depth"):
-        from big_vision_tpu.trainers.proj.givt import utils as gutils
         nbins = dict(config.vae.model)["inout_specs"]["depth"][1]
         out["depth"] = gutils.unbin_depth(
             raw["depth"], min_depth=config.min_depth,
@@ -260,8 +427,6 @@ def _main(argv=None, *, config=None, workdir=None):
       return out
 
     predict_fns["task"] = task_output_fn
-    predict_fns["depth"] = task_output_fn
-    predict_fns["panoptic"] = task_output_fn
 
   @functools.cache
   def evaluators():

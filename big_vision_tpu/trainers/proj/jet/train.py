@@ -1,9 +1,14 @@
 """Jet trainer: flow maximum likelihood in bits/dim.
 
 Parity target: reference trainers/proj/jet/train.py:71. Input images are
-uniform-dequantized uint8s in [0, 1); loss is the exact NLL under a
-standard-normal latent prior plus the flow log-determinant, reported in
-bits/dim (includes the +8 quantization term).
+uniform-dequantized uint8s; loss is the exact NLL under a standard-normal
+latent prior plus the flow log-determinant, reported in bits/dim
+(including the -log2(bin_width) discretization term; the bin width
+follows `config.data_range`, so value_range(-1, 1) configs reproduce the
+reference's log(127.5) constant, ref train.py:272-284). Optional
+class-conditional flow: a one-hot "label" becomes a single cross-attended
+context token, dropped whole-batch with `condition_drop_prob`
+(ref :306-310) so the flow also models the unconditional density.
 """
 
 from __future__ import annotations
@@ -30,14 +35,17 @@ NamedSharding = jax.sharding.NamedSharding
 P = jax.sharding.PartitionSpec
 
 
-def nll_bits_per_dim(z, logdet):
-  """-log p(x) in bits/dim for uint8 data dequantized to [0, 1)."""
+def nll_bits_per_dim(z, logdet, bin_width=1.0 / 256.0):
+  """-log p(x) in bits/dim for uint8 data dequantized to bins of
+  `bin_width` in model space; returns (bits, nll, logdet) per example,
+  each already normalized to bits/dim (ref train.py:272-284)."""
   ndims = np.prod(z.shape[1:])
   logp_z = -0.5 * jnp.sum(z ** 2 + jnp.log(2 * jnp.pi),
                           axis=range(1, z.ndim))
-  nll_nats = -(logp_z + logdet)
-  # + log2(256) per dim for the dequantization to [0, 1).
-  return nll_nats / (ndims * jnp.log(2.0)) + 8.0
+  nll_nats = -logp_z - ndims * jnp.log(bin_width)
+  normalizer = ndims * jnp.log(2.0)
+  return ((nll_nats - logdet) / normalizer, nll_nats / normalizer,
+          logdet / normalizer)
 
 
 def main(argv=None, *, config=None, workdir=None):
@@ -125,32 +133,65 @@ def _main(argv=None, *, config=None, workdir=None):
   with jax.transfer_guard("allow"):
     rng_loop = u.reshard(rng_loop, repl_sharding)
 
+  # uint8 levels span config.data_range, so one quantization bin is
+  # (hi - lo)/255 wide: 2/255 for the reference's value_range(-1, 1)
+  # (= its log(127.5) constant), 1/255 for the default [0, 1] range.
+  lo, hi = config.get("data_range", (0.0, 1.0))
+  bin_width = (hi - lo) / 255.0
+
+  def batch_context(batch, rng=None):
+    """One-hot label -> one context token; whole-batch label drop."""
+    if (label := batch.get("label")) is None or label.ndim != 2:
+      return None
+    context = label[:, None, :]  # [B, 1, num_classes]
+    if rng is not None:
+      drop = (config.get("condition_drop_prob", 0.1)
+              > jax.random.uniform(rng, (), jnp.float32))
+      context = context * (~drop)
+    return context
+
   @functools.partial(
       jax.jit, donate_argnums=(0,),
       out_shardings=(train_state_sharding, repl_sharding))
   def update_fn(train_state, rng, batch):
     step_rng = jax.random.fold_in(
         rng, bv_optim.get_count(train_state["opt"], jittable=True))
+    rng_noise, rng_drop = jax.random.split(step_rng)
 
     def loss_fn(params):
-      x = batch["image"]  # expected in [0, 1]
-      x = x + jax.random.uniform(step_rng, x.shape) / 256.0  # dequantize
-      z, logdet = model.apply({"params": params}, x)
-      return jnp.mean(nll_bits_per_dim(z, logdet))
+      x = batch["image"]
+      x = x + jax.random.uniform(rng_noise, x.shape) * bin_width
+      z, logdet = model.apply({"params": params}, x,
+                              context=batch_context(batch, rng_drop))
+      bits, nll, ld = nll_bits_per_dim(z, logdet, bin_width)
+      return jnp.mean(bits), {"bits": jnp.mean(bits),
+                              "nll": jnp.mean(nll),
+                              "logdet": jnp.mean(ld)}
 
     params, opt = train_state["params"], train_state["opt"]
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    (loss, extras), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
+    gs = jax.tree.leaves(
+        bv_optim.replace_frozen(config_d["schedule"], grads, 0.))
     return {"params": params, "opt": opt}, {
-        "training_loss": loss, "bits_per_dim": loss,
-        "l2_grads": optax.global_norm(grads)}
+        "training_loss": loss, "bits_per_dim": loss, **extras,
+        "l2_grads": jnp.sqrt(sum(jnp.vdot(g, g) for g in gs)),
+        "l2_params": jnp.sqrt(sum(jnp.vdot(p, p)
+                                  for p in jax.tree.leaves(params))),
+        "l2_updates": jnp.sqrt(sum(jnp.vdot(v, v)
+                                   for v in jax.tree.leaves(updates)))}
 
   first_step = 0
   ckpt_steps = get_steps("ckpt", default=None)
   ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     with jax.transfer_guard("allow"):
       abstract = jax.tree.map(
           lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
@@ -162,11 +203,20 @@ def _main(argv=None, *, config=None, workdir=None):
       train_state = loaded
       first_step = bv_optim.get_count(train_state["opt"])
     chrono.inform(first_step=first_step)
+  elif config.get("model_init"):
+    u.write_note(f"Initializing model from {config.model_init}...")
+    with jax.transfer_guard("allow"):
+      loaded = model_mod.load(
+          jax.device_get(train_state["params"]), config.model_init,
+          config.get("model", {}), **config.get("model_load", {}))
+      train_state["params"] = u.reshard(loaded, params_sharding)
 
   def bpd_fn(train_state, batch):
-    x = batch["image"] + 0.5 / 256.0  # deterministic half-bin dequant
-    z, logdet = model.apply({"params": train_state["params"]}, x)
-    return {"bits_per_dim": nll_bits_per_dim(z, logdet)}
+    x = batch["image"] + 0.5 * bin_width  # deterministic half-bin dequant
+    z, logdet = model.apply({"params": train_state["params"]}, x,
+                            context=batch_context(batch))
+    bits, nll, ld = nll_bits_per_dim(z, logdet, bin_width)
+    return {"bits_per_dim": bits, "nll": nll, "logdet": ld}
 
   predict_fns = {"bits_per_dim": bpd_fn}
 

@@ -14,6 +14,7 @@ import importlib
 import os
 
 from absl import app, flags
+import flax
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -126,7 +127,15 @@ def _main(argv=None, *, config=None, workdir=None):
       ctx = (jnp.zeros(config.init_ctx, jnp.float32)
              if config.get("init_ctx") else None)
     variables = model.init(rngs, dummy, ctx=ctx)
-    return variables["params"], variables["state"]
+    params, state = variables["params"], variables["state"]
+    # Heads start at a configurable bias so the initial loss is small
+    # (ref vqvae.py:157-160).
+    if config.get("init_head_bias") is not None:
+      params = flax.core.unfreeze(params)
+      for key in dict(config.model)["outputs"]:
+        params[f"head_{key}"]["bias"] = jnp.full_like(
+            params[f"head_{key}"]["bias"], config.init_head_bias)
+    return params, state
 
   rng, rng_init = jax.random.split(rng)
   with nn.logical_axis_rules(sharding_rules):
@@ -170,17 +179,24 @@ def _main(argv=None, *, config=None, workdir=None):
     def loss_fn(params, state):
       (logits, out), new_state = model.apply(
           {"params": params, "state": state}, inputs, ctx=ctx,
-          train=True, rngs=rngs, mutable=["state"])
+          train=True, rngs=rngs, mutable=["state"],
+          update_dict=not config.get("freeze_dict", True))
       if task is not None:
-        total, losses = task.loss_fn(logits, batch, config)
-        total = jnp.mean(total)
+        loss_rec, losses = task.loss_fn(logits, batch, config)
+        loss_rec = jnp.mean(loss_rec)
         losses = {k: jnp.mean(v) for k, v in losses.items()}
       else:
         losses = {f"loss_{k}": task_loss_fn(task_losses[k], logits[k],
                                             inputs[k])
                   for k in logits}
-        total = sum(losses.values())
+        loss_rec = sum(losses.values())
+      # Commitment term pulls the encoder toward its (stop-gradient)
+      # quantized codes (ref vqvae.py:200-204).
+      loss_commitment = jnp.mean(jnp.square(
+          out["bottleneck"] - jax.lax.stop_gradient(out["bottleneck_q"])))
+      total = loss_rec + config.get("w_commitment", 0.25) * loss_commitment
       extras = {**losses,
+                "loss_rec": loss_rec, "loss_commitment": loss_commitment,
                 "codebook_zeros_ratio": out["codebook_zeros_ratio"],
                 "codebook_max_ratio": out["codebook_max_ratio"]}
       return total, (new_state["state"], extras)
@@ -190,15 +206,27 @@ def _main(argv=None, *, config=None, workdir=None):
         loss_fn, has_aux=True)(params, train_state["state"])
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
-    measurements = {"training_loss": loss, **extras,
-                    "l2_grads": optax.global_norm(grads)}
+    gs = jax.tree.leaves(
+        bv_optim.replace_frozen(config.schedule, grads, 0.))
+    measurements = {
+        "training_loss": loss, **extras,
+        "l2_grads": jnp.sqrt(sum(jnp.vdot(g, g) for g in gs)),
+        "l2_params": jnp.sqrt(sum(jnp.vdot(p, p)
+                                  for p in jax.tree.leaves(params))),
+        "l2_updates": jnp.sqrt(sum(jnp.vdot(v, v)
+                                   for v in jax.tree.leaves(updates)))}
     return {"params": params, "opt": opt, "state": new_state}, measurements
 
   first_step = 0
   ckpt_steps = get_steps("ckpt", default=None)
-  ckpt_mgr = u.CheckpointManager() if (workdir and ckpt_steps) else None
+  ckpt_mgr = (u.CheckpointManager(timeout=config.get("ckpt_timeout"))
+              if (workdir and ckpt_steps) else None)
   ckpt_prefix = os.path.join(workdir, "ckpt.bv") if workdir else None
-  if ckpt_prefix and (last := u.last_checkpoint_dir(ckpt_prefix)):
+  # Resume ladder: workdir ckpt-LAST > config.resume > model_init >
+  # scratch (ref train.py:323-335).
+  last = u.last_checkpoint_dir(ckpt_prefix) if ckpt_prefix else None
+  last = last or config.get("resume")
+  if last:
     with jax.transfer_guard("allow"):
       abstract = jax.tree.map(
           lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
@@ -210,6 +238,17 @@ def _main(argv=None, *, config=None, workdir=None):
       train_state = loaded
       first_step = bv_optim.get_count(train_state["opt"])
     chrono.inform(first_step=first_step)
+  elif config.get("model_init"):
+    # Warm-start (params, state) from a stage-I checkpoint; typically
+    # combined with freeze_dict/schedule freezing (ref vqvae.py:283-291).
+    u.write_note(f"Initializing model from {config.model_init}...")
+    with jax.transfer_guard("allow"):
+      p, s = model_mod.load(
+          jax.device_get(train_state["params"]), config.model_init,
+          config.get("model"), **config.get("model_load", {}))
+      train_state["params"] = u.reshard(p, params_sharding)
+      train_state["state"] = u.reshard(
+          s, jax.tree.map(lambda _: repl_sharding, s))
 
   def reconstruct_fn(train_state, batch):
     inputs, ctx = batch_to_inputs(batch)

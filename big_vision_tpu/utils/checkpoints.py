@@ -40,13 +40,25 @@ def _ocp():
 class CheckpointManager:
   """Async sharded save with atomic -LAST pointer commit."""
 
-  def __init__(self):
+  def __init__(self, timeout=None):
+    """timeout: max seconds a NEW save may wait for the previous async
+    write before raising — the reference's ckpt-is-a-bottleneck watchdog
+    (ref utils.py:382-394 checkpointing_timeout). None = wait forever."""
     ocp = _ocp()
     self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     self._commit_thread = None
+    self._timeout = timeout
 
   def save(self, pytree, prefix, step, *, keep=False):
     """Starts an async save; returns immediately after device->host staging."""
+    if (self._timeout is not None and self._commit_thread is not None
+        and self._commit_thread.is_alive()):
+      self._commit_thread.join(timeout=self._timeout)
+      if self._commit_thread.is_alive():
+        raise TimeoutError(
+            "Checkpoint writing seems to be a bottleneck. Make sure you "
+            "do not write checkpoints to distant/slow storage, or raise "
+            "the `ckpt_timeout` parameter.")
     self.wait_until_finished()
     ocp = _ocp()
     suffix = "" if keep else "-tmp"

@@ -440,3 +440,176 @@ def test_vae_trainer_l2_e2e(tmp_path):
   assert train_state is not None
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "val/loss" in metrics and "training_loss" in metrics
+
+
+def test_givt_adaptor_trainer_e2e(tmp_path):
+  """Class-conditional AR GIVT trained jointly with the invertible
+  latent adaptor (ref generative.py:199-233): params_adaptor in the
+  train state, forward in the loss, inverse before VAE decode in the
+  sample_teacher_forced / sample predict fns."""
+  import ml_collections as mlc
+  from big_vision_tpu.trainers.proj.givt import generative
+
+  rs = np.random.RandomState(3)
+  n, res = 16, 8
+  images = [rs.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+            for _ in range(n)]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.input = dict(
+      data=dict(name="arrays", data={"image": images}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.vae = mlc.ConfigDict(dict(
+      model_name="proj.givt.vae",
+      model=dict(codeword_dim=4, filters=8, num_res_blocks=1,
+                 channel_multipliers=(1, 2)),
+      init_shapes=[(1, res, res, 3)]))
+
+  config.model_name = "proj.givt.givt"
+  config.model = dict(
+      num_decoder_layers=1, num_heads=2, mlp_dim=32, emb_dim=16,
+      num_labels=None, seq_len=(res // 2) ** 2, out_dim=4,
+      num_mixtures=2, style="ar")
+  config.adaptor_name = "proj.givt.adaptor"
+  config.adaptor = mlc.ConfigDict(
+      dict(model=dict(num_blocks=2, num_channels_bottleneck=8)))
+  config.ar_generation_config = dict(temp=0.9, temp_probs=1.0)
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="mean", pred="validation",
+      data=dict(name="arrays", data={"image": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.tf = dict(
+      type="proj.uvim.psnr", pred="sample_teacher_forced",
+      data=dict(name="arrays", data={"image": images, "labels": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.sample = dict(
+      type="proj.uvim.psnr", pred="sample",
+      data=dict(name="arrays", data={"image": images, "labels": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = generative.main(config=config,
+                                workdir=str(tmp_path / "wd"))
+  assert "params_adaptor" in train_state["params"]
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "l2_params_adaptor" in metrics
+  assert "train/nll" in metrics and "l2_updates" in metrics
+  assert "val/nll" in metrics
+  assert "tf/PSNR" in metrics and "sample/PSNR" in metrics
+
+
+def test_givt_masked_sampling_trainer_e2e(tmp_path):
+  """MaskGIT-style GIVT: mean(where=mask) loss with
+  fraction_masked_out metric, and the `sample` predict fn driving
+  parallel decode from config.masked_generation_config."""
+  import ml_collections as mlc
+  from big_vision_tpu.trainers.proj.givt import generative
+
+  rs = np.random.RandomState(4)
+  n, res = 16, 8
+  images = [rs.uniform(-1, 1, (res, res, 3)).astype(np.float32)
+            for _ in range(n)]
+
+  config = mlc.ConfigDict()
+  config.seed = 0
+  config.total_steps = 2
+  config.input = dict(
+      data=dict(name="arrays", data={"image": images}),
+      batch_size=8, shuffle_buffer_size=8, num_threads=1, prefetch=1,
+      pp="")
+  config.log_training_steps = 2
+  config.ckpt_steps = None
+
+  config.vae = mlc.ConfigDict(dict(
+      model_name="proj.givt.vae",
+      model=dict(codeword_dim=4, filters=8, num_res_blocks=1,
+                 channel_multipliers=(1, 2)),
+      init_shapes=[(1, res, res, 3)]))
+
+  config.model_name = "proj.givt.givt"
+  config.model = dict(
+      num_decoder_layers=1, num_heads=2, mlp_dim=32, emb_dim=16,
+      num_labels=None, seq_len=(res // 2) ** 2, out_dim=4,
+      num_mixtures=2, style="masked")
+  config.masked_generation_config = dict(steps=3, choice_temperature=10.0)
+
+  config.optax_name = "scale_by_adam"
+  config.lr = 1e-3
+  config.wd = 0.0
+  config.schedule = dict(warmup_steps=1, decay_type="cosine")
+  config.evals = {}
+  config.evals.val = dict(
+      type="mean", pred="validation",
+      data=dict(name="arrays", data={"image": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+  config.evals.sample = dict(
+      type="proj.uvim.psnr", pred="sample",
+      data=dict(name="arrays", data={"image": images, "labels": images}),
+      pp_fn="", batch_size=8, log_steps=2)
+
+  train_state = generative.main(config=config,
+                                workdir=str(tmp_path / "wd"))
+  assert train_state is not None
+  metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
+  assert "train/fraction_masked_out" in metrics
+  assert "val/nll" in metrics and "sample/PSNR" in metrics
+
+
+def test_givt_ar_decode_beam_fan():
+  """Beam/fan AR decoding (ref decode.py:170-380): beam search over
+  accumulated sequence log-density must beat single-draw sampling, and
+  the stochastic rand_top_k variant must run."""
+  model, params = make_givt("ar")
+  labels = jnp.zeros((2,), jnp.int32)
+
+  toks1, lp1 = decode.generate(
+      {"params": params}, model, jax.random.PRNGKey(0), labels=labels,
+      return_logprobs=True)
+  assert toks1.shape == (2, 6, 4) and lp1.shape == (2,)
+
+  toks_b, lp_b = decode.generate(
+      {"params": params}, model, jax.random.PRNGKey(0), labels=labels,
+      beam_size=2, fan_size=8, return_logprobs=True)
+  assert toks_b.shape == (2, 6, 4) and lp_b.shape == (2,)
+  assert np.isfinite(np.asarray(toks_b)).all()
+  assert float(lp_b.mean()) > float(lp1.mean())
+
+  toks_r = decode.generate(
+      {"params": params}, model, jax.random.PRNGKey(1), labels=labels,
+      beam_size=2, fan_size=4, rand_top_k=True, rand_top_k_temp=2.0)
+  assert toks_r.shape == (2, 6, 4)
+  assert np.isfinite(np.asarray(toks_r)).all()
+
+
+def test_givt_ar_decode_gt_pinning():
+  """gt/keep_gt pins chosen positions to ground-truth tokens."""
+  model, params = make_givt("ar")
+  labels = jnp.zeros((2,), jnp.int32)
+  gt = jnp.asarray(np.random.RandomState(0).randn(2, 6, 4), jnp.float32)
+  keep = jnp.asarray([True, False, True, False, True, False])
+
+  toks = decode.generate(
+      {"params": params}, model, jax.random.PRNGKey(0), labels=labels,
+      gt=gt, keep_gt=keep)
+  toks = np.asarray(toks)
+  np.testing.assert_allclose(toks[:, [0, 2, 4]], np.asarray(gt)[:, [0, 2, 4]],
+                             rtol=1e-6)
+  assert not np.allclose(toks[:, [1, 3, 5]], np.asarray(gt)[:, [1, 3, 5]])
+
+  # Pinning also composes with beam search.
+  toks_b = decode.generate(
+      {"params": params}, model, jax.random.PRNGKey(0), labels=labels,
+      beam_size=2, fan_size=2, gt=gt, keep_gt=keep)
+  np.testing.assert_allclose(np.asarray(toks_b)[:, [0, 2, 4]],
+                             np.asarray(gt)[:, [0, 2, 4]], rtol=1e-6)

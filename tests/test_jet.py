@@ -52,6 +52,14 @@ def test_bits_per_dim_gaussian_reference():
   """For z ~ N(0,1) with logdet=0, bpd = entropy-rate/ln2 + 8."""
   rs = np.random.RandomState(0)
   z = jnp.asarray(rs.randn(4, 8, 8, 3), jnp.float32)
-  bpd = nll_bits_per_dim(z, jnp.zeros(4))
+  bpd, nll, logdet = nll_bits_per_dim(z, jnp.zeros(4))
   want = 0.5 * (1 + np.log(2 * np.pi)) / np.log(2) + 8.0
   assert abs(float(jnp.mean(bpd)) - want) < 0.1
+  np.testing.assert_allclose(np.asarray(logdet), 0.0)
+  np.testing.assert_allclose(np.asarray(nll), np.asarray(bpd))
+  # The reference's value_range(-1, 1) convention: bin = 2/255, i.e. the
+  # discretization constant becomes log2(127.5) (ref train.py:275).
+  bpd2, *_ = nll_bits_per_dim(z, jnp.zeros(4), bin_width=2.0 / 255.0)
+  shift = 8.0 - np.log2(127.5)
+  np.testing.assert_allclose(np.asarray(bpd2), np.asarray(bpd) - shift,
+                             rtol=1e-6)

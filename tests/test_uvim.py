@@ -165,6 +165,9 @@ def test_vqvae_trainer_task_mode_panoptic(tmp_path):
       code_len=4, width=32, enc_depth=1, dec_depth=1, num_heads=2,
       dict_size=16, with_encoder_ctx=True, with_decoder_ctx=True))
   config.with_ctx = True
+  config.freeze_dict = False   # Stage I: train the codebook (EMA).
+  config.w_commitment = 0.25   # Ref vqvae.py:204 default weight.
+  config.init_head_bias = -2.0
   config.optax_name = "scale_by_adam"
   config.lr = 1e-3
   config.wd = 0.0
@@ -186,6 +189,7 @@ def test_vqvae_trainer_task_mode_panoptic(tmp_path):
   assert train_state is not None
   metrics = (tmp_path / "wd" / "big_vision_metrics.txt").read_text()
   assert "val/loss" in metrics
+  assert "loss_rec" in metrics and "loss_commitment" in metrics
   assert '"pq/PQ"' in metrics or "pq/PQ" in metrics
 
 
