@@ -84,10 +84,14 @@ def _main(argv=None, *, config=None, workdir=None):
   chrono.inform(first_step=0, total_steps=total_steps, global_bs=batch_size,
                 steps_per_epoch=ntrain_img / batch_size)
 
+  # num_classes is shared trainer-level config (ref flexi/distill.py:154).
   def make_model(name):
     mod = importlib.import_module(
         f"big_vision_tpu.models.{config[f'{name}_name']}")
-    return mod, mod.Model(**config.get(name, {}))
+    kw = dict(config.get(name, {}))
+    if "num_classes" in config and "num_classes" not in kw:
+      kw["num_classes"] = config.num_classes
+    return mod, mod.Model(**kw)
 
   student_mod, student = make_model("student")
   teachers = {t: make_model(t) for t in config.teachers}

@@ -181,6 +181,14 @@ def _main(argv=None, *, config=None, workdir=None):
       train_state = loaded
       first_step = bv_optim.get_count(train_state["opt"])
     chrono.inform(first_step=first_step)
+  elif config.get("model_init"):
+    # Warm-start from a pretrained VAE (ref givt/vae.py:382-386).
+    u.write_note(f"Initializing model from {config.model_init}...")
+    with jax.transfer_guard("allow"):
+      loaded = model_mod.load(
+          jax.device_get(train_state["params"]), config.model_init,
+          config.get("model", {}), **config.get("model_load", {}))
+      train_state["params"] = u.reshard(loaded, params_sharding)
 
   # Eval fns (ref trainers/proj/givt/vae.py:406-443): "validation" feeds a
   # mean evaluator with per-example ELBO terms; "predict" exposes raw

@@ -195,8 +195,21 @@ def _main(argv=None, *, config=None, workdir=None):
         batch.get("image"), batch.get("labels"), **kw)
     return zimg, ztxt, out
 
+  def eval_loss_fn(train_state, batch):
+    """Per-example supervised loss on the image tower with the configured
+    criterion (ref siglip.py:394-399; config.loss names a u.* loss). The
+    reference unpacks two values there, which its own two_towers (always
+    a 3-tuple) would reject — we take the image embedding as logits,
+    which is what an out_dim==num_classes supervised tower produces."""
+    zimg, _, _ = model.apply({"params": train_state["params"]},
+                             batch["image"])
+    loss_name = config.get("loss", "sigmoid_xent")
+    return {"loss": getattr(u, loss_name)(
+        logits=zimg, labels=batch["labels"], reduction=False)}
+
   predict_fns = {
       "predict": predict_fn,
+      "loss": eval_loss_fn,
       "img": lambda ts, batch, **kw: predict_fn(
           ts, {"image": batch["image"]}, **kw),
       "txt": lambda ts, batch, **kw: predict_fn(

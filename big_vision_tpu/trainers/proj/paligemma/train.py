@@ -139,17 +139,30 @@ def _main(argv=None, *, config=None, workdir=None):
       logp = jax.nn.log_softmax(text_logits[:, :-1])
       targets = batch["text"][:, 1:]
       mask_loss = batch["mask_loss"][:, 1:]
-      token_nll = -jnp.take_along_axis(
-          logp, targets[..., None], axis=-1)[..., 0]
+      off_value = config.get("label_smoothing", 0.0)
+      if off_value > 0:
+        # Smoothed targets (ref paligemma/train.py:348-356).
+        onehot = jax.nn.one_hot(targets, logp.shape[-1])
+        denom = logp.shape[-1] - 1
+        smoothed = jnp.where(onehot == 1.0, 1.0 - off_value,
+                             off_value / denom)
+        token_nll = -jnp.sum(logp * smoothed, axis=-1)
+      else:
+        token_nll = -jnp.take_along_axis(
+            logp, targets[..., None], axis=-1)[..., 0]
       norm = jnp.clip(jnp.sum(mask_loss, axis=-1), 1e-6)
       per_example = jnp.sum(token_nll * mask_loss, axis=-1) / norm
-      return jnp.mean(per_example)
+      sup_seqlen = jnp.sum(mask_loss, axis=-1)
+      return jnp.mean(per_example), {
+          "avg_sup_seqlen": jnp.mean(sup_seqlen),
+          "max_sup_seqlen": jnp.max(sup_seqlen)}
 
     params, opt = train_state["params"], train_state["opt"]
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    (loss, extras), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
-    measurements = {"training_loss": loss,
+    measurements = {"training_loss": loss, **extras,
                     "l2_grads": optax.global_norm(grads),
                     "l2_params": optax.global_norm(params)}
     return {"params": params, "opt": opt}, measurements
