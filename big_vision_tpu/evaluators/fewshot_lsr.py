@@ -54,7 +54,7 @@ class Evaluator:
 
   def __init__(self, predict_fn, batch_size, devices, datasets, shots,
                l2_reg=2.0 ** 10, num_seeds=3, display_first=None,
-               label_key="label", **kw):
+               label_key="label", representation_layer=None, **kw):
     del kw
     self.shots = tuple(shots)
     self.l2_reg = l2_reg
@@ -65,6 +65,11 @@ class Evaluator:
     @jax.jit
     def repr_fn(train_state, batch):
       out = predict_fn(train_state, batch)
+      if representation_layer is not None:
+        # Reference-style: features come from the predict fn's aux dict
+        # (ref fewshot_lsr.py:141-149, e.g. "pre_logits").
+        aux = out[-1] if isinstance(out, tuple) else out
+        return aux[representation_layer]
       return out[0] if isinstance(out, tuple) else out
     self.repr_fn = repr_fn
 

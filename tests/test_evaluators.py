@@ -145,3 +145,40 @@ def test_labelmap_classification():
   assert ns == 4
   assert nc == 2  # rows 0 and 1 correct; row 2 mislabeled; row 3 uniform
   assert np.isfinite(loss)
+
+
+def test_fewshot_representation_layer(tmp_path):
+  """representation_layer picks features from the predict fn's aux dict
+  (ref fewshot_lsr.py:141-149) instead of the first tuple element."""
+  rng = np.random.default_rng(0)
+  centers = np.asarray([[6, 0], [0, 6]], np.float32)
+  images, labels = [], []
+  for i in range(2):
+    for _ in range(8):
+      images.append((centers[i] + rng.normal(0, 0.2, 2)).astype(np.float32))
+      labels.append(np.int32(i))
+
+  # predict_fn returns (garbage, aux) — only aux["pre_logits"] separates.
+  def predict_fn(train_state, batch):
+    del train_state
+    x = batch["image"]
+    return jnp.zeros_like(x), {"pre_logits": x}
+
+  data = dict(name="arrays", data={"image": images, "label": labels})
+  ev = fewshot_lsr.Evaluator(
+      predict_fn, batch_size=8, devices=jax.devices(),
+      datasets={"toy": dict(data_train=data, data_test=data, pp="",
+                            num_classes=2)},
+      shots=(4,), representation_layer="pre_logits")
+  results = dict(ev.run({"params": {}}))
+  (acc,) = results.values()
+  assert acc > 0.95
+
+  # Without representation_layer, out[0] (all-zeros) can't separate.
+  ev0 = fewshot_lsr.Evaluator(
+      predict_fn, batch_size=8, devices=jax.devices(),
+      datasets={"toy": dict(data_train=data, data_test=data, pp="",
+                            num_classes=2)},
+      shots=(4,))
+  (acc0,) = dict(ev0.run({"params": {}})).values()
+  assert acc0 < 0.95
