@@ -15,11 +15,14 @@ import jax.numpy as jnp
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import common
-from big_vision_tpu.models.proj.givt import cnn
 
 
 class Model(nn.Module):
   codeword_dim: int = 16
+  # Declared sequence length of the latent code (ref vae.py:34). The
+  # actual length is derived from the encoder output; this field exists
+  # so configs (e.g. givt_imagenet2012) can carry it through Model(**cfg).
+  code_len: int = 256
   filters: int = 64
   num_res_blocks: int = 2
   channel_multipliers: Sequence[int] = (1, 2, 4)
@@ -30,6 +33,9 @@ class Model(nn.Module):
   code_dropout: str = "none"
 
   def setup(self):
+    # Deferred: cnn.Model subclasses this class, so a top-level import
+    # of cnn here would be circular.
+    from big_vision_tpu.models.proj.givt import cnn
     self.encoder = cnn.Encoder(
         filters=self.filters, num_res_blocks=self.num_res_blocks,
         channel_multipliers=tuple(self.channel_multipliers),

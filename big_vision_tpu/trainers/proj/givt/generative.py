@@ -93,7 +93,8 @@ def _main(argv=None, *, config=None, workdir=None):
             jax.random.PRNGKey(11))
     if config.vae.get("model_init"):
       vae_params = vae_mod.load(jax.device_get(vae_params),
-                                config.vae.model_init)
+                                config.vae.model_init,
+                                **config.vae.get("model_load", {}))
       vae_params = u.reshard(
           vae_params, jax.tree.map(lambda _: repl_sharding, vae_params))
 

@@ -135,6 +135,56 @@ def test_vae_roundtrip_shapes():
   assert np.all(np.asarray(kl) >= -1e-4)
 
 
+def test_cnn_vae_roundtrip_and_pixel_shuffle():
+  """MaskGIT tokenizer VAE (proj.givt.cnn): encode/decode shapes with and
+  without pixel-shuffle token folding, malib [-1,1] output clipping."""
+  from big_vision_tpu.models.proj.givt import cnn
+  model = cnn.Model(codeword_dim=4, code_len=16, filters=32,
+                    num_res_blocks=1, channel_multipliers=(1, 2),
+                    malib_ckpt=True, pixel_shuffle_patch_size=(2, 2))
+  img = jnp.linspace(-1, 1, 2 * 16 * 16 * 3).reshape(2, 16, 16, 3)
+  params = model.init(jax.random.PRNGKey(0), img)["params"]
+  mu, logvar = model.apply({"params": params}, img, method=model.encode)
+  # 16x16 img, one downsample -> 8x8 latents; (2,2) shuffle -> 16 tokens
+  # of dim codeword_dim*4.
+  assert mu.shape == logvar.shape == (2, 16, 16)
+  assert np.all(np.asarray(logvar) <= 20.0)
+  rec = model.apply({"params": params}, mu, method=model.decode)
+  assert rec.shape == img.shape
+  assert np.all(np.abs(np.asarray(rec)) <= 1.0)
+  # Full __call__ (train=False): z == mu.
+  rec2, out = model.apply({"params": params}, img)
+  np.testing.assert_allclose(np.asarray(rec2), np.asarray(rec), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(out["z"]), np.asarray(mu))
+
+
+def test_cnn_vae_malib_checkpoint_load(tmp_path):
+  """cnn.load remaps a malib VAE-GAN checkpoint's g_params/ (or
+  ema_params/) onto cnn_encoder/cnn_decoder (ref cnn.py:333-376)."""
+  import flax.training.checkpoints
+  from big_vision_tpu.models.proj.givt import cnn
+  model = cnn.Model(codeword_dim=4, code_len=64, filters=32,
+                    num_res_blocks=1, channel_multipliers=(1, 2),
+                    malib_ckpt=True)
+  img = jnp.zeros((1, 16, 16, 3))
+  params = jax.device_get(model.init(jax.random.PRNGKey(0), img)["params"])
+  g = jax.tree.map(lambda x: x + 1.0, params)
+  ema = jax.tree.map(lambda x: x + 2.0, params)
+  fake = {"g_params": {"encoder": g["cnn_encoder"],
+                       "decoder": g["cnn_decoder"]},
+          "ema_params": {"encoder": ema["cnn_encoder"],
+                         "decoder": ema["cnn_decoder"]},
+          "d_params": {"junk": np.zeros((3,))}}
+  path = flax.training.checkpoints.save_checkpoint(
+      str(tmp_path), fake, step=0, prefix="ckpt_")
+  for use_ema, src in ((False, g), (True, ema)):
+    loaded = cnn.load(params, path, malib_ckpt=True, use_ema_params=use_ema)
+    jax.tree.map(np.testing.assert_allclose,
+                 loaded,
+                 {"cnn_encoder": src["cnn_encoder"],
+                  "cnn_decoder": src["cnn_decoder"]})
+
+
 def test_givt_uvim_task_trainer_e2e(tmp_path):
   """Conditioned GIVT (UViM-style): VAE on labels, encoder on image,
   sampled depth output through the depth evaluator."""

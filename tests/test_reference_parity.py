@@ -486,6 +486,34 @@ class TestModelParity:
     for a, b in zip(ra, ma):
       np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+  def test_givt_cnn_vae(self):
+    """MaskGIT/VQGAN tokenizer VAE (ref models/proj/givt/cnn.py:243):
+    identical param trees, identical mu/logvar/reconstruction, including
+    the malib [-1,1]->[0,1] rescale and pixel-shuffle token folding."""
+    kw = dict(codeword_dim=4, code_len=16, filters=32, num_res_blocks=1,
+              channel_multipliers=[1, 2], conv_downsample=False,
+              norm_type="GN", activation_fn="swish", malib_ckpt=True,
+              pixel_shuffle_patch_size=(2, 2))
+    img = _img(2, 16, seed=5)
+    ref_m = _R("proj.givt.cnn").Model(**kw)
+    my_m = _M("proj.givt.cnn").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), img)
+    mv = my_m.init(jax.random.PRNGKey(0), img)
+    rn, mn = _tree_names(rv), _tree_names(mv)
+    assert set(rn) == set(mn)
+    for k in rn:
+      assert rn[k].shape == mn[k].shape, k
+    V = _perturb(rv)
+    r_mu, r_lv = ref_m.apply(V, img, method=ref_m.encode)
+    m_mu, m_lv = my_m.apply(V, img, method=my_m.encode)
+    assert r_mu.shape == m_mu.shape == (2, 16, 16)  # (h*w/4, c*4) tokens
+    np.testing.assert_allclose(np.asarray(r_mu), np.asarray(m_mu), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(r_lv), np.asarray(m_lv), atol=2e-6)
+    r_rec = ref_m.apply(V, r_mu, method=ref_m.decode)
+    m_rec = my_m.apply(V, m_mu, method=my_m.decode)
+    np.testing.assert_allclose(np.asarray(r_rec), np.asarray(m_rec),
+                               atol=2e-6)
+
   def test_paligemma(self, monkeypatch):
     import ml_collections as mlc
     # No tiny row in gemma's variant table: patch get_config on BOTH sides
