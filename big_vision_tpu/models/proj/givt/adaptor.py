@@ -83,7 +83,9 @@ class IRevNet(nn.Module):
 
   def setup(self):
     num_grps = min(32, self.num_channels // 2)
-    self.blocks = [
+    # Named `modules` so param trees match the published checkpoints
+    # (modules_0, modules_1, ... — ref adaptor.py:107).
+    self.modules = [
         IRevNetBlock(
             first=(i == 0),
             num_channels=self.num_channels // 2,
@@ -95,13 +97,13 @@ class IRevNet(nn.Module):
 
   def forward(self, x, train=True):
     out = _split(x)
-    for m in self.blocks:
+    for m in self.modules:
       out = m.forward(out, train=train)
     return _merge(*out)
 
   def inverse(self, out_bij, train=True):
     out = _split(out_bij)
-    for m in reversed(self.blocks):
+    for m in reversed(self.modules):
       out = m.inverse(out, train=train)
     return _merge(*out)
 

@@ -514,6 +514,85 @@ class TestModelParity:
     np.testing.assert_allclose(np.asarray(r_rec), np.asarray(m_rec),
                                atol=2e-6)
 
+  def test_givt_vit_vae(self):
+    """ViT task VAE (ref models/proj/givt/vit.py:32): identical trees and
+    mu/logvar/recon, including the bottleneck_resize code path."""
+    kw = dict(codeword_dim=8, code_len=16, input_size=(32, 32),
+              patch_size=(8, 8), width=32, enc_depth=1, dec_depth=1,
+              mlp_dim=64, num_heads=2, bottleneck_resize=True)
+    img = _img(2, 32, seed=6)
+    ref_m = _R("proj.givt.vit").Model(**kw)
+    my_m = _M("proj.givt.vit").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), img)
+    mv = my_m.init(jax.random.PRNGKey(0), img)
+    rn, mn = _tree_names(rv), _tree_names(mv)
+    assert set(rn) == set(mn)
+    for k in rn:
+      assert rn[k].shape == mn[k].shape, k
+    V = _perturb(rv)
+    r_mu, r_lv = ref_m.apply(V, img, method=ref_m.encode)
+    m_mu, m_lv = my_m.apply(V, img, method=my_m.encode)
+    np.testing.assert_allclose(np.asarray(r_mu), np.asarray(m_mu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_lv), np.asarray(m_lv), atol=2e-5)
+    r_rec = ref_m.apply(V, r_mu, method=ref_m.decode)
+    m_rec = my_m.apply(V, m_mu, method=my_m.decode)
+    np.testing.assert_allclose(np.asarray(r_rec), np.asarray(m_rec),
+                               atol=2e-5)
+
+  def test_givt_adaptor(self):
+    """iRevNet adaptor (ref models/proj/givt/adaptor.py:137): identical
+    trees, forward outputs, and exact inverse roundtrip."""
+    kw = dict(num_blocks=2, num_channels=8, num_channels_bottleneck=16,
+              pixel_shuffle_patch_size=(1, 2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8))
+    ref_m = _R("proj.givt.adaptor").Model(**kw)
+    my_m = _M("proj.givt.adaptor").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), x, train=False)
+    mv = my_m.init(jax.random.PRNGKey(0), x, train=False)
+    rn, mn = _tree_names(rv), _tree_names(mv)
+    assert set(rn) == set(mn)
+    for k in rn:
+      assert rn[k].shape == mn[k].shape, k
+    V = _perturb(rv)
+    r_fwd = ref_m.apply(V, x, train=False, method=ref_m.forward)
+    m_fwd = my_m.apply(V, x, train=False, method=my_m.forward)
+    np.testing.assert_allclose(np.asarray(r_fwd), np.asarray(m_fwd),
+                               atol=2e-5)
+    m_inv = my_m.apply(V, m_fwd, train=False, method=my_m.inverse)
+    np.testing.assert_allclose(np.asarray(m_inv), np.asarray(x), atol=1e-4)
+
+  def test_jetformer_patch_pca(self, tmp_path):
+    """PCA tokenizer (ref models/proj/jetformer/patch_pca.py:44):
+    patchify + PCA-whitening encode and inverse decode match on a shared
+    sklearn-layout PCA npz."""
+    rng = np.random.RandomState(0)
+    d = 8 * 8 * 3
+    ncomp = 24  # codeword_dim * depth_to_seq
+    q, _ = np.linalg.qr(rng.randn(d, ncomp))
+    np.savez(tmp_path / "pca.npz",
+             components_=q.T.astype(np.float32),
+             explained_variance_=(rng.rand(ncomp) + 0.5).astype(np.float32),
+             mean_=rng.randn(d).astype(np.float32) * 0.1)
+    kw = dict(codeword_dim=12, input_size=(16, 16), patch_size=(8, 8),
+              depth_to_seq=2, noise_std=0.05, skip_pca=False,
+              pca_init_file=str(tmp_path / "pca.npz"))
+    img = _img(2, 16, seed=8)
+    ref_m = _R("proj.jetformer.patch_pca").Model(**kw)
+    my_m = _M("proj.jetformer.patch_pca").Model(**kw)
+    rv = ref_m.init(jax.random.PRNGKey(0), img)
+    mv = my_m.init(jax.random.PRNGKey(0), img)
+    rn, mn = _tree_names(rv), _tree_names(mv)
+    assert set(rn) == set(mn)
+    V = _perturb(rv)
+    r_mu, r_lv = ref_m.apply(V, img, method=ref_m.encode)
+    m_mu, m_lv = my_m.apply(V, img, method=my_m.encode)
+    np.testing.assert_allclose(np.asarray(r_mu), np.asarray(m_mu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_lv), np.asarray(m_lv), atol=2e-5)
+    r_rec = ref_m.apply(V, r_mu, method=ref_m.decode)
+    m_rec = my_m.apply(V, m_mu, method=my_m.decode)
+    np.testing.assert_allclose(np.asarray(r_rec), np.asarray(m_rec),
+                               atol=2e-5)
+
   def test_paligemma(self, monkeypatch):
     import ml_collections as mlc
     # No tiny row in gemma's variant table: patch get_config on BOTH sides
