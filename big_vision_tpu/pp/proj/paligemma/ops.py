@@ -151,9 +151,15 @@ def get_majority(key="text", inkey=None, outkey=None):
 
 
 @Registry.register("preprocess_ops.getidx")
-def get_getidx(index_key, inkey=None, outkey=None, key=None):
-  """data[out] = data[in][data[index_key]]. Ref :160."""
-  ik, ok = inkey or key, outkey or key
+def get_getidx(inkey=None, index_key=None, outkey=None, key=None):
+  """data[out] = data[in][data[index_key]].
+
+  Same positional order as ref :160 (inkey, index_key, outkey) so configs
+  using positional args bind identically.
+  """
+  assert index_key is not None, "getidx needs index_key"
+  ik = inkey or key
+  ok = outkey or key or ik
 
   def _op(data):
     data = dict(data)

@@ -848,6 +848,161 @@ class TestTokenizeParity:
 
 
 # ---------------------------------------------------------------------------
+# PaliGemma pp ops vs the reference TF implementations
+# (ref pp/proj/paligemma/ops.py: tolen :58, tok :89, masked_concat :129,
+#  strjoin :143, majority :151, getidx :160)
+# ---------------------------------------------------------------------------
+
+class _FakeWsTokenizer:
+  """Whitespace number tokenizer exposing both reference surfaces
+  (np `to_int` for constant-text tokenization, TF `to_int_tf_op` for the
+  in-graph path, ref pp/tokenizer.py:26-61)."""
+
+  pad_token = 0
+  eos_token = 1
+  bos_token = 2
+
+  def to_int(self, text, *, bos=False, eos=False):
+    ids = [int(t) for t in str(text).split()]
+    if bos:
+      ids = [self.bos_token] + ids
+    if eos:
+      ids = ids + [self.eos_token]
+    return np.asarray(ids, np.int32)
+
+  def to_int_tf_op(self, text, *, bos=False, eos=False):
+    import tensorflow as tf
+    ids = tf.strings.to_number(
+        tf.strings.split(tf.strings.strip(text)), tf.int32)
+    if bos:
+      ids = tf.concat([[self.bos_token], ids], 0)
+    if eos:
+      ids = tf.concat([ids, [self.eos_token]], 0)
+    return ids
+
+
+@pytest.fixture(scope="module")
+def pg_ops(tf):
+  """Registers both sides' paligemma ops plus a shared fake vocab."""
+  from big_vision.pp.proj.paligemma import ops as ref_ops  # noqa: F401
+  from big_vision_tpu.pp.proj.paligemma import ops as my_ops  # noqa: F401
+  from big_vision.pp import registry as ref_registry
+  from big_vision_tpu.registry import Registry as MyRegistry
+  if not ref_registry.Registry.knows("tokenizers.fake_ws"):
+    ref_registry.Registry.register("tokenizers.fake_ws")(_FakeWsTokenizer)
+  if not MyRegistry.knows("tokenizers.fake_ws"):
+    MyRegistry.register("tokenizers.fake_ws")(_FakeWsTokenizer)
+
+
+def _as_str_or_num(v):
+  a = np.asarray(v)
+  if a.dtype.kind in "SOU":
+    to_str = lambda b: b.decode() if isinstance(b, bytes) else str(b)
+    return np.vectorize(to_str, otypes=[object])(a)
+  return a
+
+
+def _pg_compare(spec, data, keys):
+  r = _run_ref_pp(spec, data)
+  m = _run_my_pp(spec, data)
+  for k in keys:
+    rv, mv = _as_str_or_num(r[k]), _as_str_or_num(m[k])
+    assert rv.shape == mv.shape, (spec, k, rv.shape, mv.shape)
+    np.testing.assert_array_equal(rv, mv, err_msg=f"{spec} key={k}")
+
+
+class TestPaliGemmaOpsParity:
+
+  @pytest.mark.parametrize("length, sticky", [
+      (3, False), (3, True), (5, False), (5, True), (9, False), (9, True),
+  ])
+  def test_tolen(self, pg_ops, length, sticky):
+    data = {"t": np.array([5, 6, 7, 8, 9], np.int32)}
+    spec = (f'tolen({length}, sticky_end={sticky}, pad_value=0, key="t")')
+    _pg_compare(spec, data, ["t"])
+
+  def test_tolen_pad_key(self, pg_ops):
+    # pad value taken from a previous tokenization's 1-D output: both
+    # sides must use element [0].
+    data = {"t": np.array([5, 6], np.int32),
+            "padsrc": np.array([77, 3, 4], np.int32)}
+    spec = 'tolen(6, pad_key="padsrc", key="t")'
+    _pg_compare(spec, data, ["t"])
+
+  @pytest.mark.parametrize("bos", ["no", "yes"])
+  @pytest.mark.parametrize("eos", ["no", "yes", "sticky"])
+  @pytest.mark.parametrize("length", [None, 4, 12])
+  def test_tok(self, pg_ops, bos, eos, length):
+    data = {"q": "10 11 12 13 14"}
+    spec = (f'tok(model="fake_ws", length={length}, bos="{bos}", '
+            f'eos="{eos}", key="q")')
+    _pg_compare(spec, data, ["q"])
+
+  @pytest.mark.parametrize("eos, length", [
+      ("no", None), ("yes", 3), ("sticky", 3), ("yes", 8),
+  ])
+  def test_tok_constant_text(self, pg_ops, eos, length):
+    data = {"dummy": np.int32(0)}
+    spec = (f'tok(model="fake_ws", text="20 21 22 23", length={length}, '
+            f'eos="{eos}", outkey="const")')
+    _pg_compare(spec, data, ["const"])
+
+  def test_masked_concat(self, pg_ops):
+    data = {"prefix": np.array([2, 10, 11], np.int32),
+            "septok": np.array([108], np.int32),
+            "suffix": np.array([12, 13, 1], np.int32)}
+    spec = ('masked_concat(["prefix", "septok", "suffix"], outkey="text", '
+            'mask_ar=[0, 0, 1], mask_loss=[0, 0, 1])')
+    _pg_compare(spec, data, ["text", "mask_ar", "mask_loss"])
+
+  def test_masked_concat_inplace_outkey(self, pg_ops):
+    # outkey collides with one of the inputs: both sides must read the
+    # ORIGINAL inputs (ref ops.py:133 `inputs = dict(**data)`).
+    data = {"prefix": np.array([2, 10], np.int32),
+            "suffix": np.array([12, 1], np.int32)}
+    spec = ('masked_concat(["prefix", "suffix"], outkey="prefix", '
+            'mask_ar=[0, 1])')
+    _pg_compare(spec, data, ["prefix", "mask_ar"])
+
+  def test_strjoin(self, pg_ops):
+    data = {"opts": ["apple", "banana", "cherry"]}
+    spec = 'strjoin(", ", inkey="opts", outkey="s")'
+    _pg_compare(spec, data, ["s"])
+
+  def test_majority_strings_first_seen_tie(self, pg_ops):
+    # cat/dog tie at 2: tf.unique_with_counts orders by first occurrence
+    # and argmax picks the first max, so "cat" must win on both sides.
+    data = {"answers": ["cat", "dog", "cat", "bird", "dog"]}
+    spec = 'majority(inkey="answers", outkey="ans")'
+    _pg_compare(spec, data, ["ans"])
+
+  def test_majority_ints(self, pg_ops):
+    data = {"answers": np.array([3, 7, 7, 3, 5], np.int32)}
+    spec = 'majority(key="answers")'
+    _pg_compare(spec, data, ["answers"])
+
+  def test_getidx(self, pg_ops):
+    data = {"options": ["a", "b", "c"], "idx": np.int32(1)}
+    spec = 'getidx(inkey="options", index_key="idx", outkey="pick")'
+    _pg_compare(spec, data, ["pick"])
+
+  def test_getidx_positional_binding(self, pg_ops):
+    # Positional args must bind as (inkey, index_key, outkey) on both
+    # sides — a swapped signature would read the index from "options".
+    data = {"options": np.array([40, 41, 42], np.int32),
+            "idx": np.int32(2)}
+    spec = 'getidx("options", "idx", "pick")'
+    _pg_compare(spec, data, ["pick"])
+
+  def test_getidx_default_outkey(self, pg_ops):
+    # No outkey: the result lands back in inkey (ref ops.py:166).
+    data = {"options": np.array([40, 41, 42], np.int32),
+            "idx": np.int32(0)}
+    spec = 'getidx("options", "idx")'
+    _pg_compare(spec, data, ["options"])
+
+
+# ---------------------------------------------------------------------------
 # autoaugment individual ops vs the reference TF implementations
 # (ref pp/autoaugment.py:132-283)
 # ---------------------------------------------------------------------------
