@@ -80,8 +80,10 @@ class PreprocessFn:
         data = op.run_host(data, np_rng)
       else:
         data = op.run_device(data, key)
-    return {k: np.asarray(v) if not isinstance(v, (bytes, str)) else v
-            for k, v in data.items()}
+    # Map over leaves: op outputs may be nested (patchify's dict,
+    # tuplify's tuple) and must not be collapsed by np.asarray.
+    return jax.tree.map(
+        lambda v: v if isinstance(v, (bytes, str)) else np.asarray(v), data)
 
 
 def get_preprocess_fn(pp_pipeline, log_data=False, log_steps=False):

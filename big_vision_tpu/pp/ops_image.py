@@ -96,12 +96,13 @@ def _pil_resize(image, size, method, antialias):
   dtype = image.dtype
   if method == "area":
     return _clip_cast(_area_resize(image, size, np), dtype)
-  del antialias  # PIL filters are inherently antialiased where applicable.
+  if dtype != np.uint8:
+    # PIL float support is single-channel only; go through jax eagerly
+    # (the only path where `antialias` is honored — PIL's own filters
+    # are inherently antialiased where applicable).
+    return np.asarray(_jax_resize(image, size, method, antialias=antialias))
   _, pil_name = _METHODS[method]
   pil_filter = getattr(Image.Resampling, pil_name)
-  if dtype != np.uint8:
-    # PIL float support is single-channel only; go through jax eagerly.
-    return np.asarray(_jax_resize(image, size, method, antialias=True))
   h, w = size
   if image.shape[-1] == 3:  # fast path: one RGB resize
     return np.asarray(

@@ -30,7 +30,9 @@ def get_image_size_for_seq(image_hw, patch_size, max_sequence_len,
 
   def feasible(ratio):
     th, tw = prepare(ratio)
-    return (th // patch_size) * (tw // patch_size) <= max_sequence_len
+    # True division like the reference (:62 `target_hw / patch_size`):
+    # with divisible_by_patch=False the fractional patch counts matter.
+    return (th / patch_size) * (tw / patch_size) <= max_sequence_len
 
   lb, rb = eps / 10, 100.0
   while rb - lb >= eps:
@@ -56,7 +58,10 @@ def get_resize_to_sequence(patch_size, max_sequence_len,
     _, target_hw = get_image_size_for_seq(
         img.shape[:2], patch_size, max_sequence_len,
         divisible_by_patch, eps)
-    data[ok] = _pil_resize(img, target_hw, "bilinear", antialias=True)
+    # Bare tf.image.resize in the reference (:120): float32 out, no cast
+    # back to the input dtype.
+    data[ok] = _pil_resize(img.astype(np.float32), target_hw, "bilinear",
+                           antialias=True)
     return data
 
   return PPOp(host_fn=_op, phase="host", name="resize_to_sequence")

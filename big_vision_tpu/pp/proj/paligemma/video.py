@@ -26,8 +26,10 @@ def get_video_decode(res):
     frames = []
     for raw in data["episodic_images"]:
       img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-      frames.append(_pil_resize(img, (res, res), "bilinear",
-                                antialias=True).astype(np.float32))
+      # Reference :29 is bare tf.image.resize: bilinear, antialias=False,
+      # float32 out.
+      frames.append(_pil_resize(img.astype(np.float32), (res, res),
+                                "bilinear", antialias=False))
     images = np.stack(frames)
     data["image"] = 2 * (images / 255.0) - 1.0
     return data

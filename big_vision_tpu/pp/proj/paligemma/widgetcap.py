@@ -20,8 +20,9 @@ def get_draw_bbox(image_key="image", bbox_key="bbox"):
     image = np.array(data[image_key], np.float32, copy=True)
     h, w = image.shape[:2]
     y0, x0, y1, x1 = np.asarray(data[bbox_key], np.float32).reshape(4)
-    y0, y1 = int(round(y0 * (h - 1))), int(round(y1 * (h - 1)))
-    x0, x1 = int(round(x0 * (w - 1))), int(round(x1 * (w - 1)))
+    # Truncate like TF's draw_bounding_boxes kernel (row = int(y*(h-1))).
+    y0, y1 = int(y0 * (h - 1)), int(y1 * (h - 1))
+    x0, x1 = int(x0 * (w - 1)), int(x1 * (w - 1))
     y0, y1 = np.clip([y0, y1], 0, h - 1)
     x0, x1 = np.clip([x0, x1], 0, w - 1)
     red = np.asarray([255, 0, 0], np.float32)

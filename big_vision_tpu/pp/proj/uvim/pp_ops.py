@@ -81,8 +81,9 @@ def get_coco_panoptic_pp():
 
 
 @Registry.register("preprocess_ops.make_canonical")
-def get_make_canonical(random=False, key="labels", inkey=None, outkey=None):
-  """Renumbers instance ids left-to-right by center of mass (ref :100).
+def get_make_canonical(random=False, main_sort_axis="y", key="labels",
+                       inkey=None, outkey=None):
+  """Renumbers instance ids in raster order by center of mass (ref :100).
 
   Host op: the number of instances is data-dependent.
   """
@@ -100,9 +101,10 @@ def get_make_canonical(random=False, key="labels", inkey=None, outkey=None):
       if not random:
         centers = np.stack([
             np.argwhere(m).mean(axis=0) for m in n_masks])  # [N, 2] (y, x)
-        major = 0  # "y"
+        major = {"y": 0, "x": 1}[main_sort_axis]
         perm = np.argsort(centers[:, 1 - major]
-                          + instimg.shape[major] * centers[:, major])
+                          + instimg.shape[major] * centers[:, major],
+                          kind="stable")
         n_masks = n_masks[perm]
       else:
         n_masks = n_masks[np_rng.permutation(len(ids))]

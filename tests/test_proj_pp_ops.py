@@ -93,7 +93,8 @@ def test_draw_bbox():
   out = run("draw_bbox", {"image": img,
                           "bbox": np.asarray([0.2, 0.2, 0.8, 0.8])})
   got = out["image"]
-  assert (got[2, 2:8] == [255, 0, 0]).all()  # top edge red
+  # Truncation semantics (TF kernel): row = int(0.2 * 9) = 1.
+  assert (got[1, 1:8] == [255, 0, 0]).all()  # top edge red
   assert (got[0, :] == 0).all()  # outside untouched
 
 

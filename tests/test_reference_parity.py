@@ -1003,6 +1003,219 @@ class TestPaliGemmaOpsParity:
 
 
 # ---------------------------------------------------------------------------
+# proj pp ops (uvim/givt/naflex/paligemma-video/widgetcap) vs the
+# reference TF implementations on shared fixtures
+# ---------------------------------------------------------------------------
+
+def _run_ref_pp2(spec, data, modules=()):
+  import importlib
+  for m in modules:
+    importlib.import_module(f"big_vision.pp.{m}")
+  from big_vision.pp import builder as ref_builder
+  import tensorflow as tf
+  fn = ref_builder.get_preprocess_fn(spec, log_data=False)
+  out = fn(tf.nest.map_structure(tf.constant, dict(data)))
+  return tf.nest.map_structure(lambda v: v.numpy(), out)
+
+
+def _run_my_pp2(spec, data, modules=()):
+  import importlib
+  for m in modules:
+    importlib.import_module(f"big_vision_tpu.pp.{m}")
+  from big_vision_tpu.pp import builder as my_builder
+  return my_builder.get_preprocess_fn(spec)(
+      dict(data), np_rng=np.random.default_rng(0))
+
+
+def _pg2_compare(spec, data, keys, modules=(), atol=0):
+  import jax
+  r = _run_ref_pp2(spec, data, modules)
+  m = _run_my_pp2(spec, data, modules)
+  for k in keys:
+    rl = jax.tree_util.tree_leaves_with_path(r[k])
+    ml = jax.tree_util.tree_leaves_with_path(m[k])
+    assert len(rl) == len(ml), (spec, k)
+    for (rp, rv), (mp, mv) in zip(rl, ml):
+      assert rp == mp, (spec, k, rp, mp)
+      rv, mv = np.asarray(rv), np.asarray(mv)
+      assert rv.shape == mv.shape, (spec, k, rp, rv.shape, mv.shape)
+      if atol:
+        np.testing.assert_allclose(
+            rv.astype(np.float64), mv.astype(np.float64), atol=atol,
+            err_msg=f"{spec} key={k} path={rp}")
+      else:
+        np.testing.assert_array_equal(rv, mv,
+                                      err_msg=f"{spec} key={k} path={rp}")
+
+
+@pytest.fixture(scope="module")
+def pimg():
+  rs = np.random.RandomState(3)
+  base = rs.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+  # Smooth a little so interpolating ops compare meaningfully.
+  return ((base.astype(np.float32) + np.roll(base, 1, 0)
+           + np.roll(base, 1, 1)) / 3).astype(np.uint8)
+
+
+class TestProjPpOpsParity:
+  UVIM = ("proj.uvim.pp_ops",)
+
+  def test_rgb_to_grayscale_to_rgb(self, tf, pimg):
+    _pg2_compare("rgb_to_grayscale_to_rgb", {"image": pimg},
+                 ["image"], self.UVIM, atol=1)  # uint8 rounding
+
+  def test_nyu_eval_crop_and_depth(self, tf):
+    rs = np.random.RandomState(0)
+    data = {"image": rs.randint(0, 256, (480, 640, 3), np.int32)
+                       .astype(np.uint8),
+            "depth": rs.rand(480, 640).astype(np.float32) * 10}
+    spec = "nyu_depth|nyu_eval_crop"
+    _pg2_compare(spec, data, ["image", "labels"], self.UVIM)
+
+  def test_bin_nyu_depth(self, tf):
+    rs = np.random.RandomState(1)
+    data = {"labels": (rs.rand(8, 10, 1).astype(np.float32) * 13 - 1)}
+    spec = "bin_nyu_depth(min_depth=0.001, max_depth=10.0, num_bins=256)"
+    _pg2_compare(spec, data, ["labels"], ("proj.givt.pp_ops",))
+
+  def test_coco_panoptic(self, tf):
+    rs = np.random.RandomState(2)
+    ids = np.array([3, 70000, 259], np.int64)
+    labels = np.array([7, 0, 12], np.int64)
+    # Paint each instance id (as 3-channel little-endian uint8) plus
+    # un-annotated background pixels (id 0).
+    idmap = ids[rs.randint(0, 3, (24, 32))]
+    idmap[:4, :4] = 0
+    pano = np.stack([idmap % 256, (idmap // 256) % 256,
+                     idmap // 256 ** 2], -1).astype(np.uint8)
+    data = {"panoptic_image": pano,
+            "panoptic_objects": {"id": ids, "label": labels}}
+    _pg2_compare("coco_panoptic", data, ["semantics", "instances"],
+                 self.UVIM)
+
+  @pytest.mark.parametrize("axis", ["y", "x"])
+  def test_make_canonical(self, tf, axis):
+    lab = np.zeros((20, 30, 2), np.int32)
+    lab[..., 0] = 5  # semantics channel rides along untouched
+    lab[2:6, 20:26, 1] = 9
+    lab[10:18, 2:8, 1] = 4
+    lab[12:16, 14:22, 1] = 77
+    lab[0:2, 0:2, 1] = -1  # non-annotated stays put
+    spec = f'make_canonical(main_sort_axis="{axis}")'
+    _pg2_compare(spec, {"labels": lab}, ["labels"], self.UVIM)
+
+  def test_crop_box(self, tf, pimg):
+    box = (np.array([0.2, 0.3], np.float32), np.array([0.5, 0.4],
+                                                      np.float32))
+    _pg2_compare('crop_box(key="image")',
+                 {"image": pimg, "box": box}, ["image"], self.UVIM)
+
+  @pytest.mark.parametrize("rand", [0.25, 0.75])
+  def test_det_fliplr(self, tf, pimg, rand):
+    _pg2_compare('det_fliplr(key="image")',
+                 {"image": pimg, "fliplr": np.float32(rand)},
+                 ["image"], self.UVIM)
+
+  def test_strong_hash_documented_divergence(self, tf):
+    # Deliberate divergence: the reference keys TF's SipHash
+    # (to_hash_bucket_strong); this repo uses keyed blake2b. Both are
+    # stable keyed hashes onto int64 — only stability matters (the hash
+    # seeds example-level rng) — but the values differ by construction.
+    r = _run_ref_pp2("strong_hash", {"tfds_id": "ex-0017"}, self.UVIM)
+    m = _run_my_pp2("strong_hash", {"tfds_id": "ex-0017"}, self.UVIM)
+    m2 = _run_my_pp2("strong_hash", {"tfds_id": "ex-0017"}, self.UVIM)
+    assert r["tfds_id"].dtype == np.int64
+    assert np.asarray(m["tfds_id"]).dtype == np.int64
+    assert m["tfds_id"] == m2["tfds_id"]  # stable
+    assert r["tfds_id"] != m["tfds_id"]  # pinned divergence
+
+  # --- NaFlex ---
+  NAFLEX = ("proj.image_text.ops_naflex",)
+
+  @pytest.mark.parametrize("hw", [(137, 201), (64, 64), (480, 640), (7, 5)])
+  @pytest.mark.parametrize("maxlen", [49, 256])
+  @pytest.mark.parametrize("divisible", [True, False])
+  def test_naflex_size_search(self, tf, hw, maxlen, divisible):
+    from big_vision.pp.proj.image_text import ops_naflex as ref_nf
+    from big_vision_tpu.pp.proj.image_text import ops_naflex as my_nf
+    _, ref_hw = ref_nf._get_image_size_for_seq(
+        tf.constant(hw, tf.int32), 16, maxlen,
+        divisible_by_patch=divisible)
+    _, my_hw = my_nf.get_image_size_for_seq(hw, 16, maxlen,
+                                            divisible_by_patch=divisible)
+    assert tuple(ref_hw.numpy()) == tuple(my_hw), (hw, maxlen, divisible)
+
+  def test_resize_to_sequence(self, tf, pimg):
+    spec = "resize_to_sequence(16, 49)"
+    r = _run_ref_pp2(spec, {"image": pimg}, self.NAFLEX)["image"]
+    m = _run_my_pp2(spec, {"image": pimg}, self.NAFLEX)["image"]
+    assert r.shape == m.shape and r.dtype == m.dtype == np.float32
+    np.testing.assert_allclose(r, m, atol=2e-3)
+
+  def test_central_crop_to_sequence(self, tf, pimg):
+    spec = "central_crop_to_sequence(16, 6)"
+    _pg2_compare(spec, {"image": pimg}, ["image"], self.NAFLEX)
+
+  def test_patchify(self, tf):
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    _pg2_compare("patchify(16)", {"image": img}, ["image"], self.NAFLEX)
+
+  def test_tuplify(self, tf):
+    data = {"a": np.arange(3, dtype=np.int32),
+            "b": np.float32(2.5)}
+    spec = 'tuplify(["a", "b"], "out")'
+    _pg2_compare(spec, data, ["out"], self.NAFLEX)
+
+  # --- PaliGemma video + widgetcap ---
+  PGV = ("proj.paligemma.video",)
+
+  def test_video_decode(self, tf):
+    import importlib
+    importlib.import_module("big_vision.pp.proj.paligemma.video")
+    from big_vision.pp import builder as ref_builder
+    rs = np.random.RandomState(4)
+    frames = [tf.io.encode_jpeg(
+        tf.constant(rs.randint(0, 256, (40, 56, 3)).astype(np.uint8)),
+        quality=92).numpy() for _ in range(3)]
+    spec = "video_decode(24)"
+    # Bypass the shared runner: the frame list must become ONE 1-D
+    # string tensor (tf.nest would treat the list as structure).
+    ref_fn = ref_builder.get_preprocess_fn(spec, log_data=False)
+    r = ref_fn({"episodic_images": tf.constant(frames)})["image"].numpy()
+    m = _run_my_pp2(spec, {"episodic_images": frames}, self.PGV)["image"]
+    assert r.shape == m.shape and r.dtype == m.dtype == np.float32
+    # TF's fast-IDCT jpeg decode differs by up to ~6 uint8 levels from
+    # the accurate decode (documented divergence); 6/127.5 ~ 0.047.
+    np.testing.assert_allclose(r, m, atol=0.06)
+
+  def test_video_replicate_and_stack(self, tf):
+    rs = np.random.RandomState(5)
+    vid = rs.rand(2, 4, 4, 3).astype(np.float32)
+    _pg2_compare("video_replicate_img(3, 5)", {"image": vid}, ["image"],
+                 self.PGV)
+    a, b = rs.rand(4, 4, 3).astype(np.float32), rs.rand(4, 4, 3).astype(
+        np.float32)
+    _pg2_compare('stack_images(["a", "b"], outkey="image")',
+                 {"a": a, "b": b}, ["image"], self.PGV)
+
+  def test_video_ensure_shape(self, tf):
+    vid = np.zeros((2, 4, 4, 3), np.float32)
+    _pg2_compare('video_ensure_shape("image", (None, 4, 4, 3))',
+                 {"image": vid}, ["image"], self.PGV)
+
+  @pytest.mark.parametrize("bbox", [
+      [0.24, 0.13, 0.77, 0.81], [0.0, 0.0, 1.0, 1.0], [0.5, 0.5, 0.5, 0.5],
+  ])
+  def test_draw_bbox(self, tf, pimg, bbox):
+    data = {"image": pimg, "bbox": np.asarray(bbox, np.float32)}
+    r = _run_ref_pp2("draw_bbox", data, ("proj.paligemma.widgetcap",))
+    m = _run_my_pp2("draw_bbox", data, ("proj.paligemma.widgetcap",))
+    np.testing.assert_array_equal(r["image"], np.asarray(m["image"]),
+                                  err_msg=str(bbox))
+
+
+# ---------------------------------------------------------------------------
 # autoaugment individual ops vs the reference TF implementations
 # (ref pp/autoaugment.py:132-283)
 # ---------------------------------------------------------------------------
