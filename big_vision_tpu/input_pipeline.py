@@ -293,6 +293,14 @@ def training(input_config, *, devices=None, seed=0, skip_examples=0):
   assert batch_size % jax.process_count() == 0, (batch_size,
                                                  jax.process_count())
   local_batch = batch_size // jax.process_count()
+  n_local_devs = (sum(d.process_index == jax.process_index()
+                      for d in devices) or len(devices))
+  if local_batch % n_local_devs:
+    raise ValueError(
+        f"input.batch_size={batch_size} gives a per-process batch of "
+        f"{local_batch}, not divisible by this process's {n_local_devs} "
+        f"devices — training batches cannot be padded; raise batch_size "
+        f"to a multiple of {n_local_devs * jax.process_count()}.")
   pfn = pp_builder.get_preprocess_fn(cfg.get("pp"))
   # Default pp threads: 4/core (decode releases the GIL; more is churn on
   # few-core hosts — measured 4 threads 657 vs 8 threads 566 img/s on a
@@ -462,6 +470,21 @@ def make_for_inference(data_cfg, pp, batch_size, *, devices=None,
   devices = devices if devices is not None else jax.devices()
   assert batch_size % jax.process_count() == 0
   local_batch = batch_size // jax.process_count()
+  # The local slice is split evenly over this process's devices at the
+  # host->HBM boundary (utils/mesh.py make_fsarray_from_local_slice), so a
+  # local batch smaller than / not divisible by the local device count can
+  # never be fed. Evals pad with _mask=0 examples anyway, so round UP: the
+  # jitted fn sees a slightly larger batch whose tail is masked padding.
+  n_local_devs = (sum(d.process_index == jax.process_index()
+                      for d in devices) or len(devices))
+  if local_batch % n_local_devs:
+    padded = -(-local_batch // n_local_devs) * n_local_devs
+    warnings.warn(
+        f"make_for_inference: batch_size={batch_size} gives local batch "
+        f"{local_batch}, not divisible by {n_local_devs} local devices; "
+        f"padding the eval batch to {padded} (masked via the _mask "
+        f"contract).")
+    local_batch = padded
   source = ds_core.get(**data_cfg)
   pfn = pp_builder.get_preprocess_fn(pp)
 

@@ -217,8 +217,8 @@ def test_vqa_transfer_trains_e2e_on_built_dataset(tmp_path):
   builders.build("vqa", raw, out_dir=data,
                  splits=["train", "validation"])
 
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
-         "BV_DATA_DIR": data}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO, "BV_DATA_DIR": data}
   r = subprocess.run(
       [sys.executable, "-m", "big_vision_tpu.trainers.proj.paligemma.train",
        "--config",

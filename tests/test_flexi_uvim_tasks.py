@@ -100,7 +100,8 @@ def test_flexi_resample_patchemb_pi_property():
     ("distill", "big_vision_tpu.trainers.proj.flexi.distill"),
 ])
 def test_flexi_trainers_e2e(tmp_path, mode, module):
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run(
       [sys.executable, "-m", module,
        "--config", f"big_vision_tpu/configs/proj/flexi/smoke.py:"

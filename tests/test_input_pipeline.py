@@ -81,6 +81,24 @@ def test_inference_padding_and_mask():
   assert np.all(masks[:26] == 1) and np.all(masks[26:] == 0)
 
 
+def test_inference_batch_smaller_than_device_count_pads():
+  # batch_size=3 < 8 local devices: the local batch must be rounded up to
+  # the device count (the _mask contract absorbs the extra padding) instead
+  # of crashing at the host->HBM split.
+  import pytest
+  with pytest.warns(UserWarning, match="padding the eval batch"):
+    make_iter, num_batches = ip.make_for_inference(
+        dict(name="synthetic", n=5, num_classes=10, h=24, w=24),
+        pp=EVAL_PP, batch_size=3)
+  masks = []
+  for batch in make_iter():
+    assert batch["image"].shape[0] % 8 == 0
+    masks.append(np.asarray(u.get_local_slice_from_fsarray(batch["_mask"])))
+  masks = np.concatenate(masks)
+  assert masks.sum() == 5
+  assert np.all(masks[:5] == 1) and np.all(masks[5:] == 0)
+
+
 def test_inference_is_repeatable():
   make_iter, _ = ip.make_for_inference(
       dict(name="synthetic", n=10, num_classes=10, h=24, w=24),

@@ -179,7 +179,8 @@ def test_sample_image_latents_and_text():
 
 @pytest.mark.slow
 def test_jetformer_train_e2e(tmp_path):
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run(
       [sys.executable, "-m", "big_vision_tpu.trainers.proj.jetformer.train",
        "--config", "big_vision_tpu/configs/proj/jetformer/smoke.py",

@@ -307,7 +307,8 @@ from big_vision_tpu import train
 train.main(config=config, workdir={str(tmp_path / "wd")!r})
 print("E2E_OK")
 """
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                      capture_output=True, text=True, timeout=1200)
   assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])

@@ -72,7 +72,8 @@ c.evals = dict(val=val, val_skip={{**val, "skip_first": True}})
 from big_vision_tpu import train
 train.main(config=c, workdir={wd!r})
 """
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                      capture_output=True, text=True, timeout=600)
   assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
@@ -112,7 +113,8 @@ def test_graft_entry_multichip_dryrun(tmp_path):
 
 @pytest.mark.slow
 def test_eval_only_tool(tmp_path):
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run(
       [sys.executable, "-m", "big_vision_tpu.tools.eval_only",
        "--config", "big_vision_tpu/configs/load_and_eval.py:name=smoke",
@@ -125,7 +127,8 @@ def test_eval_only_tool(tmp_path):
 
 @pytest.mark.slow
 def test_cappa_trainer_e2e(tmp_path):
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   r = subprocess.run(
       [sys.executable, "-m",
        "big_vision_tpu.trainers.proj.cappa.generative",
@@ -213,7 +216,8 @@ def test_resume_is_sample_exact(tmp_path):
 @pytest.mark.slow
 def test_paligemma_resume_is_sample_exact(tmp_path):
   """The PaliGemma trainer shares the sample-exact resume machinery."""
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": REPO}
   cfg = ("big_vision_tpu/configs/proj/paligemma/smoke.py:"
          "total_steps=6,batch_size=16,log=1,ckpt=3")
 

@@ -243,7 +243,8 @@ from big_vision_tpu.trainers.proj.paligemma import train
 train.main(config=c, workdir={str(tmp_path / "wd")!r})
 print("VIDEO_E2E_OK")
 """
-  env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+  env = {**os.environ, "JAX_PLATFORMS": "cpu", "XLA_FLAGS": "",
+         "PYTHONPATH": repo}
   r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
                      capture_output=True, text=True, timeout=1200)
   assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
