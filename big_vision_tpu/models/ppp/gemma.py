@@ -106,12 +106,37 @@ def trunc_norm_init(in_axis, out_axis, batch_axis=()):
       in_axis=in_axis, out_axis=out_axis, batch_axis=batch_axis)
 
 
+def _scale_shape(shape, contract):
+  """Weight shape -> per-output-channel scale shape (contracted axes -> 1)."""
+  contract = {a % len(shape) for a in contract}
+  return tuple(1 if i in contract else s for i, s in enumerate(shape))
+
+
+def _dequant(w_q, scale, dtype):
+  """int8 weight + per-channel scale -> compute-dtype weight.
+
+  Written as convert-then-multiply so XLA fuses it into the consuming
+  matmul's operand read: HBM traffic stays 1 byte/weight (the whole point
+  of weight-only quantization on a weight-read-bound decode step).
+  """
+  return w_q.astype(dtype) * scale.astype(dtype)
+
+
 class Einsum(nn.Module):
   shape: tuple
   w_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+  quant: bool = False
+  contract: tuple = ()  # axes of `shape` consumed by the einsum (for scales)
 
   @nn.compact
   def __call__(self, eqn, x):
+    if self.quant:
+      w_q = self.param("w", nn.initializers.zeros_init(), self.shape,
+                       jnp.int8)
+      scale = self.param("w_scale", nn.initializers.ones_init(),
+                         _scale_shape(self.shape, self.contract),
+                         jnp.float32)
+      return jnp.einsum(eqn, x, _dequant(w_q, scale, x.dtype))
     w = self.param("w", self.w_init, self.shape)
     return jnp.einsum(eqn, x, w)
 
@@ -130,19 +155,38 @@ class Embedder(nn.Module):
   """Tied input/output embedding."""
   vocab_size: int
   embed_dim: int
+  quant: bool = False
 
   def setup(self):
-    self.input_embedding_table = self.param(
-        "input_embedding",
-        nn.initializers.variance_scaling(
-            1.0, "fan_in", "normal", in_axis=1, out_axis=0),
-        (self.vocab_size, self.embed_dim))
+    if self.quant:
+      # Per-vocab-row int8: encode gathers+dequants rows (exact same values
+      # decode sees); decode matmuls the int8 table and applies the row
+      # scales in the epilogue, so the 2-byte/weight table read becomes 1.
+      self.input_embedding_table = self.param(
+          "input_embedding", nn.initializers.zeros_init(),
+          (self.vocab_size, self.embed_dim), jnp.int8)
+      self.input_embedding_scale = self.param(
+          "input_embedding_scale", nn.initializers.ones_init(),
+          (self.vocab_size, 1), jnp.float32)
+    else:
+      self.input_embedding_table = self.param(
+          "input_embedding",
+          nn.initializers.variance_scaling(
+              1.0, "fan_in", "normal", in_axis=1, out_axis=0),
+          (self.vocab_size, self.embed_dim))
 
   def encode(self, x):
-    x = self.input_embedding_table[(x,)]
+    if self.quant:
+      rows = self.input_embedding_table[(x,)]
+      x = rows.astype(jnp.float32) * self.input_embedding_scale[(x,)]
+    else:
+      x = self.input_embedding_table[(x,)]
     return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
   def decode(self, x):
+    if self.quant:
+      logits = jnp.dot(x, self.input_embedding_table.T.astype(x.dtype))
+      return logits * self.input_embedding_scale[:, 0].astype(x.dtype)
     return jnp.dot(x, self.input_embedding_table.T)
 
 
@@ -156,22 +200,27 @@ class Attention(nn.Module):
   attn_logits_softcap: Optional[float]
   cache_dtype: Optional[str] = None
   attn_impl: str = "xla"
+  quant: bool = False
 
   def setup(self):
     if self.num_kv_heads == self.num_heads:
       self.qkv_einsum = Einsum(
           shape=(3, self.num_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)))
+          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)),
+          quant=self.quant, contract=(-2,))
     else:
       self.q_einsum = Einsum(
           shape=(self.num_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(1,), out_axis=(0, 2)))
+          w_init=trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
+          quant=self.quant, contract=(-2,))
       self.kv_einsum = Einsum(
           shape=(2, self.num_kv_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)))
+          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)),
+          quant=self.quant, contract=(-2,))
     self.attn_vec_einsum = Einsum(
         shape=(self.num_heads, self.head_dim, self.features),
-        w_init=trunc_norm_init(in_axis=(0, 1), out_axis=(2,)))
+        w_init=trunc_norm_init(in_axis=(0, 1), out_axis=(2,)),
+        quant=self.quant, contract=(-3, -2))
 
   @nn.compact
   def __call__(self, x, positions, attn_mask, decode, deterministic=True,
@@ -241,18 +290,37 @@ class FeedForward(nn.Module):
   """Gated-GeLU MLP."""
   features: int
   hidden_dim: int
+  quant: bool = False
 
   @nn.compact
   def __call__(self, x):
-    w_gating = self.param(
-        "gating_einsum",
-        trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
-        (2, self.features, self.hidden_dim))
+    if self.quant:
+      w_gating = self.param(
+          "gating_einsum", nn.initializers.zeros_init(),
+          (2, self.features, self.hidden_dim), jnp.int8)
+      gating_scale = self.param(
+          "gating_einsum_scale", nn.initializers.ones_init(),
+          (2, 1, self.hidden_dim), jnp.float32)
+      w_gating = _dequant(w_gating, gating_scale, x.dtype)
+    else:
+      w_gating = self.param(
+          "gating_einsum",
+          trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
+          (2, self.features, self.hidden_dim))
     gate = nn.gelu(jnp.dot(x, w_gating[0]))
     acts = gate * jnp.dot(x, w_gating[1])
-    w_linear = self.param(
-        "linear", trunc_norm_init(in_axis=(0,), out_axis=(1,)),
-        (self.hidden_dim, self.features))
+    if self.quant:
+      w_linear = self.param(
+          "linear", nn.initializers.zeros_init(),
+          (self.hidden_dim, self.features), jnp.int8)
+      linear_scale = self.param(
+          "linear_scale", nn.initializers.ones_init(),
+          (1, self.features), jnp.float32)
+      w_linear = _dequant(w_linear, linear_scale, x.dtype)
+    else:
+      w_linear = self.param(
+          "linear", trunc_norm_init(in_axis=(0,), out_axis=(1,)),
+          (self.hidden_dim, self.features))
     return jnp.dot(acts, w_linear)
 
 
@@ -269,6 +337,7 @@ class Block(nn.Module):
   dropout_bdims: tuple = ()
   cache_dtype: Optional[str] = None
   attn_impl: str = "xla"
+  quant: bool = False
 
   def setup(self):
     self.pre_attention_norm = RMSNorm()
@@ -278,10 +347,10 @@ class Block(nn.Module):
         cache_dtype=self.cache_dtype,
         query_pre_attn_norm=self.query_pre_attn_norm,
         attn_logits_softcap=self.attn_logits_softcap,
-        attn_impl=self.attn_impl)
+        attn_impl=self.attn_impl, quant=self.quant)
     self.pre_ffw_norm = RMSNorm()
     self.mlp = FeedForward(features=self.embed_dim,
-                           hidden_dim=self.hidden_dim)
+                           hidden_dim=self.hidden_dim, quant=self.quant)
     if self.dropout:
       self.drop = nn.Dropout(self.dropout, self.dropout_bdims)
     else:
@@ -328,6 +397,10 @@ class Model(nn.Module):
   scan: bool = False
   remat_policy: str = "none"
   attn_impl: str = "xla"
+  # Weight-only int8 serving mode (beyond the reference): params carry int8
+  # weights + per-output-channel scales (see quantize_params). Decode is
+  # weight-read-bound, so halving weight bytes ~halves the AR step.
+  quant: bool = False
 
   @nn.compact
   def __call__(self, tokens, *, embedded_prefix=None, embed_only=False,
@@ -336,7 +409,7 @@ class Model(nn.Module):
     """Embed-only, logits-from-pre-logits, or full forward (see ref :460)."""
     out = {}
     embedder = Embedder(vocab_size=self.vocab_size, embed_dim=self.width,
-                        name="embedder")
+                        quant=self.quant, name="embedder")
 
     if pre_logits is not None:
       x = out["pre_logits"] = pre_logits
@@ -384,7 +457,8 @@ class Model(nn.Module):
         dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
         query_pre_attn_norm=self.query_pre_attn_norm,
         attn_logits_softcap=self.attn_logits_softcap,
-        post_norms=self.post_norms, attn_impl=self.attn_impl)
+        post_norms=self.post_norms, attn_impl=self.attn_impl,
+        quant=self.quant)
 
     layers = self.scope.push("layers")
     if self.scan:
@@ -413,6 +487,59 @@ class Model(nn.Module):
       x = jnp.tanh(x / self.final_logits_softcap) * self.final_logits_softcap
     out["logits"] = x
     return x, out
+
+
+# -------------------------------------------------------------------------
+# Weight-only int8 quantization (serving; beyond the reference).
+# -------------------------------------------------------------------------
+
+
+# (parent module, leaf) -> (einsum-contracted axes, scale leaf name).
+# Axes are NEGATIVE so the same rule covers the pyloop layout and the scan
+# layout (which stacks a leading depth axis on every block weight).
+_QUANT_LEAVES = {
+    ("qkv_einsum", "w"): ((-2,), "w_scale"),
+    ("q_einsum", "w"): ((-2,), "w_scale"),
+    ("kv_einsum", "w"): ((-2,), "w_scale"),
+    ("attn_vec_einsum", "w"): ((-3, -2), "w_scale"),
+    ("mlp", "gating_einsum"): ((-2,), "gating_einsum_scale"),
+    ("mlp", "linear"): ((-2,), "linear_scale"),
+    ("embedder", "input_embedding"): ((-1,), "input_embedding_scale"),
+}
+
+
+def quantize_params(params):
+  """float gemma params -> the int8 + per-channel-scale serving layout.
+
+  Symmetric absmax quantization per OUTPUT channel (scales broadcast over
+  the einsum-contracted axes only, so dequantization commutes with the
+  matmul). The result matches the param tree `Model(quant=True)` expects;
+  norms and any non-matmul leaves stay float. AR decoding is weight-read
+  bound (docs/perf_notes.md "Serving"), so 1-byte weights ~halve the step.
+
+  Typical serving flow::
+
+    params = gemma.load(init, "gemma2b.npz", model_cfg)
+    params = gemma.quantize_params(params)
+    model = gemma.Model(**get_config(variant), quant=True, scan=False)
+  """
+  flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+  out, n_quant = {}, 0
+  for path, w in flat.items():
+    rule = _QUANT_LEAVES.get((path[-2] if len(path) > 1 else "", path[-1]))
+    if rule is None:
+      out[path] = w
+      continue
+    contract, scale_name = rule
+    w = jnp.asarray(w, jnp.float32)
+    axes = tuple(a % w.ndim for a in contract)
+    absmax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-30) / 127.0
+    out[path] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out[path[:-1] + (scale_name,)] = scale
+    n_quant += 1
+  assert n_quant, "quantize_params: no quantizable gemma weights found"
+  return flax.traverse_util.unflatten_dict(out)
 
 
 # -------------------------------------------------------------------------

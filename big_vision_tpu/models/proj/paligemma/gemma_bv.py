@@ -31,6 +31,7 @@ def _get_config(model):
   if model.attn_logits_softcap is not None:
     config.attn_logits_softcap = model.attn_logits_softcap
   config.attn_impl = model.attn_impl
+  config.quant = model.quant
   return config
 
 
@@ -57,6 +58,7 @@ class Model(nn.Module):
   final_logits_softcap: Optional[float] = None
   attn_logits_softcap: Optional[float] = None
   attn_impl: str = "xla"
+  quant: bool = False
 
   def setup(self):
     # parent+name="" flattens the wrapper out of the params tree.

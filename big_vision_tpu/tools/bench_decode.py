@@ -65,6 +65,10 @@ def main(argv=None):
                  help="prompt tokens after the image prefix")
   p.add_argument("--decode_len", type=int, default=64)
   p.add_argument("--iters", type=int, default=5)
+  p.add_argument("--quant", choices=["int8"], default=None,
+                 help="weight-only quantization of the LLM (int8 weights "
+                      "+ per-channel scales). AR decode is weight-read "
+                      "bound, so 1-byte weights ~halve the step.")
   p.add_argument("--scan", action="store_true",
                  help="scan-over-layers LLM (training layout). Default is "
                       "unrolled: ~2.2x faster AR decode on TPU (XLA "
@@ -76,11 +80,12 @@ def main(argv=None):
   from big_vision_tpu.models.proj.paligemma import paligemma
   from big_vision_tpu.models.proj.paligemma import predict_fns
 
+  llm_cfg = dict(variant=args.variant, scan=args.scan,
+                 cache_dtype="bfloat16")
   model = paligemma.Model(
       img=dict(variant=args.img_variant, pool_type="none", scan=True,
                dtype_mm="bfloat16"),
-      llm=dict(variant=args.variant, scan=args.scan,
-               cache_dtype="bfloat16"),
+      llm=llm_cfg,
   )
 
   rng = jax.random.PRNGKey(0)
@@ -97,6 +102,15 @@ def main(argv=None):
                  jnp.zeros_like(text[:1]))["params"]))(rng)
   n_params = sum(x.size for x in jax.tree.leaves(params))
   _fetch(jax.tree.leaves(params)[0])
+  if args.quant == "int8":
+    from big_vision_tpu.models.ppp import gemma
+    params = dict(params, llm=jax.jit(gemma.quantize_params)(params["llm"]))
+    model = paligemma.Model(
+        img=dict(variant=args.img_variant, pool_type="none", scan=True,
+                 dtype_mm="bfloat16"),
+        llm=dict(llm_cfg, quant=True),
+    )
+    _fetch(jax.tree.leaves(params)[0])
   init_s = time.perf_counter() - t0
 
   fns = predict_fns.make_predict_fns(
@@ -157,6 +171,7 @@ def main(argv=None):
       "e2e_ms_per_batch": round(t_full * 1e3, 1),
       "llm_variant": args.variant,
       "llm_scan": args.scan,
+      "llm_quant": args.quant,
       "img_variant": args.img_variant,
       "res": args.res,
       "batch": args.batch,
