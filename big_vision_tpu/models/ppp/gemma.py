@@ -65,39 +65,83 @@ def _apply_rope(x, *, positions, max_wavelength=10_000):
   return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
 
+def _quant_kv(x):
+  """Symmetric int8 per-(batch, slot, head) quantization over head_dim."""
+  absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+  scale = jnp.maximum(absmax, 1e-30) / 127.0
+  q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+               -127, 127).astype(jnp.int8)
+  return q, scale
+
+
 def _update_kv_cache(module, k, v, cache_size, cache_dtype):
   """Ring-less KV cache: prefill pads to cache_size; extend writes slot idx.
 
   The write index is shared across examples (the right-alignment trick in
   gemma_bv.py makes that valid) which keeps the update a plain
   dynamic_update_slice - no per-example scatter.
+
+  cache_dtype="int8" stores K/V as int8 with per-(batch, slot, head) f32
+  scales (absmax over head_dim, the only axis the attention contractions
+  consume, so dequantization commutes with both the QK^T and the PV
+  matmul). The dequant multiply fuses into the attention einsum's operand
+  read, so long-context AR steps stream ~1 byte per cache element instead
+  of 2 — the cache is the dominant HBM read once
+  batch*T*layers*kv_heads*head_dim rivals the (possibly already int8)
+  weight bytes.
   """
   initialized = module.has_variable("cache", "idx")
   batch_size, update_len, num_heads, head_dim = k.shape
+  compute_dtype = k.dtype
   cache_dtype = cache_dtype or k.dtype
+  quant = cache_dtype == "int8"
 
   idx = module.variable("cache", "idx", jnp.zeros, (batch_size,), jnp.int32)
   kv_shape = (batch_size, cache_size, num_heads, head_dim)
+  store_dtype = jnp.int8 if quant else cache_dtype
   k_cache = module.variable("cache", "k_cache", jnp.zeros, kv_shape,
-                            cache_dtype)
+                            store_dtype)
   v_cache = module.variable("cache", "v_cache", jnp.zeros, kv_shape,
-                            cache_dtype)
+                            store_dtype)
+  if quant:
+    s_shape = (batch_size, cache_size, num_heads, 1)
+    k_scale = module.variable("cache", "k_scale", jnp.zeros, s_shape,
+                              jnp.float32)
+    v_scale = module.variable("cache", "v_scale", jnp.zeros, s_shape,
+                              jnp.float32)
+    (k, k_s), (v, v_s) = _quant_kv(k), _quant_kv(v)
 
   if initialized:
     assert update_len == 1, update_len
     indices = (0, idx.value[0], 0, 0)
     k_cache.value = jax.lax.dynamic_update_slice(
-        k_cache.value, k.astype(cache_dtype), indices)
+        k_cache.value, k.astype(store_dtype), indices)
     v_cache.value = jax.lax.dynamic_update_slice(
-        v_cache.value, v.astype(cache_dtype), indices)
+        v_cache.value, v.astype(store_dtype), indices)
+    if quant:
+      k_scale.value = jax.lax.dynamic_update_slice(
+          k_scale.value, k_s, indices)
+      v_scale.value = jax.lax.dynamic_update_slice(
+          v_scale.value, v_s, indices)
     idx.value = idx.value + 1
   else:
     pad = ((0, 0), (0, cache_size - update_len), (0, 0), (0, 0))
-    k_cache.value = jnp.pad(k.astype(cache_dtype), pad)
-    v_cache.value = jnp.pad(v.astype(cache_dtype), pad)
+    k_cache.value = jnp.pad(k.astype(store_dtype), pad)
+    v_cache.value = jnp.pad(v.astype(store_dtype), pad)
+    if quant:
+      k_scale.value = jnp.pad(k_s, pad)
+      v_scale.value = jnp.pad(v_s, pad)
     idx.value = idx.value + update_len
 
-  return k_cache.value.astype(k.dtype), v_cache.value.astype(v.dtype)
+  if quant:
+    # Dequant fuses into the attention matmuls' operand reads (see above);
+    # padded slots carry scale 0 and stay exactly 0.
+    return (k_cache.value.astype(compute_dtype) *
+            k_scale.value.astype(compute_dtype),
+            v_cache.value.astype(compute_dtype) *
+            v_scale.value.astype(compute_dtype))
+  return (k_cache.value.astype(compute_dtype),
+          v_cache.value.astype(compute_dtype))
 
 
 def trunc_norm_init(in_axis, out_axis, batch_axis=()):

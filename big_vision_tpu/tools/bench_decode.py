@@ -69,6 +69,12 @@ def main(argv=None):
                  help="weight-only quantization of the LLM (int8 weights "
                       "+ per-channel scales). AR decode is weight-read "
                       "bound, so 1-byte weights ~halve the step.")
+  p.add_argument("--cache_dtype", default="bfloat16",
+                 choices=["bfloat16", "float32", "int8"],
+                 help="KV cache storage; int8 adds per-(slot, head) "
+                      "scales and halves cache HBM reads (matters once "
+                      "batch*T*layers*kv_heads*head_dim rivals weight "
+                      "bytes).")
   p.add_argument("--scan", action="store_true",
                  help="scan-over-layers LLM (training layout). Default is "
                       "unrolled: ~2.2x faster AR decode on TPU (XLA "
@@ -81,7 +87,7 @@ def main(argv=None):
   from big_vision_tpu.models.proj.paligemma import predict_fns
 
   llm_cfg = dict(variant=args.variant, scan=args.scan,
-                 cache_dtype="bfloat16")
+                 cache_dtype=args.cache_dtype)
   model = paligemma.Model(
       img=dict(variant=args.img_variant, pool_type="none", scan=True,
                dtype_mm="bfloat16"),
@@ -172,6 +178,7 @@ def main(argv=None):
       "llm_variant": args.variant,
       "llm_scan": args.scan,
       "llm_quant": args.quant,
+      "cache_dtype": args.cache_dtype,
       "img_variant": args.img_variant,
       "res": args.res,
       "batch": args.batch,

@@ -5,6 +5,7 @@ declares, across both layer layouts, and the quantized model must track
 the float model closely (per-output-channel symmetric scales).
 """
 
+import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,6 +107,49 @@ def test_quantized_decode_runs_and_is_deterministic():
   b = np.asarray(fns["decode"]({"params": params}, batch, max_decode_len=5))
   assert a.shape == (2, 5)
   np.testing.assert_array_equal(a, b)
+
+
+def _decode_tokens(llm, params, n=6):
+  """Greedy PaliGemma decode with the given llm config; returns tokens."""
+  from big_vision_tpu.models.proj.paligemma import paligemma
+  from big_vision_tpu.models.proj.paligemma import predict_fns
+
+  img = dict(variant="mu/16", pool_type="none", posemb="sincos2d")
+  model = paligemma.Model(img=img, llm=llm)
+  image = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  text = jnp.ones((2, 6), jnp.int32)
+  if params is None:
+    params = model.init(jax.random.PRNGKey(0), image, text,
+                        jnp.zeros_like(text))["params"]
+  fns = predict_fns.make_predict_fns(model, max_decode_len=n, eos_token=-1,
+                                     sampler="greedy")
+  batch = {"image": image, "text": text,
+           "mask_input": jnp.ones_like(text, bool),
+           "mask_ar": jnp.zeros_like(text)}
+  toks = fns["decode"]({"params": params}, batch, max_decode_len=n)
+  return np.asarray(toks), params
+
+
+def test_int8_kv_cache_tracks_float_cache():
+  llm_f = dict(variant="gemma_test", scan=True, cache_dtype="float32")
+  toks_f, params = _decode_tokens(llm_f, None)
+  toks_q, _ = _decode_tokens(dict(llm_f, cache_dtype="int8"), params)
+  # Per-(slot, head) int8 KV: greedy paths agree on this model.
+  assert (toks_f == toks_q).mean() >= 0.9, (toks_f, toks_q)
+
+
+def test_int8_kv_cache_tree_dtypes():
+  cfg = dict(gemma.get_config("gemma_test"), scan=True, cache_dtype="int8")
+  model = gemma.Model(**cfg)
+  tokens = jnp.asarray(TOKENS)
+  mask = jnp.ones((1, 1, tokens.shape[1], 16), bool)
+  pos = jnp.arange(tokens.shape[1])[None]
+  vars_ = model.init(jax.random.PRNGKey(0), tokens, positions=pos,
+                     mask=mask, decode=True)
+  flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(vars_["cache"]))
+  dtypes = {path[-1]: str(v.dtype) for path, v in flat.items()}
+  assert dtypes["k_cache"] == "int8" and dtypes["v_cache"] == "int8"
+  assert dtypes["k_scale"] == "float32" and dtypes["v_scale"] == "float32"
 
 
 def test_quantized_param_bytes_shrink():
