@@ -152,6 +152,33 @@ def test_int8_kv_cache_tree_dtypes():
   assert dtypes["k_scale"] == "float32" and dtypes["v_scale"] == "float32"
 
 
+def test_quantize_ckpt_cli_roundtrip(tmp_path):
+  """npz -> quantize_ckpt CLI (scan->unrolled) -> serving model loads it."""
+  from big_vision_tpu.tools import quantize_ckpt
+  from big_vision_tpu.utils import checkpoints
+
+  cfg = dict(gemma.get_config("gemma_test"), scan=True)
+  params = _rand_params(gemma.Model(**cfg))
+  src = str(tmp_path / "float.npz")
+  dst = str(tmp_path / "int8.npz")
+  checkpoints.npz_save({"llm": params}, src)
+
+  quantize_ckpt.main(["--ckpt", src, "--subtree", "llm", "--out", dst,
+                      "--layout", "unrolled"])
+
+  import big_vision_tpu.utils as u
+  loaded = u.load_params(dst)["llm"]
+  qinit = gemma.Model(**dict(cfg, scan=False), quant=True).init(
+      jax.random.PRNGKey(0), jnp.asarray(TOKENS))["params"]
+  got = jax.tree.map(lambda x: (x.shape, str(np.asarray(x).dtype)), loaded)
+  want = jax.tree.map(lambda x: (x.shape, str(x.dtype)), qinit)
+  assert got == want
+  # And the values are the same quantization the in-memory path produces.
+  ref = quantize_ckpt.quantize_tree(params, "unrolled")
+  jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+      np.asarray(a), np.asarray(b)), loaded, ref)
+
+
 def test_quantized_param_bytes_shrink():
   cfg = dict(gemma.get_config("gemma_test"), scan=True)
   params = _rand_params(gemma.Model(**cfg))
