@@ -179,6 +179,54 @@ def test_quantize_ckpt_cli_roundtrip(tmp_path):
       np.asarray(a), np.asarray(b)), loaded, ref)
 
 
+def test_int8_decode_under_tensor_parallel_sharding():
+  """Serving the quantized model TP-sharded (megatron FFW split + scales)
+  on a data x model mesh reproduces the replicated decode."""
+  import big_vision_tpu.utils as u
+  from big_vision_tpu import sharding
+
+  from big_vision_tpu.models.proj.paligemma import paligemma, predict_fns
+  llm = dict(variant="gemma_test", scan=False, cache_dtype="int8")
+  img = dict(variant="mu/16", pool_type="none", posemb="sincos2d")
+  image = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+  text = jnp.ones((8, 6), jnp.int32)
+  params = paligemma.Model(img=img, llm=llm).init(
+      jax.random.PRNGKey(0), image, text, jnp.zeros_like(text))["params"]
+  qparams = gemma.quantize_params(params["llm"])
+
+  mesh = u.create_device_mesh([("data", 4), ("model", 2)])
+  strategy = [
+      (".*gating_einsum(_scale)?$", "shard_dim('model', -1)"),
+      (".*/linear$", "shard_dim('model', 0)"),
+      (".*", "replicate"),
+  ]
+  llm_sh = sharding.infer_sharding(qparams, strategy, mesh)
+  img_sh = jax.tree.map(
+      lambda _: jax.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+      params["img"])
+  qp = {"img": jax.device_put(params["img"], img_sh),
+        "llm": jax.device_put(qparams, llm_sh)}
+
+  qmodel = paligemma.Model(img=img, llm=dict(llm, quant=True))
+  fns = predict_fns.make_predict_fns(qmodel, max_decode_len=4,
+                                     eos_token=-1, sampler="greedy")
+  data = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+  batch = jax.device_put(
+      {"image": image, "text": text,
+       "mask_input": jnp.ones_like(text, bool),
+       "mask_ar": jnp.zeros_like(text)}, data)
+  toks_tp = np.asarray(fns["decode"]({"params": qp}, batch,
+                                     max_decode_len=4))
+  repl = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+  qp_repl = jax.device_put({"img": params["img"], "llm": qparams}, repl)
+  toks_q = np.asarray(fns["decode"]({"params": qp_repl}, batch,
+                                    max_decode_len=4))
+  assert toks_tp.shape == (8, 4)
+  # TP reduction order can perturb logits at f32 epsilon; greedy paths
+  # must still agree nearly everywhere.
+  assert (toks_tp == toks_q).mean() >= 0.9, (toks_tp, toks_q)
+
+
 def test_quantized_param_bytes_shrink():
   cfg = dict(gemma.get_config("gemma_test"), scan=True)
   params = _rand_params(gemma.Model(**cfg))
