@@ -682,4 +682,14 @@ def load(init_params, init_file, model_cfg=None, dont_load=()):
     params = scan_to_pyloop(params) if target_pyloop \
         else pyloop_to_scan(params)
 
+  # Auto-quantize float checkpoints into a quant=True target (detected from
+  # init_params' int8 leaves), like the layout conversion above. Already-
+  # quantized checkpoints (tools/quantize_ckpt.py output) pass through.
+  def any_int8(tree):
+    return any(getattr(x, "dtype", None) == jnp.int8
+               for x in jax.tree.leaves(tree))
+  if init_params is not None and any_int8(init_params) \
+      and not any_int8(params):
+    params = jax.device_get(quantize_params(params))
+
   return common.merge_params(params, init_params, dont_load)

@@ -227,6 +227,24 @@ def test_int8_decode_under_tensor_parallel_sharding():
   assert (toks_tp == toks_q).mean() >= 0.9, (toks_tp, toks_q)
 
 
+def test_load_auto_quantizes_float_ckpt_into_quant_target(tmp_path):
+  """gemma.load detects a quant=True init tree (int8 leaves) and converts a
+  float checkpoint on the fly, like its scan<->pyloop auto-conversion."""
+  from big_vision_tpu.utils import checkpoints
+
+  cfg = dict(gemma.get_config("gemma_test"), scan=True)
+  params = _rand_params(gemma.Model(**cfg))
+  src = str(tmp_path / "float.npz")
+  checkpoints.npz_save(params, src)
+
+  qinit = gemma.Model(**dict(cfg, scan=False), quant=True).init(
+      jax.random.PRNGKey(0), jnp.asarray(TOKENS))["params"]
+  loaded = gemma.load(qinit, src, dict(cfg, scan=False))
+  want = gemma.quantize_params(gemma.scan_to_pyloop(params))
+  jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+      np.asarray(a), np.asarray(b)), loaded, want)
+
+
 def test_quantized_param_bytes_shrink():
   cfg = dict(gemma.get_config("gemma_test"), scan=True)
   params = _rand_params(gemma.Model(**cfg))
