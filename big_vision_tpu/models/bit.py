@@ -1,9 +1,10 @@
-"""BiT ResNet-V1 with GroupNorm + Weight Standardization.
+"""BiT ResNet-V1: post-activation bottlenecks with GroupNorm + WS.
 
-Parity target: reference big_vision/models/bit.py (depths 26/50/101/152/200,
-width multiplier, public checkpoint loader). Convs are XLA's bread and
-butter on the MXU; WS happens at param-read time so it fuses into the conv.
-Param names match the reference for checkpoint compat.
+Behavior parity with reference models/bit.py (stage tables for depths
+26/50/101/152/200, width multiplier, feature taps, zero-init final GN and
+head, legacy pre-linen checkpoint fixup). Built on the shared TPU-first
+primitives in models/convnets.py: convs go straight to lax conv in
+NHWC/HWIO, weight standardization fuses into the conv prologue.
 """
 
 from __future__ import annotations
@@ -17,46 +18,52 @@ import numpy as np
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import common
+from big_vision_tpu.models import convnets as cn
+
+# Bottleneck-block counts per named depth. 18/34 are absent on purpose:
+# they need the non-bottleneck block this family doesn't define.
+STAGE_PLAN = {
+    26: [2, 2, 2, 2],
+    50: [3, 4, 6, 3],
+    101: [3, 4, 23, 3],
+    152: [3, 8, 36, 3],
+    200: [3, 24, 36, 3],
+}
 
 
-def weight_standardize(w, axis, eps):
-  w = w - jnp.mean(w, axis=axis)
-  return w / (jnp.std(w, axis=axis) + eps)
-
-
-class StdConv(nn.Conv):
-  """Conv whose kernel is standardized on read (fuses into the conv op)."""
-
-  def param(self, name, *args, **kw):
-    p = super().param(name, *args, **kw)
-    if name == "kernel":
-      p = weight_standardize(p, axis=[0, 1, 2], eps=1e-5)
-    return p
+def get_block_desc(depth):
+  if isinstance(depth, list):
+    depth = tuple(depth)
+  return STAGE_PLAN.get(depth, depth)
 
 
 class ResidualUnit(nn.Module):
-  """Bottleneck block: 1x1 -> 3x3(stride) -> 1x1, GN between."""
+  """1x1 -> 3x3(stride) -> 1x1 bottleneck; GN after each conv, post-act."""
   nmid: Optional[int] = None
   strides: Sequence[int] = (1, 1)
 
   @nn.compact
   def __call__(self, x):
-    nmid = self.nmid or x.shape[-1] // 4
-    nout = nmid * 4
+    mid = self.nmid or x.shape[-1] // 4
+    wide = 4 * mid
+    stride = tuple(self.strides)
 
-    residual = x
-    if x.shape[-1] != nout or self.strides != (1, 1):
-      residual = StdConv(nout, (1, 1), self.strides, use_bias=False,
-                         name="conv_proj")(residual)
-      residual = nn.GroupNorm(name="gn_proj")(residual)
+    shortcut = x
+    if stride != (1, 1) or x.shape[-1] != wide:
+      shortcut = cn.conv_gn(x, wide, 1, stride, conv="conv_proj",
+                            gn="gn_proj")
 
-    y = StdConv(nmid, (1, 1), use_bias=False, name="conv1")(x)
-    y = nn.relu(nn.GroupNorm(name="gn1")(y))
-    y = StdConv(nmid, (3, 3), self.strides, use_bias=False, name="conv2")(y)
-    y = nn.relu(nn.GroupNorm(name="gn2")(y))
-    y = StdConv(nout, (1, 1), use_bias=False, name="conv3")(y)
-    y = nn.GroupNorm(name="gn3", scale_init=nn.initializers.zeros)(y)
-    return nn.relu(residual + y)
+    # The whole unit as a spec table: (conv, gn, feats, k, stride, zero-GN).
+    # The final GN is zero-init so a fresh unit starts as identity.
+    plan = [("conv1", "gn1", mid, 1, (1, 1), False),
+            ("conv2", "gn2", mid, 3, stride, False),
+            ("conv3", "gn3", wide, 1, (1, 1), True)]
+    y = x
+    for cname, gname, feats, k, s, last in plan:
+      y = cn.conv_gn(y, feats, k, s, conv=cname, gn=gname, zero_scale=last)
+      if not last:
+        y = nn.relu(y)
+    return nn.relu(shortcut + y)
 
 
 class ResNetStage(nn.Module):
@@ -66,9 +73,9 @@ class ResNetStage(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    x = ResidualUnit(self.nmid, strides=self.first_stride, name="unit1")(x)
-    for i in range(1, self.block_size):
-      x = ResidualUnit(self.nmid, name=f"unit{i + 1}")(x)
+    for i in range(self.block_size):
+      stride = self.first_stride if i == 0 else (1, 1)
+      x = ResidualUnit(self.nmid, strides=stride, name=f"unit{i + 1}")(x)
     return x
 
 
@@ -81,56 +88,45 @@ class Model(nn.Module):
   @nn.compact
   def __call__(self, image, *, train=False):
     del train
-    blocks = get_block_desc(self.depth)
-    width = int(64 * self.width)
-    out = {}
+    plan = get_block_desc(self.depth)
+    base = int(64 * self.width)
+    taps = {}
 
-    x = StdConv(width, (7, 7), (2, 2), use_bias=False,
-                name="conv_root")(image)
-    x = nn.relu(nn.GroupNorm(name="gn_root")(x))
-    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-    out["stem"] = x
+    x = cn.conv_gn(image, base, 7, (2, 2), conv="conv_root", gn="gn_root")
+    x = nn.max_pool(nn.relu(x), (3, 3), strides=(2, 2), padding="SAME")
+    taps["stem"] = x
 
-    x = ResNetStage(blocks[0], nmid=width, name="block1")(x)
-    out["stage1"] = x
-    for i, block_size in enumerate(blocks[1:], 1):
-      x = ResNetStage(block_size, nmid=width * 2 ** i,
-                      first_stride=(2, 2), name=f"block{i + 1}")(x)
-      out[f"stage{i + 1}"] = x
-    out["pre_logits_2d"] = x
-    x = out["pre_logits"] = jnp.mean(x, axis=(1, 2))
+    for i, nblocks in enumerate(plan):
+      x = ResNetStage(nblocks, nmid=base * 2 ** i,
+                      first_stride=(1, 1) if i == 0 else (2, 2),
+                      name=f"block{i + 1}")(x)
+      taps[f"stage{i + 1}"] = x
+
+    taps["pre_logits_2d"] = x
+    x = taps["pre_logits"] = jnp.mean(x, axis=(1, 2))
 
     if self.num_classes:
       head = nn.Dense(self.num_classes, name="head",
                       kernel_init=nn.initializers.zeros)
-      out["logits_2d"] = head(out["pre_logits_2d"])
-      x = out["logits"] = head(x)
-    return x, out
-
-
-def get_block_desc(depth):
-  """Stage sizes per named depth (bottleneck blocks only)."""
-  if isinstance(depth, list):
-    depth = tuple(depth)
-  return {26: [2, 2, 2, 2], 50: [3, 4, 6, 3], 101: [3, 4, 23, 3],
-          152: [3, 8, 36, 3], 200: [3, 24, 36, 3]}.get(depth, depth)
+      taps["logits_2d"] = head(taps["pre_logits_2d"])
+      x = taps["logits"] = head(x)
+    return x, taps
 
 
 def fix_old_checkpoints(params):
-  """Squeezes pre-linen GroupNorm param shapes."""
+  """Squeezes pre-linen GroupNorm param shapes down to (C,)."""
   import flax.training.checkpoints
   params = flax.core.unfreeze(
       flax.training.checkpoints.convert_pre_linen(params))
-  params = flax.traverse_util.unflatten_dict({
-      k: np.squeeze(v)
-      if (set(k) & {"gn_root", "gn_proj", "gn1", "gn2", "gn3"}) else v
-      for k, v in flax.traverse_util.flatten_dict(params).items()
-  })
-  return params
+  gn_names = {"gn_root", "gn_proj", "gn1", "gn2", "gn3"}
+  flat = flax.traverse_util.flatten_dict(params)
+  flat = {k: np.squeeze(v) if gn_names & set(k) else v
+          for k, v in flat.items()}
+  return flax.traverse_util.unflatten_dict(flat)
 
 
 def load(init_params, init_file, model_cfg, dont_load=()):
   del model_cfg
-  params = u.load_params(init_file)
-  params = common.merge_params(params, init_params, dont_load)
-  return fix_old_checkpoints(params)
+  restored = common.merge_params(u.load_params(init_file), init_params,
+                                 dont_load)
+  return fix_old_checkpoints(restored)

@@ -1,14 +1,15 @@
 """BiT ResNet-V2 (pre-activation) as in the Big Transfer paper.
 
-Parity target: reference models/bit_paper.py (custom GroupNorm whose
-variance is computed mean-of-squares style — matters for loading pre-trained
-weights; pre-act bottlenecks; public BiT-M/S checkpoint importer incl. the
-legacy TF layout).
+Behavior parity with reference models/bit_paper.py: mean-of-squares
+GroupNorm with (1,1,1,C) params (matches the TF BiT release numerics, which
+matters when loading the public BiT-M/S weights), pre-act bottlenecks with
+explicit paddings, per-unit feature taps, and the gs://bit_models importer
+including the legacy TF layout converter. Compute primitives come from
+models/convnets.py (msq flavors of WSConv / GroupNorm).
 """
 
 from __future__ import annotations
 
-import functools
 import re
 from typing import Optional, Sequence, Union
 
@@ -17,38 +18,12 @@ import jax.numpy as jnp
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import bit, common
+from big_vision_tpu.models import convnets as cn
 
-
-def standardize(x, axis, eps):
-  x = x - jnp.mean(x, axis=axis, keepdims=True)
-  return x / jnp.sqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True)
-                      + eps)
-
-
-class GroupNorm(nn.Module):
-  """GN with mean-of-squares variance (matches the BiT release)."""
-  ngroups: int = 32
-
-  @nn.compact
-  def __call__(self, x):
-    input_shape = x.shape
-    group_shape = x.shape[:-1] + (self.ngroups,
-                                  x.shape[-1] // self.ngroups)
-    x = x.reshape(group_shape)
-    x = standardize(x, axis=[1, 2, 4], eps=1e-5)
-    x = x.reshape(input_shape)
-    pshape = (1, 1, 1, input_shape[-1])
-    x = x * self.param("scale", nn.initializers.ones, pshape)
-    return x + self.param("bias", nn.initializers.zeros, pshape)
-
-
-class StdConv(nn.Conv):
-
-  def param(self, name, *a, **kw):
-    p = super().param(name, *a, **kw)
-    if name == "kernel":
-      p = standardize(p, axis=[0, 1, 2], eps=1e-10)
-    return p
+# The paper flavor: RMS-standardized convs (eps inside the sqrt) and
+# mean-of-squares GroupNorm with broadcastable (1,1,1,C) params.
+_CONV = dict(ws="rms", eps=1e-10, use_bias=False)
+_GN = dict(msq=True, eps=1e-5)
 
 
 class RootBlock(nn.Module):
@@ -56,34 +31,37 @@ class RootBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    x = StdConv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                use_bias=False, name="conv_root")(x)
+    x = cn.WSConv(self.width, 7, 2, padding=[(3, 3), (3, 3)], **_CONV,
+                  name="conv_root")(x)
     return nn.max_pool(x, (3, 3), strides=(2, 2),
                        padding=[(1, 1), (1, 1)])
 
 
 class ResidualUnit(nn.Module):
-  """Pre-activation bottleneck."""
+  """Pre-activation bottleneck: GN+relu precede each conv."""
   nmid: Optional[int] = None
   strides: Sequence[int] = (1, 1)
 
   @nn.compact
   def __call__(self, x):
-    nmid = self.nmid or x.shape[-1] // 4
-    nout = nmid * 4
-    conv = functools.partial(StdConv, use_bias=False)
+    mid = self.nmid or x.shape[-1] // 4
+    wide = 4 * mid
+    stride = tuple(self.strides)
 
-    residual = x
-    x = nn.relu(GroupNorm(name="gn1")(x))
-    if x.shape[-1] != nout or self.strides != (1, 1):
-      residual = conv(nout, (1, 1), self.strides, name="conv_proj")(x)
-    x = conv(nmid, (1, 1), name="conv1")(x)
-    x = nn.relu(GroupNorm(name="gn2")(x))
-    x = conv(nmid, (3, 3), self.strides, padding=[(1, 1), (1, 1)],
-             name="conv2")(x)
-    x = nn.relu(GroupNorm(name="gn3")(x))
-    x = conv(nout, (1, 1), name="conv3")(x)
-    return x + residual
+    shortcut = x
+    y = nn.relu(cn.GroupNorm(**_GN, name="gn1")(x))
+    # Projection sees the *normalized* input — a pre-act detail that
+    # differs from the V1 flavor in models/bit.py.
+    if stride != (1, 1) or x.shape[-1] != wide:
+      shortcut = cn.WSConv(wide, 1, stride, **_CONV, name="conv_proj")(y)
+
+    y = cn.WSConv(mid, 1, **_CONV, name="conv1")(y)
+    y = nn.relu(cn.GroupNorm(**_GN, name="gn2")(y))
+    y = cn.WSConv(mid, 3, stride, padding=[(1, 1), (1, 1)], **_CONV,
+                  name="conv2")(y)
+    y = nn.relu(cn.GroupNorm(**_GN, name="gn3")(y))
+    y = cn.WSConv(wide, 1, **_CONV, name="conv3")(y)
+    return y + shortcut
 
 
 class ResNetStage(nn.Module):
@@ -93,13 +71,13 @@ class ResNetStage(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    out = {}
-    x = out["unit01"] = ResidualUnit(self.nmid, strides=self.first_stride,
-                                     name="unit01")(x)
-    for i in range(1, self.block_size):
-      x = out[f"unit{i + 1:02d}"] = ResidualUnit(
-          self.nmid, name=f"unit{i + 1:02d}")(x)
-    return x, out
+    taps = {}
+    for i in range(self.block_size):
+      stride = self.first_stride if i == 0 else (1, 1)
+      name = f"unit{i + 1:02d}"
+      x = taps[name] = ResidualUnit(self.nmid, strides=stride,
+                                    name=name)(x)
+    return x, taps
 
 
 class Model(nn.Module):
@@ -112,28 +90,27 @@ class Model(nn.Module):
   @nn.compact
   def __call__(self, image, *, train=False):
     del train
-    blocks = bit.get_block_desc(self.depth)
-    width = int(64 * self.width)
-    out = {}
+    plan = bit.get_block_desc(self.depth)
+    base = int(64 * self.width)
+    taps = {}
 
-    x = out["stem"] = RootBlock(width=width, name="root_block")(image)
-    x, out["stage1"] = ResNetStage(blocks[0], nmid=width, name="block1")(x)
-    for i, block_size in enumerate(blocks[1:], 1):
-      x, out[f"stage{i + 1}"] = ResNetStage(
-          block_size, width * 2 ** i, first_stride=(2, 2),
+    x = taps["stem"] = RootBlock(width=base, name="root_block")(image)
+    for i, nblocks in enumerate(plan):
+      x, taps[f"stage{i + 1}"] = ResNetStage(
+          nblocks, base * 2 ** i,
+          first_stride=(1, 1) if i == 0 else (2, 2),
           name=f"block{i + 1}")(x)
 
-    x = out["norm_pre_head"] = GroupNorm(name="norm-pre-head")(x)
-    x = out["pre_logits_2d"] = nn.relu(x)
-    x = out["pre_logits"] = jnp.mean(x, axis=(1, 2))
+    x = taps["norm_pre_head"] = cn.GroupNorm(**_GN, name="norm-pre-head")(x)
+    x = taps["pre_logits_2d"] = nn.relu(x)
+    x = taps["pre_logits"] = jnp.mean(x, axis=(1, 2))
 
     if self.num_classes:
-      kw = ({"kernel_init": nn.initializers.zeros}
-            if self.head_zeroinit else {})
+      kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
       head = nn.Dense(self.num_classes, name="head", **kw)
-      out["logits_2d"] = head(out["pre_logits_2d"])
-      x = out["logits"] = head(out["pre_logits"])
-    return x, out
+      taps["logits_2d"] = head(taps["pre_logits_2d"])
+      x = taps["logits"] = head(x)
+    return x, taps
 
 
 def load(init_params, init_file, model_cfg, dont_load=()):
@@ -143,65 +120,56 @@ def load(init_params, init_file, model_cfg, dont_load=()):
       "FunMatch-160px-i1k80.5": "gs://bit_models/distill/R50x1_160.npz",
   }
   if init_file and init_file[0] in ("L", "M", "S"):
-    if "-" in init_file:
-      up, down = init_file[0], init_file[1:]
-    else:
-      up, down = init_file, ""
-    down = {"-imagenet2012": "-ILSVRC2012"}.get(down, down)
-    model_cfg = dict(model_cfg)
-    fname = (f"BiT-{up}-R{model_cfg['depth']}x{model_cfg['width']}"
-             f"{down}.npz")
-    fname = f"gs://bit_models/{fname}"
+    upstream, downstream = ((init_file.split("-", 1) + [""])[:2]
+                            if "-" in init_file else (init_file, ""))
+    if downstream:
+      downstream = "-" + {"imagenet2012": "ILSVRC2012"}.get(downstream,
+                                                            downstream)
+    cfg = dict(model_cfg)
+    fname = (f"gs://bit_models/BiT-{upstream}-"
+             f"R{cfg['depth']}x{cfg['width']}{downstream}.npz")
   else:
     fname = vanity.get(init_file, init_file)
 
-  params = u.load_params(fname)
-  params = maybe_convert_big_transfer_format(params)
+  params = maybe_convert_big_transfer_format(u.load_params(fname))
   return common.merge_params(params, init_params, dont_load)
 
 
 def maybe_convert_big_transfer_format(params_tf):
-  """Converts the original TF BiT release layout to ours."""
+  """Converts the original TF BiT release layout to this module's tree."""
   if "resnet" not in params_tf:
     return params_tf
 
-  params_tf = dict(u.tree_flatten_with_names(params_tf)[0])
-  for k in list(params_tf):
-    k2 = re.sub(r"/standardized_conv2d_\d+/", "/standardized_conv2d/", k)
-    if k2 != k:
-      params_tf[k2] = params_tf.pop(k)
+  flat = dict(u.tree_flatten_with_names(params_tf)[0])
+  # The TF export numbers repeated conv layers; collapse the suffix.
+  flat = {re.sub(r"/standardized_conv2d_\d+/", "/standardized_conv2d/", k): v
+          for k, v in flat.items()}
+
+  def gn_of(prefix):
+    return {"bias": flat[f"{prefix}/beta"][None, None, None],
+            "scale": flat[f"{prefix}/gamma"][None, None, None]}
 
   params = {
-      "root_block": {"conv_root": {"kernel": params_tf[
-          "resnet/root_block/standardized_conv2d/kernel"]}},
-      "norm-pre-head": {
-          "bias": params_tf["resnet/group_norm/beta"][None, None, None],
-          "scale": params_tf["resnet/group_norm/gamma"][None, None, None],
-      },
-      "head": {
-          "kernel": params_tf["resnet/head/conv2d/kernel"][0, 0],
-          "bias": params_tf["resnet/head/conv2d/bias"],
-      },
+      "root_block": {"conv_root": {
+          "kernel": flat["resnet/root_block/standardized_conv2d/kernel"]}},
+      "norm-pre-head": gn_of("resnet/group_norm"),
+      "head": {"kernel": flat["resnet/head/conv2d/kernel"][0, 0],
+               "bias": flat["resnet/head/conv2d/bias"]},
   }
   for block in ("block1", "block2", "block3", "block4"):
+    units = {m.group(0) for k in flat if block in k
+             for m in [re.search(r"unit\d+", k)] if m}
     params[block] = {}
-    units = {re.findall(r"unit\d+", p)[0] for p in params_tf
-             if block in p}
-    for unit in units:
-      params[block][unit] = {}
-      for i, group in enumerate("abc", 1):
-        params[block][unit][f"conv{i}"] = {"kernel": params_tf[
-            f"resnet/{block}/{unit}/{group}/standardized_conv2d/kernel"]}
-        params[block][unit][f"gn{i}"] = {
-            "bias": params_tf[
-                f"resnet/{block}/{unit}/{group}/group_norm/beta"][
-                    None, None, None],
-            "scale": params_tf[
-                f"resnet/{block}/{unit}/{group}/group_norm/gamma"][
-                    None, None, None],
-        }
-      projs = [p for p in params_tf if f"{block}/{unit}/a/proj" in p]
-      assert len(projs) <= 1
+    for unit in sorted(units):
+      tf_base = f"resnet/{block}/{unit}"
+      tree = {}
+      for i, branch in enumerate("abc", 1):
+        tree[f"conv{i}"] = {"kernel": flat[
+            f"{tf_base}/{branch}/standardized_conv2d/kernel"]}
+        tree[f"gn{i}"] = gn_of(f"{tf_base}/{branch}/group_norm")
+      projs = [k for k in flat if f"{block}/{unit}/a/proj" in k]
+      assert len(projs) <= 1, projs
       if projs:
-        params[block][unit]["conv_proj"] = {"kernel": params_tf[projs[0]]}
+        tree["conv_proj"] = {"kernel": flat[projs[0]]}
+      params[block][unit] = tree
   return params
