@@ -1,84 +1,67 @@
 """ChartQA evaluator: exact match + relaxed (5% numeric tolerance) match.
 
-Parity target: reference evaluators/proj/paligemma/transfers/chartqa.py.
-Relaxed correctness per arXiv:2203.10244 §5.1: numeric answers within 5%
-relative error count as correct; non-numeric answers need exact match.
+Behavior parity: reference evaluators/proj/paligemma/transfers/chartqa.py.
+Relaxed correctness per arXiv:2203.10244 §5.1: a numeric answer counts as
+correct within 5% relative error of the numeric GT; everything else (and a
+GT of exactly 0) requires exact string match.
 """
 
 from __future__ import annotations
 
 import big_vision_tpu.evaluators.common as c
-import big_vision_tpu.pp.tokenizer
-import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators.proj.paligemma.transfers import driver
 
 API = "jit"
 
-
-class Evaluator:
-  """Exact + relaxed accuracy against a single GT answer."""
-
-  def __init__(self, predict_fn, tokenizer, to_lower=False,
-               outfile="{workdir}/{split}.json",
-               out_question_key="question_id", out_answer_key="answer",
-               *, data, devices, **kw):
-    self.get_data_iter, self.steps = c.eval_input_pipeline(
-        keep_on_cpu={"answer", "question_id"}, data=data, devices=devices,
-        **kw)
-    self.outfile = c.resolve_outfile(outfile, split=data.get("split"))
-    self.out_question_key = out_question_key
-    self.out_answer_key = out_answer_key
-    self.tok = big_vision_tpu.pp.tokenizer.get_tokenizer(tokenizer)
-    self.postproc = (lambda s: s.lower()) if to_lower else (lambda s: s)
-    self.decode = predict_fn
-
-  def run(self, train_state):
-    accuracies, relaxed_accuracies, json_out = [], [], []
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      tokens = u.get_local_slice_from_fsarray(
-          self.decode(train_state, batch))
-      ex_masks = u.get_local_slice_from_fsarray(batch["_mask"])
-
-      for i in range(len(tokens)):
-        if ex_masks[i] == 0:
-          continue
-        answer = self.postproc(self.tok.to_str(tokens[i],
-                                               stop_at_eos=True))
-        gt = batch["answer"][i]
-        gt = self.postproc(gt.decode() if isinstance(gt, bytes) else str(gt))
-        accuracies.append(float(answer == gt))
-        relaxed_accuracies.append(_relaxed_match(gt, answer))
-        json_out.append({
-            self.out_question_key: _item(batch["question_id"][i]),
-            self.out_answer_key: answer, "gt": gt,
-            "relaxed_match": relaxed_accuracies[-1]})
-
-    sum_accs, sum_relaxed, num = c.process_sum(
-        [sum(accuracies), sum(relaxed_accuracies), len(accuracies)])
-    if num:
-      yield "acc", sum_accs / num
-      yield "relaxed_acc", sum_relaxed / num
-    yield "num", num
-    c.multiprocess_write_json(self.outfile, json_out)
+RELATIVE_TOLERANCE = 0.05
 
 
-def _item(x):
-  return x.item() if hasattr(x, "item") else x
-
-
-def _to_float(text):
+def _as_number(text):
+  """Parses a float, handling trailing '%'; None if not numeric."""
   try:
-    if text.endswith("%"):
-      return float(text.rstrip("%")) / 100.0
-    return float(text)
+    return (float(text[:-1]) / 100.0 if text.endswith("%")
+            else float(text))
   except ValueError:
     return None
 
 
-def _relaxed_match(target, prediction, max_relative_error=0.05):
+def relaxed_match(target, prediction, tol=RELATIVE_TOLERANCE):
   """5% relative tolerance for numbers; exact match otherwise (or gt==0)."""
-  prediction_float = _to_float(prediction)
-  target_float = _to_float(target)
-  if prediction_float is not None and target_float:
-    rel = abs(prediction_float - target_float) / abs(target_float)
-    return rel <= max_relative_error
+  pred_num, gt_num = _as_number(prediction), _as_number(target)
+  if pred_num is not None and gt_num:  # gt of 0 falls through to exact.
+    return abs(pred_num - gt_num) / abs(gt_num) <= tol
   return prediction == target
+
+
+class Evaluator(driver.DecodeScorer):
+  """Exact + relaxed accuracy against a single GT answer."""
+
+  CPU_KEYS = frozenset({"answer", "question_id"})
+
+  def __init__(self, *args, out_question_key="question_id",
+               out_answer_key="answer", **kw):
+    super().__init__(*args, **kw)
+    self.out_question_key = out_question_key
+    self.out_answer_key = out_answer_key
+
+  def run(self, train_state):
+    exact = relaxed = 0.0
+    count = 0
+    records = []
+
+    for answer, ex in self.examples(train_state):
+      gt = self.norm(ex.text("answer"))
+      hit = relaxed_match(gt, answer)
+      exact += float(answer == gt)
+      relaxed += hit
+      count += 1
+      records.append({self.out_question_key: ex.id(),
+                      self.out_answer_key: answer,
+                      "gt": gt, "relaxed_match": hit})
+
+    exact, relaxed, count = c.process_sum([exact, relaxed, count])
+    if count:
+      yield "acc", exact / count
+      yield "relaxed_acc", relaxed / count
+    yield "num", count
+    self.write_json(records)

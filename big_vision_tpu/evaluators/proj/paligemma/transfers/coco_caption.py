@@ -1,11 +1,11 @@
-"""COCO captioning evaluator: CIDEr-D (default), BLEU-4, ROUGE-L.
+"""COCO captioning evaluator: CIDEr-D (default), BLEU-4, ROUGE-L, METEOR.
 
-Parity target: reference evaluators/proj/paligemma/transfers/coco_caption.py
-(which calls pycocoevalcap). This image has no pycocoevalcap/java, so the
-scorers are the numpy/python implementations in textmetrics.py with a
+Behavior parity: reference evaluators/proj/paligemma/transfers/coco_caption.py
+(which shells out to pycocoevalcap). This image has no pycocoevalcap/java,
+so scoring uses the numpy/python implementations in textmetrics.py with a
 PTB-lite tokenizer, including a native METEOR (exact+stem modules; see
-textmetrics.meteor). "spice" stays gated (needs the java scene-graph
-parser).
+textmetrics.meteor). "spice" stays gated: it needs the java scene-graph
+parser, the same external dependency the reference requires.
 
 Batches must carry "image/id" and (multi-reference) "captions".
 """
@@ -17,88 +17,67 @@ import collections
 import jax
 
 import big_vision_tpu.evaluators.common as c
-import big_vision_tpu.pp.tokenizer
-import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators.proj.paligemma.transfers import driver
 from big_vision_tpu.evaluators.proj.paligemma.transfers import textmetrics
 
 API = "jit"
 
+SCORERS = {
+    "cider": "cider_d",
+    "bleu-4": "bleu4",
+    "rouge": "rouge_l",
+    "meteor": "meteor",
+}
 
-class Evaluator:
+
+class Evaluator(driver.DecodeScorer):
   """Caption-generation metrics over decoded tokens."""
+
+  CPU_KEYS = frozenset({"image/id", "captions"})
 
   def __init__(self, predict_fn, tokenizer=None, metrics=("cider",),
                preds_outfile="{workdir}/{name}_{split}_preds.json",
                annot_outfile="{workdir}/{name}_{split}_annotations.json",
-               *, data, devices, **kw):
-    self.get_data_iter, self.steps = c.eval_input_pipeline(
-        keep_on_cpu={"image/id", "captions"}, data=data, devices=devices,
-        **kw)
-    self.preds_outfile = c.resolve_outfile(
-        preds_outfile, name=data.get("name"), split=data.get("split"))
-    self.annot_outfile = c.resolve_outfile(
-        annot_outfile, name=data.get("name"), split=data.get("split"))
+               *, data, **kw):
+    super().__init__(predict_fn, tokenizer, data=data, **kw)
+    names = dict(name=data.get("name"), split=data.get("split"))
+    self.preds_outfile = c.resolve_outfile(preds_outfile, **names)
+    self.annot_outfile = c.resolve_outfile(annot_outfile, **names)
     self.metrics = metrics
-    self.tok = big_vision_tpu.pp.tokenizer.get_tokenizer(tokenizer)
-    self.decode = predict_fn
 
   def run(self, train_state):
-    gts, res = [], []
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      tokens = u.get_local_slice_from_fsarray(
-          self.decode(train_state, batch))
-      ex_masks = u.get_local_slice_from_fsarray(batch["_mask"])
-
-      for i in range(len(tokens)):
-        if ex_masks[i] == 0:
-          continue
-        image_id = _item(batch["image/id"][i])
-        res.append({"image_id": image_id,
-                    "caption": self.tok.to_str(tokens[i],
-                                               stop_at_eos=True)})
-        for caption in batch["captions"][i]:
-          if isinstance(caption, bytes):
-            caption = caption.decode()
-          gts.append({"image_id": image_id, "caption": str(caption)})
+    predictions, references = [], []
+    for caption, ex in self.examples(train_state):
+      image_id = ex.id("image/id")
+      predictions.append({"image_id": image_id, "caption": caption})
+      references.extend({"image_id": image_id, "caption": ref}
+                        for ref in ex.texts("captions"))
 
     # COCO results format: https://cocodataset.org/#format-results
-    res = c.multiprocess_write_json(self.preds_outfile, res)
-    gts = c.multiprocess_write_json(self.annot_outfile, gts)
+    predictions = c.multiprocess_write_json(self.preds_outfile, predictions)
+    references = c.multiprocess_write_json(self.annot_outfile, references)
 
-    if jax.process_index():  # Host 0 scores.
-      return
-    for key, score in self.evaluate(gts, res).items():
-      yield key, score
+    if jax.process_index() == 0:  # Host 0 scores.
+      yield from self.evaluate(references, predictions).items()
 
   def evaluate(self, gt_annotations, res_annotations):
-    """Tokenizes and scores with the requested metrics."""
-    scorers = {
-        "cider": textmetrics.cider_d,
-        "bleu-4": textmetrics.bleu4,
-        "rouge": textmetrics.rouge_l,
-        "meteor": textmetrics.meteor,
-    }
-    # Remap image ids to dense ints; tokenize once.
-    iid_map = collections.defaultdict(lambda: len(iid_map))
-    res = {iid_map[x["image_id"]]:
-           [textmetrics.ptb_lite_tokenize(x["caption"])]
-           for x in res_annotations}
+    """Tokenizes once, then scores with the requested metrics."""
+    # Remap image ids to dense ints.
+    dense = collections.defaultdict(lambda: len(dense))
+    res = {dense[p["image_id"]]: [textmetrics.ptb_lite_tokenize(p["caption"])]
+           for p in res_annotations}
     gts = collections.defaultdict(list)
-    for x in gt_annotations:
-      gts[iid_map[x["image_id"]]].append(
-          textmetrics.ptb_lite_tokenize(x["caption"]))
-    assert sorted(gts.keys()) == sorted(res.keys())
+    for a in gt_annotations:
+      gts[dense[a["image_id"]]].append(
+          textmetrics.ptb_lite_tokenize(a["caption"]))
+    assert sorted(gts) == sorted(res), "every prediction needs references"
 
     scores = {}
     for metric in self.metrics:
-      if metric == "spice":
+      if metric not in SCORERS:
         raise NotImplementedError(
-            "spice needs the java scene-graph parser (pycocoevalcap), "
-            "not available in this image; use cider/bleu-4/rouge/meteor.")
-      scores[metric] = scorers[metric](gts, res)
+            f"{metric!r}: available metrics are {sorted(SCORERS)}; 'spice' "
+            "needs the java scene-graph parser (pycocoevalcap), not "
+            "available in this image.")
+      scores[metric] = getattr(textmetrics, SCORERS[metric])(gts, res)
     return scores
-
-
-def _item(x):
-  x = x.item() if hasattr(x, "item") else x
-  return x.decode() if isinstance(x, bytes) else x

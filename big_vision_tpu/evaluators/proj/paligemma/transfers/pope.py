@@ -1,61 +1,44 @@
 """POPE (object-hallucination probing) evaluator: yes/no accuracy.
 
-Parity target: reference evaluators/proj/paligemma/transfers/pope.py.
-Also reports the fraction of decoded answers that are a valid "yes"/"no".
+Behavior parity: reference evaluators/proj/paligemma/transfers/pope.py.
+Answers are lowercased before comparison; the fraction of decoded answers
+that are a literal "yes"/"no" is reported as valid_percent.
 """
 
 from __future__ import annotations
 
 import big_vision_tpu.evaluators.common as c
-import big_vision_tpu.pp.tokenizer
-import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators.proj.paligemma.transfers import driver
 
 API = "jit"
 
 
-class Evaluator:
+class Evaluator(driver.DecodeScorer):
   """Yes/no accuracy + validity rate."""
 
-  def __init__(self, predict_fn, tokenizer,
-               outfile="{workdir}/{split}.json",
-               out_question_key="question_id", out_answer_key="answer",
-               *, data, devices, **kw):
-    self.get_data_iter, self.steps = c.eval_input_pipeline(
-        keep_on_cpu={"answer", "question_id"}, data=data, devices=devices,
-        **kw)
-    self.outfile = c.resolve_outfile(outfile, split=data.get("split"))
+  CPU_KEYS = frozenset({"answer", "question_id"})
+
+  def __init__(self, *args, out_question_key="question_id",
+               out_answer_key="answer", **kw):
+    super().__init__(*args, **kw)
     self.out_question_key = out_question_key
     self.out_answer_key = out_answer_key
-    self.tok = big_vision_tpu.pp.tokenizer.get_tokenizer(tokenizer)
-    self.decode = predict_fn
 
   def run(self, train_state):
-    accuracies, valid, json_out = [], [], []
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      tokens = u.get_local_slice_from_fsarray(
-          self.decode(train_state, batch))
-      ex_masks = u.get_local_slice_from_fsarray(batch["_mask"])
+    hits = wellformed = count = 0
+    records = []
 
-      for i in range(len(tokens)):
-        if ex_masks[i] == 0:
-          continue
-        answer = self.tok.to_str(tokens[i], stop_at_eos=True).lower()
-        gt = batch["answer"][i]
-        gt = gt.decode() if isinstance(gt, bytes) else str(gt)
-        accuracies.append(float(answer == gt))
-        valid.append(float(answer in ("yes", "no")))
-        json_out.append({
-            self.out_question_key: _item(batch["question_id"][i]),
-            self.out_answer_key: answer})
+    for answer, ex in self.examples(train_state):
+      answer = answer.lower()
+      hits += answer == ex.text("answer")
+      wellformed += answer in ("yes", "no")
+      count += 1
+      records.append({self.out_question_key: ex.id(),
+                      self.out_answer_key: answer})
 
-    sum_accs, sum_valid, num = c.process_sum(
-        [sum(accuracies), sum(valid), len(accuracies)])
-    if num:
-      yield "acc", sum_accs / num
-      yield "valid_percent", sum_valid / num
-    yield "num", num
-    c.multiprocess_write_json(self.outfile, json_out)
-
-
-def _item(x):
-  return x.item() if hasattr(x, "item") else x
+    hits, wellformed, count = c.process_sum([hits, wellformed, count])
+    if count:
+      yield "acc", hits / count
+      yield "valid_percent", wellformed / count
+    yield "num", count
+    self.write_json(records)

@@ -1,9 +1,9 @@
 """ScienceQA evaluator: multiple-choice accuracy via answer-letter parsing.
 
-Parity target: reference evaluators/proj/paligemma/transfers/science_qa.py.
+Behavior parity: reference evaluators/proj/paligemma/transfers/science_qa.py.
 The model is expected to generate "The answer is X."; the letter is parsed
-out (case-insensitive) and compared to the parsed GT; unparseable outputs
-count as failures.
+out (case-insensitive) and compared against the letter parsed from the GT;
+unparseable generations score zero and are reported via `parsefail`.
 """
 
 from __future__ import annotations
@@ -11,66 +11,53 @@ from __future__ import annotations
 import re
 
 import big_vision_tpu.evaluators.common as c
-import big_vision_tpu.pp.tokenizer
-import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators.proj.paligemma.transfers import driver
 
 API = "jit"
+
 FAILURE = "failed"
+_LETTER = re.compile(r"the answer is ([a-z])\.")
 
 
-class Evaluator:
+def parse_choice(text):
+  """'The answer is B.' -> 'b'; FAILURE when the pattern is absent."""
+  found = _LETTER.match(text.lower())
+  return found.group(1) if found else FAILURE
+
+
+class Evaluator(driver.DecodeScorer):
   """Parses 'the answer is X.' and scores exact letter match."""
 
-  def __init__(self, predict_fn, tokenizer,
-               outfile="{workdir}/{split}.json",
-               out_question_key="question_id", *, data, devices, **kw):
-    self.get_data_iter, self.steps = c.eval_input_pipeline(
-        keep_on_cpu={"answer", "question_id"}, data=data, devices=devices,
-        **kw)
-    self.outfile = c.resolve_outfile(outfile, split=data.get("split"))
-    self.out_question_key = out_question_key
-    self.tok = big_vision_tpu.pp.tokenizer.get_tokenizer(tokenizer)
-    self.decode = predict_fn
+  CPU_KEYS = frozenset({"answer", "question_id"})
 
+  def __init__(self, *args, out_question_key="question_id", **kw):
+    super().__init__(*args, **kw)
+    self.out_question_key = out_question_key
+
+  # Kept as a method: the reference exposes postproc on the evaluator.
   def postproc(self, raw_answer):
-    match = re.match(r"the answer is ([a-z])\.", raw_answer.lower())
-    return match.groups()[0] if match else FAILURE
+    return parse_choice(raw_answer)
 
   def run(self, train_state):
-    accuracies, fail_parse, json_out = [], [], []
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      tokens = u.get_local_slice_from_fsarray(
-          self.decode(train_state, batch))
-      ex_masks = u.get_local_slice_from_fsarray(batch["_mask"])
+    hits = fails = scored = 0
+    records = []
 
-      for i in range(len(tokens)):
-        if ex_masks[i] == 0:
-          continue
-        raw_answer = self.tok.to_str(tokens[i], stop_at_eos=True)
-        answer = self.postproc(raw_answer)
-        if "answer" in batch:
-          gt = batch["answer"][i]
-          gt = self.postproc(gt.decode() if isinstance(gt, bytes)
-                             else str(gt))
-          gts = [gt]
-          accuracies.append(float(answer == gt))
-          fail_parse.append(float(answer == FAILURE))
-        else:
-          gts = []
-        json_out.append({
-            self.out_question_key: _item(batch["question_id"][i]),
-            "raw_answer": raw_answer, "answer": answer,
-        } | ({"gts": gts} if gts else {}))
+    for raw, ex in self.examples(train_state):
+      choice = self.postproc(raw)
+      rec = {self.out_question_key: ex.id(),
+             "raw_answer": raw, "answer": choice}
+      if "answer" in ex:
+        gt = self.postproc(ex.text("answer"))
+        hits += choice == gt
+        fails += choice == FAILURE
+        scored += 1
+        rec["gts"] = [gt]
+      records.append(rec)
 
-    sum_accs, num_fail, num_accs, num = c.process_sum(
-        [sum(accuracies), sum(fail_parse), len(accuracies),
-         len(json_out)])
-    if num_accs > 0:
-      yield "acc", sum_accs / num_accs
-      yield "parsefail", num_fail / num_accs
-    yield "num", num
-    c.multiprocess_write_json(self.outfile, json_out)
-
-
-def _item(x):
-  return x.item() if hasattr(x, "item") else x
+    hits, fails, scored, total = c.process_sum(
+        [hits, fails, scored, len(records)])
+    if scored > 0:
+      yield "acc", hits / scored
+      yield "parsefail", fails / scored
+    yield "num", total
+    self.write_json(records)

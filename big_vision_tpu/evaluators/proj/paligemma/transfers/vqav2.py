@@ -1,11 +1,12 @@
 """VQAv2 evaluator: official leave-one-out VQA score, split by answer type.
 
-Parity target: reference evaluators/proj/paligemma/transfers/vqav2.py.
-The post-processing (punctuation, articles, contractions, number words)
-follows the official VQA evaluation code (https://visualqa.org/evaluation.html,
-github.com/GT-Vision-Lab/VQA) — the REPLACEMENTS/PUNCT/ARTICLES tables are
-that public standard's data, reproduced for metric parity (including the
-digit-comma quirk the official code has).
+Behavior parity: reference evaluators/proj/paligemma/transfers/vqav2.py.
+The answer normalization (punctuation, articles, contractions, number
+words) is the official VQA evaluation procedure
+(https://visualqa.org/evaluation.html, github.com/GT-Vision-Lab/VQA); the
+REPLACEMENTS/PUNCT/ARTICLES tables are that public standard's data,
+reproduced for metric parity — including the digit-comma quirk and the
+"skip normalization when all annotators agree" OCR workaround.
 """
 
 from __future__ import annotations
@@ -15,115 +16,92 @@ import re
 import numpy as np
 
 import big_vision_tpu.evaluators.common as c
-import big_vision_tpu.pp.tokenizer
-import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators.proj.paligemma.transfers import driver
 
 API = "jit"
 
+ANSWER_TYPES = ("yes/no", "number", "other")
 
-class Evaluator:
+
+def _clean(txt):
+  return txt.replace("\n", " ").replace("\t", " ").strip()
+
+
+# Kept under the reference's public name; some tools import it.
+stripspace_vqav2 = _clean
+
+
+def _loo_score(prediction, annotations):
+  """Official accuracy: mean over ten leave-one-annotator-out subsets.
+
+  Within each subset of 9 annotators the answer scores min(#agree/3, 1);
+  i.e. full credit as soon as three of the held-in annotators agree.
+  """
+  agree = prediction == np.asarray(annotations)
+  subsets = [np.delete(agree, leave_out) for leave_out in range(10)]
+  return float(np.mean([min(s.sum() / 3.0, 1.0) for s in subsets]))
+
+
+class Evaluator(driver.DecodeScorer):
   """Leave-one-out VQA accuracy over 10 annotator answers."""
 
-  def __init__(self, predict_fn, tokenizer,
-               outfile="{workdir}/{split}.json", *, data, devices, **kw):
-    self.get_data_iter, self.steps = c.eval_input_pipeline(
-        keep_on_cpu={"answers", "answer_type", "question_type",
-                     "question_id"},
-        data=data, devices=devices, **kw)
-    self.outfile = c.resolve_outfile(outfile, split=data.get("split"))
-    self.tok = big_vision_tpu.pp.tokenizer.get_tokenizer(tokenizer)
-    self.decode = predict_fn
+  CPU_KEYS = frozenset(
+      {"answers", "answer_type", "question_type", "question_id"})
 
   def run(self, train_state):
-    accuracies_by_type = {"yes/no": [], "number": [], "other": []}
-    json_out = []
+    score_sums = dict.fromkeys(ANSWER_TYPES, 0.0)
+    score_counts = dict.fromkeys(ANSWER_TYPES, 0)
+    records = []
 
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      tokens = u.get_local_slice_from_fsarray(
-          self.decode(train_state, batch))
-      ex_masks = u.get_local_slice_from_fsarray(batch["_mask"])
+    for answer, ex in self.examples(train_state):
+      rec = {"question_id": ex.id(), "answer": answer}
+      annotations = ex["answers"]
+      if len(annotations):
+        annotations = [_clean(driver.text_of(a)) for a in annotations]
+        answer = _clean(answer)
+        # The official code skips normalization when every annotator
+        # agrees (avoids mangling OCR answers: GT-Vision-Lab/VQA#14).
+        if len(set(annotations)) > 1:
+          answer = postprocess_vqav2_text(answer)
+          annotations = [postprocess_vqav2_text(a) for a in annotations]
+        score_sums[ex.text("answer_type")] += _loo_score(answer, annotations)
+        score_counts[ex.text("answer_type")] += 1
+        rec.update(answer_raw=rec["answer"], answer=answer, gts=annotations)
+      records.append(rec)
 
-      for i in range(len(tokens)):
-        if ex_masks[i] == 0:
-          continue
-        answer = self.tok.to_str(tokens[i], stop_at_eos=True)
-        rec = {"question_id": _item(batch["question_id"][i]),
-               "answer": answer}
+    score_sums = c.process_sum(score_sums)
+    score_counts = c.process_sum(score_counts)
+    total = c.process_sum(len(records))
 
-        if len(gt_answers := batch["answers"][i]):
-          gt_answers = [stripspace_vqav2(_to_str(a)) for a in gt_answers]
-          answer = stripspace_vqav2(answer)
-          # Only post-process when annotators disagree (official quirk).
-          if len(set(gt_answers)) > 1:
-            answer = postprocess_vqav2_text(answer)
-            gt_answers = [postprocess_vqav2_text(a) for a in gt_answers]
-
-          # Accuracy = mean over the ten leave-one-out annotator subsets;
-          # 100% as soon as 3 remaining annotators agree.
-          matches = answer == np.array(gt_answers)
-          acc = np.mean([
-              np.clip(np.sum(np.delete(matches, j)) / 3, 0, 1)
-              for j in range(10)])
-          accuracies_by_type[_to_str(batch["answer_type"][i])].append(acc)
-
-          rec["answer_raw"] = rec["answer"]
-          rec["answer"] = answer
-          rec["gts"] = gt_answers
-        json_out.append(rec)
-
-    sum_accs = c.process_sum(
-        {k: sum(v) for k, v in accuracies_by_type.items()})
-    num_accs = c.process_sum(
-        {k: len(v) for k, v in accuracies_by_type.items()})
-    num = c.process_sum(len(json_out))
-
-    if n := sum(num_accs.values()):
-      yield "acc", sum(sum_accs.values()) / n
-    if n := num_accs["yes/no"]:
-      yield "acc/yesno", sum_accs["yes/no"] / n
-      yield "num/yesno", n
-    if n := num_accs["number"]:
-      yield "acc/number", sum_accs["number"] / n
-      yield "num/number", n
-    if n := num_accs["other"]:
-      yield "acc/other", sum_accs["other"] / n
-      yield "num/other", n
-    yield "num", num
-    c.multiprocess_write_json(self.outfile, json_out)
-
-
-def _to_str(x):
-  return x.decode() if isinstance(x, bytes) else str(x)
-
-
-def _item(x):
-  return x.item() if hasattr(x, "item") else x
-
-
-def stripspace_vqav2(txt):
-  return txt.replace("\n", " ").replace("\t", " ").strip()
+    if n := sum(score_counts.values()):
+      yield "acc", sum(score_sums.values()) / n
+    for atype in ANSWER_TYPES:
+      if n := score_counts[atype]:
+        short = atype.replace("/", "")  # "yes/no" logs as "yesno"
+        yield f"acc/{short}", score_sums[atype] / n
+        yield f"num/{short}", n
+    yield "num", total
+    self.write_json(records)
 
 
 def postprocess_vqav2_text(txt):
   """Official VQA answer normalization (see module docstring)."""
-  has_digit_comma = re.search(r"(\d)(\,)(\d)", txt) is not None
+  guard_commas = re.search(r"(\d)(\,)(\d)", txt) is not None
 
   out = txt
   for p in PUNCT:
-    # The digit-comma condition reproduces the official code's behavior.
-    if has_digit_comma or f"{p} " in txt or f" {p}" in txt:
-      out = out.replace(p, "")
-    else:
-      out = out.replace(p, " ")
+    # Delete punctuation attached to a space (or any comma inside a
+    # number, per the official code's digit-comma condition); otherwise
+    # replace it with a space.
+    out = out.replace(p, "" if guard_commas or f"{p} " in txt
+                      or f" {p}" in txt else " ")
 
-  # Remove full-stops that are not part of a number.
+  # Strip full stops that are not decimal points.
   out = re.sub(r"(?!<=\d)(\.)(?!\d)", "", out, flags=re.UNICODE)
 
-  words = []
-  for word in out.lower().split():
-    if word not in ARTICLES:
-      words.append(REPLACEMENTS.get(word, word))
-  return " ".join(words)
+  kept = (REPLACEMENTS.get(w, w) for w in out.lower().split()
+          if w not in ARTICLES)
+  return " ".join(kept)
 
 
 # Public normalization tables from the official VQA evaluation code.

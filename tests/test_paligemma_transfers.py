@@ -56,12 +56,12 @@ def test_vqav2_postprocessing():
 
 
 def test_chartqa_relaxed_match():
-  assert chartqa._relaxed_match("100", "104")  # 4% off
-  assert not chartqa._relaxed_match("100", "106")  # 6% off
-  assert chartqa._relaxed_match("20%", "0.21")  # percent normalization
-  assert chartqa._relaxed_match("cat", "cat")
-  assert not chartqa._relaxed_match("cat", "dog")
-  assert not chartqa._relaxed_match("0", "0.01")  # gt 0 -> exact only
+  assert chartqa.relaxed_match("100", "104")  # 4% off
+  assert not chartqa.relaxed_match("100", "106")  # 6% off
+  assert chartqa.relaxed_match("20%", "0.21")  # percent normalization
+  assert chartqa.relaxed_match("cat", "cat")
+  assert not chartqa.relaxed_match("cat", "dog")
+  assert not chartqa.relaxed_match("0", "0.01")  # gt 0 -> exact only
 
 
 # ---------------------------------------------------------------------------
