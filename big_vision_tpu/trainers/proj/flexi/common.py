@@ -1,6 +1,8 @@
 """Shared utilities for the FlexiViT trainers.
 
-Parity target: reference trainers/proj/flexi/common.py.
+Behavior parity: reference trainers/proj/flexi/common.py (host-side RNG
+keyed by (experiment, work-unit, step), weighted choice of flexi arg
+values, and the per-combination dict of jitted predict_fns).
 """
 
 from __future__ import annotations
@@ -12,26 +14,32 @@ import numpy as np
 
 
 def mkrng(xid, wid, step):
-  """Deterministic per-(experiment, work-unit, step) host RNG."""
-  return np.random.default_rng((max(xid, 0), max(wid, 0), max(step, 0)))
+  """Deterministic host RNG; ids are capped at 0 (local runs use -1)."""
+  return np.random.default_rng(tuple(max(v, 0) for v in (xid, wid, step)))
 
 
-def mkprob(x):
-  if x is None:
-    return x
-  return np.array(x) / np.sum(x)
+def mkprob(weights):
+  if weights is None:
+    return None
+  weights = np.asarray(weights, dtype=float)
+  return weights / weights.sum()
 
 
 def choice(values, ratios, rng=None):
-  rng = rng or np.random.default_rng()
-  return rng.choice(values, p=mkprob(ratios))
+  return (rng or np.random.default_rng()).choice(values, p=mkprob(ratios))
 
 
 def mkpredictfns(predict_fn, config, template="predict_{x}"):
-  """One named predict_fn per combination of flexi arg values."""
-  all_combinations = [dict(comb) for comb in itertools.product(
-      *[[(arg, val) for val in config[arg].v] for arg in config])]
-  return {
-      template.format(x="_".join(f"{k}={v}" for k, v in kw.items())):
-          functools.partial(predict_fn, **kw)
-      for kw in all_combinations}
+  """One named predict_fn per combination of flexi arg values.
+
+  For flexi args a=[1,2], b=[10,20] this yields four entries named
+  "predict_a=1_b=10" etc., each a partial of predict_fn — so each
+  combination jits (and caches) separately, avoiding shape retraces.
+  """
+  arg_names = list(config)
+  fns = {}
+  for combo in itertools.product(*(config[a].v for a in arg_names)):
+    kw = dict(zip(arg_names, combo))
+    label = "_".join(f"{a}={v}" for a, v in kw.items())
+    fns[template.format(x=label)] = functools.partial(predict_fn, **kw)
+  return fns

@@ -1,6 +1,6 @@
 """Utils shared by the GIVT stage-I and stage-II trainers.
 
-Parity target: reference trainers/proj/givt/utils.py.
+Behavior parity: reference trainers/proj/givt/utils.py.
 """
 
 from __future__ import annotations
@@ -12,20 +12,24 @@ import jax.numpy as jnp
 
 
 def unbin_depth(depth, *, min_depth, max_depth, num_bins):
-  """One-hot-binned depth map -> float depth (inverse of bin_nyu_depth)."""
-  depth = jnp.argmax(depth, axis=-1)
-  depth = depth.astype(jnp.float32) + 0.5  # Undo floor in expectation.
-  depth /= num_bins
-  return depth * (max_depth - min_depth) + min_depth
+  """One-hot-binned depth map -> float depth (inverse of bin_nyu_depth).
+
+  The +0.5 reads out each bin's center, undoing the binning floor in
+  expectation.
+  """
+  centers = (jnp.argmax(depth, axis=-1).astype(jnp.float32) + 0.5) / num_bins
+  return min_depth + centers * (max_depth - min_depth)
 
 
 def get_local_rng(seed: int | jax.Array, batch: Any) -> jax.Array:
-  """Per-image rng key folded from image ids (or image means as fallback)."""
-  fake_id = None
-  if "image" in batch:
-    fake_id = (10 ** 6 * jax.vmap(jnp.mean)(batch["image"])).astype(
-        jnp.int32)
-  return jax.lax.scan(
-      lambda k, x: (jax.random.fold_in(k, x), None),
-      jax.random.PRNGKey(seed),
-      batch.get("image/id", fake_id))[0]
+  """Single rng key derived from the batch's image ids.
+
+  Falls back to pseudo-ids hashed from image means when the batch carries
+  no "image/id" field, so augmentation randomness is still tied to the
+  data rather than the step.
+  """
+  ids = batch.get("image/id")
+  if ids is None and "image" in batch:
+    ids = (1e6 * jax.vmap(jnp.mean)(batch["image"])).astype(jnp.int32)
+  fold = lambda key, i: (jax.random.fold_in(key, i), None)
+  return jax.lax.scan(fold, jax.random.PRNGKey(seed), ids)[0]

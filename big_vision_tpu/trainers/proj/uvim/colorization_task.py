@@ -1,40 +1,33 @@
 """Colorization task adapter: inputs, losses, and predictions for UViM.
 
-Parity target: reference trainers/proj/uvim/colorization_task.py.
+Behavior parity: reference trainers/proj/uvim/colorization_task.py —
+per-patch RGB regression targets, squared error, clipped stitch-back.
 """
 
 from __future__ import annotations
 
-import einops
 import jax.numpy as jnp
-import numpy as np
 
-ONE_HOT_AXIS = -2
+from big_vision_tpu.trainers.proj.uvim import tasklib
+
+ONE_HOT_AXIS = tasklib.CLASS_AXIS
 
 
 def input_pp(batch, config):
-  if "labels" not in batch:
-    x = None
-  else:
-    hp, wp = config.model.patch_size
-    x = {"color": einops.rearrange(
-        batch["labels"], "b (hn hp) (wn wp) c -> b (hn wn) c (hp wp)",
-        hp=hp, wp=wp)}
-  ctx = batch.get("image_ctx", batch.get("image", None))
-  return {"ctx": ctx, "x": x}
+  targets = None
+  if "labels" in batch:
+    targets = {"color": tasklib.patchify_channels(batch["labels"],
+                                                  config.model.patch_size)}
+  return {"ctx": tasklib.context_of(batch), "x": targets}
 
 
 def loss_fn(logits, batch, config):
-  labels = input_pp(batch, config)["x"]
-  loss = jnp.square(logits["color"] - labels["color"])
-  return loss, {"loss_color": loss}
+  target = input_pp(batch, config)["x"]["color"]
+  err = jnp.square(logits["color"] - target)
+  return err, {"loss_color": err}
 
 
 def predict_outputs(logits, config):
-  hp, wp = config.model.patch_size
-  hn, wn = np.array(config.model.input_size) // np.array((hp, wp))
-  assert ONE_HOT_AXIS == -2, "Rearrange below depends on this."
-  output = einops.rearrange(
-      logits["color"], "b (hn wn) c (hp wp) -> b (hn hp) (wn wp) c",
-      hn=hn, wn=wn, hp=hp, wp=wp)
-  return {"color": jnp.clip(output, -1.0, 1.0)}
+  assert ONE_HOT_AXIS == -2, "unpatchify assumes channels at axis -2"
+  color = tasklib.unpatchify(logits["color"], config)
+  return {"color": jnp.clip(color, -1.0, 1.0)}
