@@ -3,8 +3,14 @@
 Parity target: reference models/proj/flexi/vit.py (PI-resize of the patch
 kernel `resample_patchemb` :30, Patchify :78, posemb resize, _Model :110).
 The PI-resize inverts patch resizing: a B/8 kernel loaded into a B/16 model
-on a 2x image matches. jax.image.resize (linear) replaces the reference's
-tf.image.resize (same bilinear sampling).
+on a 2x image matches. The 1-D linear-resize operator is built analytically
+in numpy (triangle kernel, antialiased) instead of probing tf.image.resize
+with basis vectors; the two agree because both implement half-pixel-centered
+bilinear sampling.
+
+The body is the TPU-first ViT trunk from models/vit.py (flash-capable
+attention, scan/remat, bf16 residual stream) — only the stem (runtime
+kernel resample) and the seqhw-dependent posemb interpolation differ.
 """
 
 from __future__ import annotations
@@ -38,135 +44,130 @@ def _linear_resize_mat_1d(n_in, n_out):
 
 
 def resample_patchemb(old, new_hw):
-  """PI-resize of a patch-embedding kernel [h, w, c_in, width]."""
-  assert len(old.shape) == 4, "Four dimensions expected"
+  """PI-resize of a patch-embedding kernel [h, w, c_in, width].
+
+  Pseudo-inverse of the transposed patch-resize operator, chosen so that
+  `resampled_kernel . resized_patch ~= kernel . patch` (ref vit.py:45).
+  The 2-D resize operator is the Kronecker product of the two 1-D ones
+  (separable bilinear), acting on flattened h*w kernels.
+  """
+  assert old.ndim == 4, "Four dimensions expected"
   assert len(new_hw) == 2, "New shape should be (h, w)"
-  if tuple(old.shape[:2]) == tuple(new_hw):
+  if tuple(new_hw) == tuple(old.shape[:2]):
     return old
 
-  def get_resize_mat(old_shape, new_shape):
-    # 2-D separable resize = kron of the two 1-D resize matrices; columns
-    # are the resized basis kernels, as in the reference (vit.py:30).
-    mh = _linear_resize_mat_1d(old_shape[0], new_shape[0])
-    mw = _linear_resize_mat_1d(old_shape[1], new_shape[1])
-    return np.kron(mh, mw)  # [prod(new), prod(old)] acting on flat kernels
+  rows = _linear_resize_mat_1d(old.shape[0], new_hw[0])
+  cols = _linear_resize_mat_1d(old.shape[1], new_hw[1])
+  # [prod(new), prod(old)], columns = resized basis kernels.
+  op = np.kron(rows, cols)
+  pinv = np.linalg.pinv(op.T)
 
-  resize_mat = get_resize_mat(old.shape[:2], new_hw)
-  # PI-resize: pseudo-inverse of the transposed resize operator, so that
-  # resampled-kernel @ resized-patch ~= kernel @ patch (ref vit.py:45).
-  resize_mat_pinv = np.linalg.pinv(resize_mat.T)
-
-  def resample_kernel(kernel):
-    return (resize_mat_pinv @ kernel.reshape(-1)).reshape(new_hw)
-  v_resample = jax.vmap(jax.vmap(resample_kernel, 2, 2), 3, 3)
-  return v_resample(old)
+  per_plane = lambda k: (pinv @ k.reshape(-1)).reshape(new_hw)
+  # vmap over c_in and width planes.
+  return jax.vmap(jax.vmap(per_plane, 2, 2), 3, 3)(old)
 
 
 class Patchify(nn.Module):
   """Patch embedding whose kernel is PI-resized per requested seqhw."""
-  patch_size: Sequence[int] = (32, 32)
   width: int = 768
+  patch_size: Sequence[int] = (32, 32)
   seqhw: Optional[int] = None
 
   @nn.compact
   def __call__(self, image, seqhw=None):
-    n, h, w, c = image.shape
-    w_emb = self.param(
-        "kernel", nn.initializers.normal(stddev=1 / np.sqrt(self.width)),
-        (*self.patch_size, c, self.width), image.dtype)
-    b_emb = self.param("bias", nn.initializers.zeros, self.width,
-                       image.dtype)
+    h, w = image.shape[1:3]
+    stored = tuple(self.patch_size)
+    kernel_shape = (*stored, image.shape[-1], self.width)
+    init = nn.initializers.normal(stddev=self.width ** -0.5)
+    kernel = self.param("kernel", init, kernel_shape, image.dtype)
+    bias = self.param("bias", nn.initializers.zeros, self.width, image.dtype)
 
+    # The patch size that yields a seqhw x seqhw token grid on this image.
     seqhw = seqhw or self.seqhw
     if seqhw is None and self.is_initializing():
-      patch_size = tuple(self.patch_size)
+      patch = stored
     else:
-      patch_size = tuple(np.array((h, w)) // np.array((seqhw, seqhw)))
-
-    if patch_size != tuple(self.patch_size):
-      w_emb = resample_patchemb(old=w_emb, new_hw=patch_size)
+      patch = (h // seqhw, w // seqhw)
+    if patch != stored:
+      kernel = resample_patchemb(old=kernel, new_hw=patch)
 
     x = jax.lax.conv_general_dilated(
-        image, w_emb, window_strides=patch_size, padding="VALID",
+        image, kernel, window_strides=patch, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return x + b_emb
+    return x + bias
 
 
 class _Model(nn.Module):
   """FlexiViT."""
   num_classes: int
+  # Stem: the stored kernel's patch size, the canonical posemb grid, and
+  # the default token-grid side (None = native patch size).
   patch_size: Sequence[int] = (32, 32)
   posemb_size: Sequence[int] = (7, 7)
-  width: int = 768
-  depth: int = 12
-  mlp_dim: Optional[int] = None
-  num_heads: int = 12
+  seqhw: Optional[int] = None
   posemb: str = "learn"
+  # Trunk/readout.
+  depth: int = 12
+  width: int = 768
+  num_heads: int = 12
+  mlp_dim: Optional[int] = None
   pool_type: str = "gap"
   head_zeroinit: bool = True
-  seqhw: Optional[int] = None
   dtype_mm: str = "float32"
 
   @nn.compact
   def __call__(self, image, *, seqhw=None, train=False):
     out = {}
     x = out["stem"] = Patchify(
-        tuple(self.patch_size), self.width, self.seqhw,
-        name="embedding")(image, seqhw)
-
+        width=self.width, patch_size=tuple(self.patch_size),
+        seqhw=self.seqhw, name="embedding")(image, seqhw)
     n, h, w, c = x.shape
-    x = jnp.reshape(x, [n, h * w, c])
 
-    pos_emb = vit.get_posemb(self, self.posemb, tuple(self.posemb_size), c,
-                             "pos_embedding", x.dtype)
-    if pos_emb.shape[1] != h * w:
-      pos_emb = jnp.reshape(pos_emb, (1, *self.posemb_size, c))
-      pos_emb = jax.image.resize(pos_emb, (1, h, w, c), "linear")
-      pos_emb = jnp.reshape(pos_emb, (1, h * w, c))
-    x = out["with_posemb"] = x + pos_emb
+    # The canonical posemb lives on a fixed posemb_size grid and is
+    # bilinearly interpolated to whatever grid this seqhw produced.
+    pos = vit.get_posemb(self, self.posemb, tuple(self.posemb_size), c,
+                         "pos_embedding", x.dtype)
+    if pos.shape[1] != h * w:
+      pos = jax.image.resize(
+          pos.reshape(1, *self.posemb_size, c), (1, h, w, c), "linear")
+      pos = pos.reshape(1, h * w, c)
+    x = out["with_posemb"] = x.reshape(n, h * w, c) + pos
 
     if self.pool_type == "tok":
-      cls = self.param("cls", nn.initializers.zeros, (1, 1, c), x.dtype)
-      x = jnp.concatenate([jnp.tile(cls, [n, 1, 1]), x], axis=1)
+      x = vit.prepend_cls(self, x)
 
     x, out["encoder"] = vit.Encoder(
-        depth=self.depth, mlp_dim=self.mlp_dim, num_heads=self.num_heads,
+        depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
         dtype_mm=self.dtype_mm, name="Transformer")(x)
-    encoded = out["encoded"] = x
+    out["encoded"] = x
 
-    if self.pool_type == "map":
-      x = out["head_input"] = vit.MAPHead(
-          num_heads=self.num_heads, mlp_dim=self.mlp_dim)(x)
-    elif self.pool_type == "gap":
-      x = out["head_input"] = jnp.mean(x, axis=1)
-    elif self.pool_type == "tok":
-      x = out["head_input"] = x[:, 0]
-      encoded = encoded[:, 1:]
-    else:
+    map_head = vit.MAPHead(
+        num_heads=self.num_heads, mlp_dim=self.mlp_dim) \
+        if self.pool_type == "map" else None
+    if self.pool_type not in ("map", "gap", "tok"):
       raise ValueError(f"Unknown pool type {self.pool_type!r}")
+    x, spatial = vit.readout(x, self.pool_type, map_head)
+    out["head_input"] = x
 
-    x_2d = jnp.reshape(encoded, [n, h, w, -1])
-    out["pre_logits_2d"] = x_2d
-    out["pre_logits"] = x
-
+    reps = {"": x, "_2d": spatial.reshape(n, h, w, -1)}
+    out.update({f"pre_logits{k}": v for k, v in reps.items()})
     if self.num_classes:
-      kw = ({"kernel_init": nn.initializers.zeros}
-            if self.head_zeroinit else {})
-      head = nn.Dense(self.num_classes, name="head", **kw)
-      x_2d = out["logits_2d"] = head(x_2d)
-      x = out["logits"] = head(x)
-    return x, out
+      reps = vit.classify(self, reps, self.num_classes, self.head_zeroinit)
+      out.update({f"logits{k}": v for k, v in reps.items()})
+    return reps[""], out
 
 
 def Model(num_classes, *, variant=None, **kw):  # pylint: disable=invalid-name
-  return _Model(num_classes, **{**vit.decode_variant(variant), **kw})
+  cfg = dict(vit.decode_variant(variant))
+  cfg.update(kw)
+  return _Model(num_classes, **cfg)
 
 
 def load(init_params, init_file, model_cfg, dont_load=()):
   """Loads (Flexi)ViT checkpoints, resizing pos+patch embeddings."""
-  init_file = {**vit.VANITY_NAMES, **VANITY_NAMES}.get(init_file, init_file)
-  restored = u.load_params(init_file)
-  restored = vit.fix_old_checkpoints(restored)
+  vanity = {**vit.VANITY_NAMES, **VANITY_NAMES}
+  restored = vit.fix_old_checkpoints(
+      u.load_params(vanity.get(init_file, init_file)))
   restored["pos_embedding"] = vit.resample_posemb(
       old=restored["pos_embedding"], new=init_params["pos_embedding"])
   restored["embedding"]["kernel"] = resample_patchemb(

@@ -1,9 +1,12 @@
 """ViT-based Gaussian VAE for GIVT (UViM-style stage-I model).
 
-Parity target: reference models/proj/givt/vit.py — a ViT encoder/decoder
-pair with a learned (or resize-based) bottleneck mapping between the patch
-grid and `code_len` latent tokens; optional `inout_specs` for categorical
-inputs/outputs (e.g. panoptic semantics+instances channels).
+Behavior parity: reference models/proj/givt/vit.py — a ViT encoder/decoder
+pair with a learned (or bilinear-resize) bottleneck mapping between the
+patch grid and `code_len` latent tokens; optional `inout_specs` for
+categorical inputs/outputs (e.g. panoptic semantics+instances channels).
+
+The patch stem is the shared matmul patchify (vit.PatchEmbed, same param
+tree as the nn.Conv it replaces) so the stem runs on the MXU at full tilt.
 """
 
 from __future__ import annotations
@@ -24,119 +27,135 @@ from big_vision_tpu.models.proj.givt import vae
 class Model(vae.Model):
   """ViT VAE: encode -> (mu, logvar) over code_len tokens; decode back."""
 
+  # Patch grid geometry.
   input_size: Sequence[int] = (256, 256)
   patch_size: Sequence[int] = (16, 16)
+  # Latent geometry: either a learned n_tokens<->code_len projection pair
+  # or a parameter-free bilinear grid resize.
   code_len: int = 256
-  width: int = 768
+  bottleneck_resize: bool = False
+  # Transformer geometry.
   enc_depth: int = 6
   dec_depth: int = 6
+  width: int = 768
   mlp_dim: Optional[int] = None
   num_heads: int = 12
   posemb: str = "learn"  # or "sincos2d"
-  dropout: float = 0.0
   head_zeroinit: bool = True
-  bottleneck_resize: bool = False
-  inout_specs: Optional[Mapping[str, tuple[int, int]]] = None
-  scan: bool = False
+  dropout: float = 0.0
+  # Categorical channel spec: {name: (input_channel, num_classes)}.
+  inout_specs: Optional[Mapping[str, tuple]] = None
   remat_policy: str = "nothing_saveable"
+  scan: bool = False
 
   def setup(self):
-    self.grid_size = np.array(self.input_size) // np.array(self.patch_size)
+    self.grid_size = np.asarray(
+        [s // p for s, p in zip(self.input_size, self.patch_size)])
+    n_tokens = int(np.prod(self.grid_size))
 
-    self.embedding = nn.Conv(
-        self.width, self.patch_size, strides=self.patch_size,
-        padding="VALID", name="embedding")
+    self.embedding = vit.PatchEmbed(self.width, tuple(self.patch_size),
+                                    name="embedding")
 
+    body_kw = dict(num_heads=self.num_heads, dropout=self.dropout,
+                   remat_policy=self.remat_policy, scan=self.scan,
+                   mlp_dim=self.mlp_dim)
     self.pos_embedding_encoder = vit.get_posemb(
         self, self.posemb, tuple(self.grid_size), self.width,
         "pos_embedding_encoder")
-    self.encoder = vit.Encoder(
-        depth=self.enc_depth, mlp_dim=self.mlp_dim,
-        num_heads=self.num_heads, dropout=self.dropout, scan=self.scan,
-        remat_policy=self.remat_policy, name="encoder")
+    self.encoder = vit.Encoder(name="encoder", depth=self.enc_depth,
+                               **body_kw)
 
     if not self.bottleneck_resize:
-      self.bottleneck_downsample = self.param(
-          "bottleneck_downsample", nn.initializers.xavier_uniform(),
-          (np.prod(self.grid_size), self.code_len))
-      self.bottleneck_upsample = self.param(
-          "bottleneck_upsample", nn.initializers.xavier_uniform(),
-          (self.code_len, np.prod(self.grid_size)))
+      mk = lambda nm, shape: self.param(
+          nm, nn.initializers.xavier_uniform(), shape)
+      self.bottleneck_downsample = mk(
+          "bottleneck_downsample", (n_tokens, self.code_len))
+      self.bottleneck_upsample = mk(
+          "bottleneck_upsample", (self.code_len, n_tokens))
 
     self.pos_embedding_decoder = vit.get_posemb(
         self, self.posemb, tuple(self.grid_size), self.width,
         "pos_embedding_decoder")
-    self.decoder = vit.Encoder(
-        depth=self.dec_depth, mlp_dim=self.mlp_dim,
-        num_heads=self.num_heads, dropout=self.dropout, scan=self.scan,
-        remat_policy=self.remat_policy, name="decoder")
+    self.decoder = vit.Encoder(name="decoder", depth=self.dec_depth,
+                               **body_kw)
 
-    self.encoder_head = nn.Dense(self.codeword_dim * 2 or self.width * 2)
+    # Gaussian posterior head (mu ++ logvar) and pixel/logit readout.
+    moment_dim = 2 * (self.codeword_dim or self.width)
+    self.encoder_head = nn.Dense(moment_dim)
     self.decoder_stem = nn.Dense(self.width)
-
-    kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
     if self.inout_specs is not None:
-      num_out_channels = sum(
-          n_classes for _, n_classes in self.inout_specs.values())
+      out_channels = sum(n for _, n in self.inout_specs.values())
     else:
-      num_out_channels = 3
-    self.head = nn.Dense(num_out_channels * np.prod(self.patch_size),
-                         name="decoder_head", **kw)
+      out_channels = 3
+    head_kw = {}
+    if self.head_zeroinit:
+      head_kw["kernel_init"] = nn.initializers.zeros
+    self.head = nn.Dense(out_channels * np.prod(self.patch_size),
+                         name="decoder_head", **head_kw)
+
+  def _resize_grid(self, tokens, old_hw, new_hw):
+    """Bilinear resize of a flattened token grid."""
+    grid = einops.rearrange(tokens, "b (h w) c -> b h w c",
+                            h=old_hw[0], w=old_hw[1])
+    grid = jax.image.resize(grid, (grid.shape[0], *new_hw, grid.shape[-1]),
+                            "linear")
+    return einops.rearrange(grid, "b h w c -> b (h w) c")
+
+  def _latent_grid(self):
+    side = int(np.round(self.code_len ** 0.5))
+    return side, side
 
   def encode(self, x, *, train=False):
     if self.inout_specs is not None:
-      x = jnp.concatenate(
-          [nn.one_hot(x[..., in_ch].astype(jnp.int32), n)
-           for in_ch, n in self.inout_specs.values()], axis=-1)
-    x = self.embedding(x)
-    x = einops.rearrange(x, "b h w c -> b (h w) c")
-    x, _ = self.encoder(x + self.pos_embedding_encoder,
-                        deterministic=not train)
+      onehots = [nn.one_hot(x[..., channel].astype(jnp.int32), n)
+                 for channel, n in self.inout_specs.values()]
+      x = jnp.concatenate(onehots, axis=-1)
+    patches = einops.rearrange(self.embedding(x), "b h w c -> b (h w) c")
+    tokens, _ = self.encoder(patches + self.pos_embedding_encoder,
+                             deterministic=not train)
 
     if self.bottleneck_resize:
-      x = einops.rearrange(x, "b (h w) c -> b h w c",
-                           h=self.grid_size[0], w=self.grid_size[1])
-      l = int(np.round(self.code_len ** 0.5))
-      x = jax.image.resize(x, (x.shape[0], l, l, x.shape[3]), "linear")
-      x = einops.rearrange(x, "b h w c -> b (h w) c")
+      tokens = self._resize_grid(tokens, tuple(self.grid_size),
+                                 self._latent_grid())
     else:
-      x = jnp.einsum("btc,tn->bnc", x, self.bottleneck_downsample)
+      tokens = jnp.einsum("btc,tn->bnc", tokens,
+                          self.bottleneck_downsample)
 
-    mu, logvar = jnp.split(self.encoder_head(x), 2, axis=-1)
-    return mu, logvar
+    moments = self.encoder_head(tokens)
+    return jnp.split(moments, 2, axis=-1)  # (mu, logvar)
 
   def decode(self, x, train=False):
-    x = self.decoder_stem(x)
+    tokens = self.decoder_stem(x)
     if self.bottleneck_resize:
-      l = int(np.round(self.code_len ** 0.5))
-      x = einops.rearrange(x, "b (h w) c -> b h w c", h=l, w=l)
-      x = jax.image.resize(
-          x, (x.shape[0], self.grid_size[0], self.grid_size[1],
-              x.shape[3]), "linear")
-      x = einops.rearrange(x, "b h w c -> b (h w) c")
+      tokens = self._resize_grid(tokens, self._latent_grid(),
+                                 tuple(self.grid_size))
     else:
-      x = jnp.einsum("bnc,nt->btc", x, self.bottleneck_upsample)
+      tokens = jnp.einsum("bnc,nt->btc", tokens, self.bottleneck_upsample)
 
-    x, _ = self.decoder(x + self.pos_embedding_decoder,
-                        deterministic=not train)
-    x = self.head(x)
-    x = einops.rearrange(x, "b (h w) (p q c) -> b (h p) (w q) c",
-                         h=self.grid_size[0], w=self.grid_size[1],
-                         p=self.patch_size[0], q=self.patch_size[1])
+    tokens, _ = self.decoder(tokens + self.pos_embedding_decoder,
+                             deterministic=not train)
+    # Un-patchify [B, h*w, p*q*c] -> [B, h*p, w*q, c] with one reshape +
+    # transpose pair (XLA folds this into the head matmul's output layout).
+    flat = self.head(tokens)
+    (h, w), (p, q) = self.grid_size, self.patch_size
+    c = flat.shape[-1] // (p * q)
+    dense = flat.reshape(flat.shape[0], h, w, p, q, c)
+    dense = dense.transpose(0, 1, 3, 2, 4, 5).reshape(
+        flat.shape[0], h * p, w * q, c)
 
     if self.inout_specs is None:
-      return jnp.clip(x, -1.0, 1.0)
-    x_dict, channel_index = {}, 0
+      return jnp.clip(dense, -1.0, 1.0)
+    outputs, lo = {}, 0
     for name, (_, n) in self.inout_specs.items():
-      x_dict[name] = x[..., channel_index:channel_index + n]
-      channel_index += n
-    return x_dict
+      outputs[name] = dense[..., lo:lo + n]
+      lo += n
+    return outputs
 
 
 def load(init_params: Any, init_file: str, model_params: Any = None,
          dont_load: Sequence[str] = ()) -> Any:
   del model_params
-  params = u.load_params(init_file)
-  if init_params is not None:
-    params = common.merge_params(params, init_params, dont_load)
-  return params
+  restored = u.load_params(init_file)
+  if init_params is None:
+    return restored
+  return common.merge_params(restored, init_params, dont_load)

@@ -1,20 +1,19 @@
 """Two-tower (LiT / CLIP / SigLIP) contrastive model.
 
-Parity target: reference models/proj/image_text/two_towers.py:28-177:
-dynamic img/txt submodels, L2-normalized embeddings, learned log-temperature
-`t` and optional logit bias `b`; loader supports per-tower checkpoints and
-the `ckpt.npz:img` colon syntax.
+Behavior parity: reference models/proj/image_text/two_towers.py:28-177 —
+dynamic img/txt submodels, L2-normalized embeddings, learned
+log-temperature `t` and optional logit bias `b`; loader supports per-tower
+checkpoints and the `ckpt.npz:img` colon syntax. Param names match.
 """
 
 from __future__ import annotations
 
-import importlib
 from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-import big_vision_tpu.utils as u
+from big_vision_tpu.models.proj.image_text import towers
 
 ConfigDict = Any
 
@@ -31,78 +30,52 @@ class Model(nn.Module):
   @nn.compact
   def __call__(self, image, text=None, **kw):
     """Returns (zimg [B,C], ztxt [B,C], out); either input may be None."""
-    ztxt, zimg = None, None
+    zimg = ztxt = None
     out = {}
-    out_dims = self.out_dim
-    if isinstance(out_dims, int):
-      out_dims = (out_dims, out_dims)
+    dims = self.out_dim
+    dims = (dims, dims) if isinstance(dims, int) else dims
 
     if text is not None:
-      text_model = importlib.import_module(
-          f"big_vision_tpu.models.{self.text_model}"
-      ).Model(**{"num_classes": out_dims[1], **(self.text or {})}, name="txt")
-      ztxt, out_txt = text_model(text, **kw)
-      for k, v in out_txt.items():
-        out[f"txt/{k}"] = v
-      out["txt/norm"] = jnp.linalg.norm(ztxt, axis=1, keepdims=True)
-      out["txt/normalized"] = ztxt = ztxt / (out["txt/norm"] + 1e-8)
+      txt_tower = towers.build(self.text_model, self.text, dims[1], "txt")
+      ztxt, aux = towers.embed(txt_tower, text, "txt", **kw)
+      out.update(aux)
 
     if image is not None:
-      image_model = importlib.import_module(
-          f"big_vision_tpu.models.{self.image_model}"
-      ).Model(**{"num_classes": out_dims[0], **(self.image or {})},
-              name="img")
-      zimg, out_img = image_model(image, **kw)
-      for k, v in out_img.items():
-        out[f"img/{k}"] = v
-      out["img/norm"] = jnp.linalg.norm(zimg, axis=1, keepdims=True)
-      out["img/normalized"] = zimg = zimg / (out["img/norm"] + 1e-8)
+      img_tower = towers.build(self.image_model, self.image, dims[0],
+                               "img")
+      zimg, aux = towers.embed(img_tower, image, "img", **kw)
+      out.update(aux)
 
-    temp_init = jnp.log(self.temperature_init)
-    t = self.param(
-        "t", lambda key, shape, dtype: temp_init * jnp.ones(shape, dtype),
-        (1,), jnp.float32)
-    out["t"] = jnp.exp(t)
-    out["t/parameter"] = t
-    if (b_init := self.bias_init) is not None:
-      out["b"] = self.param(
-          "b", lambda k, s, d: b_init * jnp.ones(s, d), (1,), jnp.float32)
+    log_t = towers.scalar(self, "t", jnp.log(self.temperature_init))
+    out["t"] = jnp.exp(log_t)
+    out["t/parameter"] = log_t
+    if self.bias_init is not None:
+      out["b"] = towers.scalar(self, "b", self.bias_init)
     return zimg, ztxt, out
 
 
 def load(init_params, init_files, model_cfg, img_load_kw=None,
          txt_load_kw=None):
   """Loads towers; init_files is a dict with img/txt (or a single path)."""
-  img_load_kw = img_load_kw or {}
-  txt_load_kw = txt_load_kw or {}
   if isinstance(init_files, str):
-    keys = ("img", "txt", "t", "b") if "bias_init" in dict(model_cfg) else (
-        "img", "txt", "t")
+    keys = ("img", "txt", "t") + (
+        ("b",) if "bias_init" in dict(model_cfg) else ())
     init_files = {k: f"{init_files}:{k}" for k in keys}
   else:
     init_files = {**init_files}
 
-  if not init_params:
-    init_params = {"img": None, "txt": None}
-  restored = {**init_params}
-
-  if img_init := (init_files.pop("image", None)
-                  or init_files.pop("img", None)):
-    restored["img"] = importlib.import_module(
-        f"big_vision_tpu.models.{dict(model_cfg).get('image_model', 'vit')}"
-    ).load(init_params["img"], img_init, dict(model_cfg).get("image", {}),
-           **img_load_kw)
-  if txt_init := (init_files.pop("text", None)
-                  or init_files.pop("txt", None)):
-    restored["txt"] = importlib.import_module(
-        "big_vision_tpu.models."
-        + dict(model_cfg).get("text_model", "proj.image_text.text_transformer")
-    ).load(init_params["txt"], txt_init, dict(model_cfg).get("text", {}),
-           **txt_load_kw)
-  if t_init := (init_files.pop("temperature", None)
-                or init_files.pop("t", None)):
-    restored["t"] = u.load_params(t_init)
-  if b_init := (init_files.pop("bias", None) or init_files.pop("b", None)):
-    restored["b"] = u.load_params(b_init)
+  restored = {**(init_params or {"img": None, "txt": None})}
+  towers.load_tower(restored, init_files, init_params, model_cfg,
+                    key="img", aliases=("image", "img"),
+                    model_field="image_model", default_model="vit",
+                    cfg_field="image", load_kw=img_load_kw)
+  towers.load_tower(restored, init_files, init_params, model_cfg,
+                    key="txt", aliases=("text", "txt"),
+                    model_field="text_model",
+                    default_model="proj.image_text.text_transformer",
+                    cfg_field="text", load_kw=txt_load_kw)
+  towers.load_scalar(restored, init_files, key="t",
+                     aliases=("temperature", "t"))
+  towers.load_scalar(restored, init_files, key="b", aliases=("bias", "b"))
   assert not init_files, f"Unused model_init entries (typo?): {init_files}"
   return restored

@@ -1,9 +1,15 @@
 """big_vision-style wrapper around the Gemma LM with a decode cache.
 
-Parity target: reference models/proj/paligemma/gemma_bv.py. The key trick
-is `_left_to_right_align` (:40): right-aligning the prompt makes the KV
-cache write position identical across examples, so cache extension is one
-dynamic_update_slice instead of a per-example scatter.
+Behavior parity: reference models/proj/paligemma/gemma_bv.py. The protocol
+is embed_tokens / compute_logits / __call__ / prefill_cache / extend_cache.
+
+The core trick (kept from the reference design, re-derived here without
+vmap): right-align every prompt so all examples end at the same cache slot.
+Cache extension then becomes a single dynamic_update_slice at a shared,
+statically-advancing position instead of a per-example scatter — the
+difference between one fused TPU op per token and a gather/scatter chain.
+Alignment itself is a batched modular gather (take_along_axis), which XLA
+lowers to one gather per operand.
 """
 
 from __future__ import annotations
@@ -11,91 +17,114 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from big_vision_tpu.models.ppp import gemma
 
+# Model fields forwarded verbatim into the gemma config.
+_FORWARDED = ("scan", "remat_policy", "dropout", "dropout_bdims",
+              "cache_dtype", "attn_impl", "quant")
+# Model fields forwarded only when not None (config keeps its default).
+_OPTIONAL = ("vocab_size", "final_logits_softcap", "attn_logits_softcap")
+
 
 def _get_config(model):
   config = gemma.get_config(model.variant)
-  config.scan = model.scan
-  config.remat_policy = model.remat_policy
-  if model.vocab_size is not None:
-    config.vocab_size = model.vocab_size
-  config.dropout = model.dropout
-  config.dropout_bdims = model.dropout_bdims
-  config.cache_dtype = model.cache_dtype
-  if model.final_logits_softcap is not None:
-    config.final_logits_softcap = model.final_logits_softcap
-  if model.attn_logits_softcap is not None:
-    config.attn_logits_softcap = model.attn_logits_softcap
-  config.attn_impl = model.attn_impl
-  config.quant = model.quant
+  for field in _FORWARDED:
+    setattr(config, field, getattr(model, field))
+  for field in _OPTIONAL:
+    value = getattr(model, field)
+    if value is not None:
+      setattr(config, field, value)
   return config
 
 
-@jax.vmap
-def _left_to_right_align(x, input_mask, attn_mask):
-  """Rolls one example so its valid tokens end at the sequence end."""
-  assert x.ndim == 2 and input_mask.ndim == 1 and attn_mask.ndim == 2
-  seqlen = jnp.sum(input_mask)
-  x = jnp.roll(x, -seqlen, axis=0)
-  input_mask = jnp.roll(input_mask, -seqlen, axis=0)
-  attn_mask = jnp.roll(attn_mask, -seqlen, axis=(0, 1))
+def _right_align(x, input_mask, attn_mask):
+  """Shifts each example so its valid tokens end at the sequence end.
+
+  Equivalent to a per-example jnp.roll by -len(prompt), expressed as one
+  modular gather over the batch (no vmap): out[i] = in[(i + len) % L].
+  """
+  length = x.shape[1]
+  shift = jnp.sum(input_mask, axis=-1)  # prompt length per example
+  idx = (jnp.arange(length)[None, :] + shift[:, None]) % length
+  x = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+  input_mask = jnp.take_along_axis(input_mask, idx, axis=1)
+  attn_mask = jnp.take_along_axis(attn_mask, idx[:, :, None], axis=1)
+  attn_mask = jnp.take_along_axis(attn_mask, idx[:, None, :], axis=2)
   return x, input_mask, attn_mask
 
 
 class Model(nn.Module):
   """Gemma with the embed/compute_logits/prefill/extend protocol."""
   variant: str = "gemma_2b"
-  scan: bool = True
-  remat_policy: str = "nothing_saveable"
+  # Override hooks (None = keep the variant config's value).
   vocab_size: Optional[int] = None
-  dropout: float = 0.0
-  dropout_bdims: Tuple[int, ...] = ()
-  cache_dtype: Optional[str] = "bfloat16"
   final_logits_softcap: Optional[float] = None
   attn_logits_softcap: Optional[float] = None
-  attn_impl: str = "xla"
+  # Execution knobs forwarded into the LM.
   quant: bool = False
+  scan: bool = True
+  attn_impl: str = "xla"
+  cache_dtype: Optional[str] = "bfloat16"
+  remat_policy: str = "nothing_saveable"
+  dropout: float = 0.0
+  dropout_bdims: Tuple[int, ...] = ()
 
   def setup(self):
-    # parent+name="" flattens the wrapper out of the params tree.
-    self.model = gemma.Model(**_get_config(self), parent=self.scope, name="")
+    # parent+name="" splices the LM's params directly into this module's
+    # tree (no extra nesting level), keeping checkpoint layout identical.
+    cfg = _get_config(self)
+    self.model = gemma.Model(name="", parent=self.scope, **cfg)
 
   def embed_tokens(self, tokens, train=False):
-    return self.model(tokens, embed_only=True, deterministic=not train)
+    """int32[B,T] -> float[B,T,D] vocab embeddings."""
+    embs = self.model(tokens, deterministic=not train, embed_only=True)
+    return embs
 
   def compute_logits(self, pre_logits, train=False):
-    return self.model(None, pre_logits=pre_logits,
-                      deterministic=not train)[0]
+    logits, _ = self.model(None, deterministic=not train,
+                           pre_logits=pre_logits)
+    return logits
 
   def __call__(self, embs, mask=None, train=False, seg=None):
-    batch_size, _, d_model = embs.shape
-    assert d_model == self.embdim
-    return self.model(
-        tokens=jnp.zeros([batch_size, 0], dtype=jnp.int32),
-        embedded_prefix=embs, mask=mask, deterministic=not train,
-        seg=seg)
+    """float[B,T,D] embeddings -> (logits, aux); mask defaults causal."""
+    assert embs.shape[-1] == self.embdim
+    empty = jnp.zeros([embs.shape[0], 0], dtype=jnp.int32)
+    return self.model(tokens=empty, embedded_prefix=embs, mask=mask,
+                      deterministic=not train, seg=seg)
 
   def prefill_cache(self, x, input_mask, attn_mask, *, cache_size):
-    """Fills the cache with a left-aligned prompt; returns last logits."""
-    x, input_mask, attn_mask = _left_to_right_align(x, input_mask,
-                                                    attn_mask)
-    seq_len = jnp.sum(input_mask, axis=-1)
-    self.put_variable("cache", "seq_len", seq_len)
-    positions = jnp.cumsum(input_mask, axis=-1) - 1
+    """Fills the cache with a prompt; returns the last valid token's logits.
 
-    batch_size, prefill_len, _ = x.shape
-    self.put_variable("cache", "cache_begin", prefill_len - seq_len)
-    self.put_variable("cache", "cache_end",
-                      jnp.full((batch_size,), prefill_len, jnp.int32))
+    Inputs are left-aligned float[B,N,D] embeddings with bool[B,N]
+    input_mask and bool[B,N,N] attn_mask (which must already deny attention
+    to padding). The prompt occupies the first N cache slots; each
+    extend_cache consumes one more.
+    """
+    aligned = _right_align(x, input_mask, attn_mask)
+    x, input_mask, attn_mask = aligned
+    batch, prefill_len, _ = x.shape
+    nprompt = jnp.sum(input_mask, axis=-1)
 
-    mask = jnp.pad(attn_mask,
-                   ((0, 0), (0, 0), (0, cache_size - prefill_len)))
-    _, aux = self.model(tokens=None, embedded_prefix=x,
-                        positions=positions, mask=mask, decode=True)
+    # Per-example cache bookkeeping. cache_end is identical across the
+    # batch by construction (that's the point of right-alignment) but is
+    # stored per-example so batch-first sharding rules apply untouched.
+    bookkeeping = {
+        "seq_len": nprompt,
+        "cache_begin": prefill_len - nprompt,
+        "cache_end": jnp.full((batch,), prefill_len, jnp.int32),
+    }
+    for slot, value in bookkeeping.items():
+      self.put_variable("cache", slot, value)
+
+    # Widen the attention mask to the full cache: future slots are denied.
+    deny = jnp.zeros(
+        (batch, prefill_len, cache_size - prefill_len), attn_mask.dtype)
+    _, aux = self.model(
+        tokens=None, decode=True,
+        mask=jnp.concatenate([attn_mask, deny], axis=-1),
+        positions=jnp.cumsum(input_mask, axis=-1) - 1, embedded_prefix=x)
     return self.compute_logits(aux["pre_logits"][:, -1:])
 
   def extend_cache(self, x):
@@ -104,7 +133,7 @@ class Model(nn.Module):
     # Cache layout is [..., cache_size, heads, head_dim] in BOTH layer
     # layouts (scan: [L, B, S, H, D]; per-layer pyloop: [B, S, H, D]),
     # so shape[-3] reads the cache size regardless of self.model.scan
-    # (reference supports both: gemma_bv.py:40 + gemma.py:161-195).
+    # (reference supports scan only: gemma_bv.py:163-167).
     from flax import traverse_util
     k_caches = [v for path, v in
                 traverse_util.flatten_dict(self.variables["cache"]).items()
@@ -112,24 +141,27 @@ class Model(nn.Module):
     assert k_caches, "extend_cache called before prefill_cache"
     cache_size = k_caches[0].shape[-3]
 
+    bump = lambda slot, v: (self.put_variable("cache", slot, v), v)[1]
     positions = self.get_variable("cache", "seq_len")
-    self.put_variable("cache", "seq_len", positions + 1)
+    bump("seq_len", positions + 1)
 
-    cache_begin = self.get_variable("cache", "cache_begin")
-    cache_end = self.get_variable("cache", "cache_end") + 1
-    self.put_variable("cache", "cache_end", cache_end)
-    mask = jnp.logical_and(
-        jnp.arange(cache_size)[None, None, :] >= cache_begin[:, None, None],
-        jnp.arange(cache_size)[None, None, :] < cache_end[:, None, None])
+    # The new token may attend every in-use slot, itself included.
+    lo = self.get_variable("cache", "cache_begin")
+    hi = bump("cache_end", self.get_variable("cache", "cache_end") + 1)
+    slots = jnp.arange(cache_size)[None, None, :]
+    visible = (slots >= lo[:, None, None]) & (slots < hi[:, None, None])
 
-    logits, _ = self.model(tokens=None, embedded_prefix=x,
-                           positions=positions[:, None], mask=mask,
-                           decode=True)
+    logits, _ = self.model(tokens=None, decode=True, mask=visible,
+                           positions=positions[:, None],
+                           embedded_prefix=x)
     return logits
 
   @property
   def embdim(self):
-    return _get_config(self).width
+    width = _get_config(self).width
+    return width
 
 
-load = gemma.load
+def load(*a, **kw):
+  """Checkpoint loading delegates to the LM's loader (incl. quant paths)."""
+  return gemma.load(*a, **kw)

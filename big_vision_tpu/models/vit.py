@@ -34,15 +34,19 @@ from big_vision_tpu.ops import attention as attn_ops
 
 
 def posemb_sincos_2d(h, w, width, temperature=10_000., dtype=jnp.float32):
-  """2D sin-cos position embedding (MoCo-v3 style). Ref vit.py:34."""
-  y, x = jnp.mgrid[:h, :w]
+  """2D sin-cos position embedding (MoCo-v3 style). Ref vit.py:34.
+
+  Layout along the feature axis: [sin(x), cos(x), sin(y), cos(y)], each a
+  width/4-band geometric frequency sweep from 1 down to 1/temperature.
+  """
   assert width % 4 == 0, "Width must be a multiple of 4 for sincos posemb"
-  omega = jnp.arange(width // 4) / (width // 4 - 1)
-  omega = 1. / (temperature ** omega)
-  y = jnp.einsum("m,d->md", y.flatten(), omega)
-  x = jnp.einsum("m,d->md", x.flatten(), omega)
-  pe = jnp.concatenate([jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)], 1)
-  return jnp.asarray(pe, dtype)[None]
+  bands = width // 4
+  freqs = temperature ** (-jnp.arange(bands) / (bands - 1))
+  grid_y, grid_x = jnp.mgrid[:h, :w]
+  phase = [grid_x.reshape(-1, 1) * freqs, grid_y.reshape(-1, 1) * freqs]
+  pe = jnp.concatenate(
+      [trig(p) for p in phase for trig in (jnp.sin, jnp.cos)], axis=-1)
+  return pe[None].astype(dtype)
 
 
 def get_posemb(module, typ, seqshape, width, name, dtype=jnp.float32):
@@ -135,73 +139,71 @@ class MlpBlock(nn.Module):
   mlp_dim: Optional[int] = None  # Defaults to 4x input dim
   dropout: float = 0.0
   dtype_mm: str = "float32"
+  use_bias: bool = True
 
   @nn.compact
   def __call__(self, x, deterministic=True):
-    inits = dict(kernel_init=nn.initializers.xavier_uniform(),
-                 bias_init=nn.initializers.normal(stddev=1e-6))
     d = x.shape[-1]
-    x = nn.Dense(self.mlp_dim or 4 * d, dtype=self.dtype_mm, **inits)(x)
-    x = _constrain(x)
-    x = nn.gelu(x)
-    x = nn.Dropout(rate=self.dropout)(x, deterministic)
-    x = nn.Dense(d, dtype=self.dtype_mm, **inits)(x)
-    return x
+    dense = lambda features: nn.Dense(
+        features, dtype=self.dtype_mm, use_bias=self.use_bias,
+        kernel_init=nn.initializers.xavier_uniform(),
+        bias_init=nn.initializers.normal(stddev=1e-6))
+    h = nn.gelu(_constrain(dense(self.mlp_dim or 4 * d)(x)))
+    h = nn.Dropout(rate=self.dropout)(h, deterministic)
+    return dense(d)(h)
 
 
 class Encoder1DBlock(nn.Module):
   """Pre-norm transformer block. Ref vit.py:81."""
-  mlp_dim: Optional[int] = None
   num_heads: int = 12
-  dropout: float = 0.0
+  mlp_dim: Optional[int] = None
   dtype_mm: str = "float32"
   attn_impl: str = "auto"
+  dropout: float = 0.0
 
   @nn.compact
   def __call__(self, x, deterministic=True):
     out = {}
-    x = _constrain(x)
     # dtype=dtype_mm keeps the residual stream in bf16: the default f32
     # LayerNorm output promotes every residual add (and all inter-block
     # HBM traffic) to f32 — measured 50 ms of pure LN time per B/16 step.
     # Stats still accumulate in f32 inside flax's _compute_stats.
-    y = nn.LayerNorm(dtype=self.dtype_mm)(x)
-    y = out["sa"] = MultiHeadAttention(
-        num_heads=self.num_heads, dtype_mm=self.dtype_mm,
-        attn_impl=self.attn_impl,
-        name="MultiHeadDotProductAttention_0")(y, y,
-                                               deterministic=deterministic)
-    y = _constrain(y)
-    y = nn.Dropout(rate=self.dropout)(y, deterministic)
-    x = out["+sa"] = x + y
+    norm = lambda: nn.LayerNorm(dtype=self.dtype_mm)
+    drop = nn.Dropout(rate=self.dropout)
 
-    y = nn.LayerNorm(dtype=self.dtype_mm)(x)
-    y = out["mlp"] = MlpBlock(
-        mlp_dim=self.mlp_dim, dropout=self.dropout, dtype_mm=self.dtype_mm,
-    )(y, deterministic)
-    y = _constrain(y)
-    y = nn.Dropout(rate=self.dropout)(y, deterministic)
-    x = out["+mlp"] = x + y
+    x = _constrain(x)
+    delta = norm()(x)
+    delta = out["sa"] = MultiHeadAttention(
+        num_heads=self.num_heads, dtype_mm=self.dtype_mm,
+        attn_impl=self.attn_impl, name="MultiHeadDotProductAttention_0")(
+            delta, delta, deterministic=deterministic)
+    x = out["+sa"] = x + drop(_constrain(delta), deterministic)
+
+    delta = norm()(x)
+    delta = out["mlp"] = MlpBlock(
+        mlp_dim=self.mlp_dim, dropout=self.dropout,
+        dtype_mm=self.dtype_mm)(delta, deterministic)
+    x = out["+mlp"] = x + drop(_constrain(delta), deterministic)
     return _constrain(x), out
 
 
 class Encoder(nn.Module):
   """Stack of blocks; lax.scan-over-layers + remat when `scan`. Ref :115."""
   depth: int
-  mlp_dim: Optional[int] = None
   num_heads: int = 12
+  mlp_dim: Optional[int] = None
   dropout: float = 0.0
-  scan: bool = False
-  remat_policy: str = "nothing_saveable"
   dtype_mm: str = "float32"
   attn_impl: str = "auto"
+  scan: bool = False
+  remat_policy: str = "nothing_saveable"
 
   @nn.compact
   def __call__(self, x, deterministic=True):
     out = {}
-    block_kw = dict(dtype_mm=self.dtype_mm, mlp_dim=self.mlp_dim,
-                    num_heads=self.num_heads, dropout=self.dropout,
-                    attn_impl=self.attn_impl)
+    block_kw = dict(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                    attn_impl=self.attn_impl, dtype_mm=self.dtype_mm,
+                    dropout=self.dropout)
     if self.scan:
       block = nn.remat(
           Encoder1DBlock,
@@ -209,18 +211,16 @@ class Encoder(nn.Module):
           static_argnums=(2,),  # 0=self, 2=deterministic
           policy=getattr(jax.checkpoint_policies, self.remat_policy, None))
       x, scan_out = nn.scan(
-          block,
+          block, length=self.depth, in_axes=nn.broadcast,
           variable_axes={"params": 0},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast,
-          length=self.depth)(name="encoderblock", **block_kw)(
-              x, deterministic)
-      for lyr in range(self.depth):
-        out[f"block{lyr:02d}"] = jax.tree.map(lambda o, l=lyr: o[l], scan_out)
+          split_rngs={"dropout": True, "params": True},
+      )(name="encoderblock", **block_kw)(x, deterministic)
+      peel = lambda i: jax.tree.map(lambda leaf: leaf[i], scan_out)
+      out.update({f"block{i:02d}": peel(i) for i in range(self.depth)})
     else:
-      for lyr in range(self.depth):
-        x, out[f"block{lyr:02d}"] = Encoder1DBlock(
-            name=f"encoderblock_{lyr}", **block_kw)(x, deterministic)
+      for i in range(self.depth):
+        x, out[f"block{i:02d}"] = Encoder1DBlock(
+            name=f"encoderblock_{i}", **block_kw)(x, deterministic)
       out["pre_ln"] = x
     return nn.LayerNorm(name="encoder_norm")(x), out
 
@@ -233,97 +233,116 @@ class MAPHead(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    n, _, d = x.shape
     probe = self.param("probe", nn.initializers.xavier_uniform(),
-                       (1, 1, d), x.dtype)
-    probe = jnp.tile(probe, [n, 1, 1])
-    x = MultiHeadAttention(
+                       (1, 1, x.shape[-1]), x.dtype)
+    q = jnp.broadcast_to(probe, (x.shape[0], *probe.shape[1:]))
+    pooled = MultiHeadAttention(
         num_heads=self.num_heads, dtype_mm=self.dtype_mm, attn_impl="xla",
-        name="MultiHeadDotProductAttention_0")(probe, x)
-    y = nn.LayerNorm()(x)
-    x = x + MlpBlock(mlp_dim=self.mlp_dim, dtype_mm=self.dtype_mm)(y)
-    return x[:, 0]
+        name="MultiHeadDotProductAttention_0")(q, x)
+    mlp = MlpBlock(mlp_dim=self.mlp_dim, dtype_mm=self.dtype_mm)
+    pooled = pooled + mlp(nn.LayerNorm()(pooled))
+    return pooled[:, 0]
+
+
+def prepend_cls(module, x):
+  """Adds a learned zero-init [cls] token at position 0 (pool_type="tok")."""
+  cls = module.param("cls", nn.initializers.zeros, (1, 1, x.shape[-1]),
+                     x.dtype)
+  return jnp.concatenate([jnp.tile(cls, [x.shape[0], 1, 1]), x], axis=1)
+
+
+def classify(module, reps, num_classes, zeroinit):
+  """Applies one shared zero-init (by default) linear head to every rep."""
+  del module  # heads attach to the module currently compacting
+  head_kw = {"kernel_init": nn.initializers.zeros} if zeroinit else {}
+  head = nn.Dense(num_classes, name="head", **head_kw)
+  return {k: head(v) for k, v in reps.items()}
+
+
+def readout(x, pool_type, map_head=None):
+  """Pools encoded tokens -> (pooled, spatial_tokens).
+
+  Shared by vit, flexi, and the two-tower text towers. `spatial_tokens`
+  drops the [cls] slot for "tok" so the 2-D readout stays grid-shaped.
+  """
+  if pool_type == "map":
+    return map_head(x), x
+  if pool_type == "gap":
+    return jnp.mean(x, axis=1), x
+  if pool_type == "0":
+    return x[:, 0], x
+  if pool_type == "tok":
+    return x[:, 0], x[:, 1:]
+  if pool_type == "none":
+    return x, x
+  raise ValueError(f"Unknown pool type: {pool_type!r}")
 
 
 class _Model(nn.Module):
   """ViT. Ref vit.py:186."""
   num_classes: Optional[int] = None
+  # Architecture.
   patch_size: Sequence[int] = (16, 16)
-  width: int = 768
   depth: int = 12
+  width: int = 768
   mlp_dim: Optional[int] = None
   num_heads: int = 12
   posemb: str = "learn"  # or "sincos2d"
-  rep_size: Union[int, bool] = False
-  dropout: float = 0.0
   pool_type: str = "gap"  # gap / map / tok / 0 / none
+  rep_size: Union[int, bool] = False
   head_zeroinit: bool = True
-  scan: bool = False
-  remat_policy: str = "nothing_saveable"
+  dropout: float = 0.0
+  # TPU execution knobs.
   dtype_mm: str = "float32"
   attn_impl: str = "auto"
+  scan: bool = False
+  remat_policy: str = "nothing_saveable"
 
   @nn.compact
   def __call__(self, image, *, train=False):
     out = {}
-    image = jnp.asarray(image, self.dtype_mm)
 
+    # Stem: matmul patchify + posemb (+ optional cls token).
     x = out["stem"] = PatchEmbed(
         self.width, self.patch_size, name="embedding",
-        dtype_mm=self.dtype_mm)(image)
+        dtype_mm=self.dtype_mm)(jnp.asarray(image, self.dtype_mm))
     n, h, w, c = x.shape
-    x = jnp.reshape(x, [n, h * w, c])
-
-    x = out["with_posemb"] = x + get_posemb(
-        self, self.posemb, (h, w), c, "pos_embedding", x.dtype)
-
+    pos = get_posemb(self, self.posemb, (h, w), c, "pos_embedding", x.dtype)
+    x = out["with_posemb"] = x.reshape(n, h * w, c) + pos
     if self.pool_type == "tok":
-      cls = self.param("cls", nn.initializers.zeros, (1, 1, c), x.dtype)
-      x = jnp.concatenate([jnp.tile(cls, [n, 1, 1]), x], axis=1)
-
+      x = prepend_cls(self, x)
     x = nn.Dropout(rate=self.dropout)(x, not train)
 
+    # Trunk.
     x, out["encoder"] = Encoder(
-        depth=self.depth, mlp_dim=self.mlp_dim, num_heads=self.num_heads,
-        dropout=self.dropout, scan=self.scan, remat_policy=self.remat_policy,
-        dtype_mm=self.dtype_mm, attn_impl=self.attn_impl,
+        depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+        dropout=self.dropout, attn_impl=self.attn_impl,
+        dtype_mm=self.dtype_mm, scan=self.scan,
+        remat_policy=self.remat_policy,
         name="Transformer")(x, deterministic=not train)
-    encoded = out["encoded"] = x
+    out["encoded"] = x
 
-    if self.pool_type == "map":
-      x = out["head_input"] = MAPHead(
-          num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-          dtype_mm=self.dtype_mm)(x)
-    elif self.pool_type == "gap":
-      x = out["head_input"] = jnp.mean(x, axis=1)
-    elif self.pool_type == "0":
-      x = out["head_input"] = x[:, 0]
-    elif self.pool_type == "tok":
-      x = out["head_input"] = x[:, 0]
-      encoded = encoded[:, 1:]
-    elif self.pool_type == "none":
-      pass
-    else:
-      raise ValueError(f"Unknown pool type: {self.pool_type!r}")
-
-    x_2d = jnp.reshape(encoded, [n, h, w, -1])
+    # Readout: pooled vector + 2-D token grid, each through the same
+    # (optional) rep projection and classifier head.
+    map_head = MAPHead(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                       dtype_mm=self.dtype_mm) if self.pool_type == "map" \
+        else None
+    x, encoded = readout(x, self.pool_type, map_head)
+    if self.pool_type != "none":
+      out["head_input"] = x
+    reps = {"": x, "_2d": encoded.reshape(n, h, w, -1)}
 
     if self.rep_size:
-      rep_size = self.width if self.rep_size is True else self.rep_size
-      hid = nn.Dense(rep_size, name="pre_logits")
-      x_2d = nn.tanh(hid(x_2d))
-      x = nn.tanh(hid(x))
-
-    out["pre_logits_2d"] = x_2d
-    out["pre_logits"] = x
+      hid_width = self.width if self.rep_size is True else self.rep_size
+      hid = nn.Dense(hid_width, name="pre_logits")
+      reps = {k: nn.tanh(hid(v)) for k, v in reps.items()}
+    out.update({f"pre_logits{k}": v for k, v in reps.items()})
 
     if self.num_classes:
-      kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
-      head = nn.Dense(self.num_classes, name="head", **kw)
-      x_2d = out["logits_2d"] = head(x_2d)
-      x = out["logits"] = head(x)
+      reps = classify(self, reps, self.num_classes, self.head_zeroinit)
+      out.update({f"logits{k}": v for k, v in reps.items()})
 
-    return x, out
+    return reps[""], out
 
 
 def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-name
@@ -331,27 +350,35 @@ def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-n
   return _Model(num_classes, **{**decode_variant(variant), **kw})
 
 
+# (width, depth, mlp_dim, num_heads) per size letter; values are the
+# published scaling-law table, arxiv.org/abs/2106.04560 (ref vit.py:228).
+VARIANT_TABLE = {
+    "mu": (32, 1, 128, 2),
+    "Ti": (192, 12, 768, 3),
+    "S": (384, 12, 1536, 6),
+    "M": (512, 12, 2048, 8),
+    "B": (768, 12, 3072, 12),
+    "L": (1024, 24, 4096, 16),
+    "So400m": (1152, 27, 4304, 16),
+    "H": (1280, 32, 5120, 16),
+    "g": (1408, 40, 6144, 16),
+    "g-opt": (1536, 40, 6144, 16),
+    "G": (1664, 48, 8192, 16),
+    "G-opt": (1536, 48, 8192, 16),
+    "e": (1792, 56, 15360, 16),
+}
+
+
 def decode_variant(variant):
-  """"B/16" -> config dict. Table from arxiv.org/abs/2106.04560."""
+  """"B/16" -> {width, depth, mlp_dim, num_heads, patch_size}."""
   if variant is None:
     return {}
-  v, patch = variant, {}
-  if "/" in variant:
-    v, patch = variant.split("/")
-    patch = {"patch_size": (int(patch), int(patch))}
-  width = {"mu": 32, "Ti": 192, "S": 384, "M": 512, "B": 768, "L": 1024,
-           "So400m": 1152, "H": 1280, "g": 1408, "g-opt": 1536, "G": 1664,
-           "G-opt": 1536, "e": 1792}
-  depth = {"mu": 1, "Ti": 12, "S": 12, "M": 12, "B": 12, "L": 24,
-           "So400m": 27, "H": 32, "g": 40, "g-opt": 40, "G": 48, "G-opt": 48,
-           "e": 56}
-  mlp = {"mu": 128, "Ti": 768, "S": 1536, "M": 2048, "B": 3072, "L": 4096,
-         "So400m": 4304, "H": 5120, "g": 6144, "g-opt": 6144, "G": 8192,
-         "G-opt": 8192, "e": 15360}
-  heads = {"mu": 2, "Ti": 3, "S": 6, "M": 8, "B": 12, "L": 16, "So400m": 16,
-           "H": 16, "g": 16, "g-opt": 16, "G": 16, "G-opt": 16, "e": 16}
-  return {"width": width[v], "depth": depth[v], "mlp_dim": mlp[v],
-          "num_heads": heads[v], **patch}
+  size, _, patch = variant.partition("/")
+  width, depth, mlp_dim, num_heads = VARIANT_TABLE[size]
+  cfg = dict(width=width, depth=depth, mlp_dim=mlp_dim, num_heads=num_heads)
+  if patch:
+    cfg["patch_size"] = (int(patch),) * 2
+  return cfg
 
 
 def resample_posemb(old, new):
@@ -374,30 +401,28 @@ def fix_old_checkpoints(params):
   params = flax.core.unfreeze(
       flax.training.checkpoints.convert_pre_linen(params))
 
-  if "posembed_input" in params.get("Transformer", {}):
-    # Very old: posemb lived in its own module.
-    posemb = params["Transformer"].pop("posembed_input")
-    params["pos_embedding"] = posemb["pos_embedding"]
+  # The posemb has lived in two places inside the encoder over the years:
+  # its own "posembed_input" module (very old) or directly in "Transformer"
+  # (pre-2022). Hoist either to the top level.
+  trunk = params.get("Transformer", {})
+  if "posembed_input" in trunk:
+    params["pos_embedding"] = trunk.pop("posembed_input")["pos_embedding"]
+  if "pos_embedding" in trunk:
+    params["pos_embedding"] = trunk.pop("pos_embedding")
 
-  if "pos_embedding" in params.get("Transformer", {}):
-    # Pre-2022: posemb lived in the Encoder.
-    params["pos_embedding"] = params["Transformer"].pop("pos_embedding")
+  # Oldest layout concatenated [cls] before adding posemb, giving N+1
+  # posembs; fold the extra slot's posemb into the cls token itself.
+  pe = params.get("pos_embedding")
+  if pe is not None and int(np.sqrt(pe.shape[1])) ** 2 + 1 == pe.shape[1]:
+    params["pos_embedding"] = pe[:, 1:]
+    if "cls" in params:
+      params["cls"] += pe[:, :1]
 
-  if "pos_embedding" in params:
-    # Oldest layout concatenated [cls] before adding posemb, giving N+1
-    # posembs; fold the cls posemb into the cls token.
-    pe = params["pos_embedding"]
-    if int(np.sqrt(pe.shape[1])) ** 2 + 1 == int(pe.shape[1]):
-      pe_cls, params["pos_embedding"] = pe[:, :1], pe[:, 1:]
-      if "cls" in params:
-        params["cls"] += pe_cls
-
+  # ViT-G-era checkpoints had the MAP head's submodules inlined at the top.
   if "probe" in params:
-    # ViT-G-era checkpoints had the MAP head inlined.
-    params["MAPHead_0"] = {
-        k: params.pop(k) for k in
-        ["probe", "MlpBlock_0", "MultiHeadDotProductAttention_0",
-         "LayerNorm_0"]}
+    inlined = ("probe", "MlpBlock_0", "MultiHeadDotProductAttention_0",
+               "LayerNorm_0")
+    params["MAPHead_0"] = {k: params.pop(k) for k in inlined}
 
   return params
 
