@@ -9,49 +9,51 @@ shift_labels=True, ...)`.
 
 import functools
 
-from big_vision_tpu.evaluators import mean
-import big_vision_tpu.utils as u
 import jax.numpy as jnp
+
+import big_vision_tpu.utils as u
+from big_vision_tpu.evaluators import mean
 
 API = "jit"
 
 
-@functools.cache
-def perplexity(predict_fn, key="labels", shift_labels=True, pad_token=None):
-  """Per-example {sum, avg} NLL from a (logits, out) predict_fn."""
+# Memoized so that several evaluator instances with identical settings
+# (e.g. val + test perplexity) share one closure and thus one jit cache
+# entry inside mean.get_eval_fn.
+@functools.lru_cache(maxsize=None)
+def _nll_fn(predict_fn, key, shift_labels, pad_token):
+  """Builds the per-example masked-NLL fn for `mean` reduction."""
 
-  def _perplexity_fn(train_state, batch, **kw):
-    out = predict_fn(train_state, batch, **kw)
-    if isinstance(out, dict):
+  def per_example_nll(train_state, batch, **ikw):
+    pred = predict_fn(train_state, batch, **ikw)
+    if isinstance(pred, dict):
       # pred="perplexity": the trainer already computed per-example
       # metrics; mean-reduce them as-is (smoke configs use this form).
-      return out
-    logits, _ = out
+      return pred
+
+    logits = pred[0]
     labels = batch[key]
-    weights = batch.get("mask_loss", jnp.ones_like(labels))
+    keep = batch.get("mask_loss")
+    if keep is None:
+      keep = jnp.ones_like(labels)
     if pad_token is not None:
-      weights = weights * (labels != pad_token).astype(jnp.float32)
+      keep = jnp.where(labels == pad_token, 0.0, keep)
     if shift_labels:
       # logits[:, i] predicts labels[:, i+1] (same alignment as the
       # trainer's loss, trainers/proj/paligemma/train.py).
-      logits_ = logits[:, :-1]
-      labels = labels[:, 1:]
-      weights = weights[:, 1:]
-    else:
-      logits_ = logits
-    losses = u.weighted_softmax_xent(
-        logits=logits_, labels=labels, weights=weights,
-        reduction=False, normalize=False)
-    normalizer = jnp.clip(weights.sum(axis=1), 2e-38)
-    return {"sum": losses, "avg": losses / normalizer}
+      logits, labels, keep = logits[:, :-1], labels[:, 1:], keep[:, 1:]
 
-  return _perplexity_fn
+    nll = u.weighted_softmax_xent(
+        labels=labels, logits=logits, weights=keep,
+        normalize=False, reduction=False)
+    denom = jnp.maximum(jnp.sum(keep, axis=-1), 2e-38)
+    return {"sum": nll, "avg": nll / denom}
+
+  return per_example_nll
 
 
-class Evaluator(mean.Evaluator):
+def Evaluator(predict_fn, *args, shift_labels=False, key="labels",
+              pad_token=None, **kw):
   """Perplexity evaluator (mean-reduced masked CE)."""
-
-  def __init__(self, predict_fn, *a, key="labels", shift_labels=False,
-               pad_token=None, **kw):
-    super().__init__(
-        perplexity(predict_fn, key, shift_labels, pad_token), *a, **kw)
+  fn = _nll_fn(predict_fn, key, shift_labels, pad_token)
+  return mean.Evaluator(fn, *args, **kw)
