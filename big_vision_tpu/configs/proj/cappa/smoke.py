@@ -40,7 +40,7 @@ def get_config(arg=None):
 
   config.evals = dict(
       perplexity=dict(
-          type="proj.paligemma.perplexity", pred="perplexity",
+          type="proj.cappa.perplexity", pred="perplexity",
           data=dict(name="synthetic", n=16, num_classes=8, h=24, w=24),
           pp_fn=config.input.pp, log_steps=10),
   )

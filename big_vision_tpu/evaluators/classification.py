@@ -20,36 +20,41 @@ API = "jit"
 
 @functools.cache
 def get_eval_fn(predict_fn, loss_name):
+  """One jitted global-reduction step returning masked metric sums."""
+  per_example_loss = getattr(u, loss_name)
+
   @jax.jit
-  def _eval_fn(train_state, batch, labels, mask):
-    logits, *_ = predict_fn(train_state, batch)
+  def batch_sums(train_state, batch, labels, mask):
+    outputs = predict_fn(train_state, batch)
+    logits = outputs[0]
     mask = mask * labels.max(axis=1)  # ignore all-zero label rows
-    loss = getattr(u, loss_name)(logits=logits, labels=labels,
-                                 reduction=False)
-    loss = jnp.sum(loss * mask)
-    top1 = jnp.argmax(logits, axis=1)
-    correct = jnp.take_along_axis(labels, top1[:, None], axis=1)[:, 0]
-    return jnp.sum(correct * mask), loss, jnp.sum(mask)
-  return _eval_fn
+    top1 = jnp.argmax(logits, axis=1)[:, None]
+    hit = jnp.take_along_axis(labels, top1, axis=1).squeeze(1)
+    loss = per_example_loss(logits=logits, labels=labels, reduction=False)
+    return {"prec@1": jnp.sum(hit * mask),
+            "loss": jnp.sum(loss * mask),
+            "n": jnp.sum(mask)}
+
+  return batch_sums
 
 
 class Evaluator:
 
   def __init__(self, predict_fn, loss_name, label_key="labels", **kw):
     self.get_data_iter, self.steps = common.eval_input_pipeline(**kw)
-    self.eval_fn = get_eval_fn(predict_fn, loss_name)
     self.label_key = label_key
+    self.eval_fn = get_eval_fn(predict_fn, loss_name)
 
   def run(self, train_state):
-    ncorrect, loss, nseen = 0, 0, 0
-    for _, batch in zip(range(self.steps), self.get_data_iter()):
-      batch, _ = common.split_batch(batch)
-      labels, mask = batch.pop(self.label_key), batch.pop("_mask")
+    totals = {"prec@1": 0.0, "loss": 0.0, "n": 0.0}
+    data = self.get_data_iter()
+    for _, raw in zip(range(self.steps), data):
+      batch, _ = common.split_batch(raw)
+      mask = batch.pop("_mask")
+      labels = batch.pop(self.label_key)
       batch.pop("_id", None)
-      nc, l, ns = jax.device_get(
-          self.eval_fn(train_state, batch, labels, mask))
-      ncorrect += nc
-      loss += l
-      nseen += ns
-    yield ("prec@1", ncorrect / nseen)
-    yield ("loss", loss / nseen)
+      part = self.eval_fn(train_state, batch, labels, mask)
+      part = jax.device_get(part)
+      totals = {k: totals[k] + part[k] for k in totals}
+    for key in ("prec@1", "loss"):
+      yield (key, totals[key] / totals["n"])

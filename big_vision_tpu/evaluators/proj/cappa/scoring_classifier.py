@@ -2,8 +2,8 @@
 
 Parity target: reference evaluators/proj/cappa/scoring_classifier.py. All
 class names are tokenized once with `pp_txt`; the predict_fn receives them
-as `_label_tokens` and returns per-class scores; prec@1 is averaged by the
-`mean` evaluator machinery.
+as `_label_tokens` and returns per-class scores [B, n_labels]; prec@1 is
+averaged by the `mean` evaluator machinery.
 """
 
 from __future__ import annotations
@@ -26,24 +26,21 @@ CLASS_NAMES = {
 
 @functools.lru_cache(maxsize=None)
 def get_classes(dataset_name, pp_txt):
-  """Tokenizes all class label strings with the given pp string."""
-  pp_fn = pp_builder.get_preprocess_fn(pp_txt)
-  return np.array([pp_fn({"label": name})["labels"]
-                   for name in CLASS_NAMES[dataset_name]()])
+  """Tokenizes every class label string with the given pp string."""
+  to_tokens = pp_builder.get_preprocess_fn(pp_txt)
+  rows = [to_tokens({"label": name})["labels"]
+          for name in CLASS_NAMES[dataset_name]()]
+  return np.array(rows)
 
 
-def scoring(predict_fn, tokenized_labels):
-  def _scoring_fn(train_state, batch, *a, **kw):
-    batch = {"_label_tokens": jnp.asarray(tokenized_labels), **batch}
-    scores = predict_fn(train_state, batch, *a, **kw)
-    predictions = jnp.argmax(scores, axis=-1)
-    return {"prec@1": predictions == batch["label"]}
-  return _scoring_fn
-
-
-class Evaluator(mean.Evaluator):
+def Evaluator(predict_fn, pp_txt, *a, data, **kw):  # pylint: disable=invalid-name
   """Classification accuracy by scoring every class caption."""
+  class_tokens = jnp.asarray(get_classes(data["name"], pp_txt))
 
-  def __init__(self, predict_fn, pp_txt, *a, data, **kw):
-    cls_tokens = get_classes(data["name"], pp_txt)
-    super().__init__(scoring(predict_fn, cls_tokens), *a, data=data, **kw)
+  def prec_at_1(train_state, batch, *ia, **ikw):
+    scores = predict_fn(
+        train_state, {"_label_tokens": class_tokens, **batch}, *ia, **ikw)
+    hit = jnp.argmax(scores, axis=-1) == batch["label"]
+    return {"prec@1": hit}
+
+  return mean.Evaluator(prec_at_1, *a, data=data, **kw)

@@ -10,27 +10,25 @@ from __future__ import annotations
 import jax
 from jax import shard_map as _shard_map
 
-P = jax.sharding.PartitionSpec
-
-
-def _ambient_mesh():
-  from big_vision_tpu.utils.mesh import ambient_mesh
-  return ambient_mesh()
-
 
 def batch_shmap(fn, *args, **kwargs):
   """Maps `fn` along the data dimension without communication."""
-  mesh = _ambient_mesh()
-  if mesh is not None and not isinstance(
-      mesh, jax.sharding.AbstractMesh):
-    devices_flat = mesh.devices.flatten()
-    mesh_flat = jax.sharding.Mesh(devices_flat, ("data",))
-    fn = _shard_map(fn, mesh=mesh_flat, in_specs=P("data"),
-                    out_specs=P("data"))
-  return fn(*args, **kwargs)
+  from big_vision_tpu.utils.mesh import ambient_mesh
+  mesh = ambient_mesh()
+  if mesh is None or isinstance(mesh, jax.sharding.AbstractMesh):
+    return fn(*args, **kwargs)
+  # Flatten whatever mesh shape is ambient into a single "data" axis:
+  # shard_map over it touches each shard independently, so any per-shard
+  # computation stays collective-free by construction.
+  spec = jax.sharding.PartitionSpec("data")
+  flat = jax.sharding.Mesh(mesh.devices.reshape(-1), ("data",))
+  shmapped = _shard_map(fn, mesh=flat, in_specs=spec, out_specs=spec)
+  return shmapped(*args, **kwargs)
 
 
 def subsample_batch(x, subsample: int):
   """Takes every `subsample`-th example, per shard (no cross-device comms)."""
-  fn = lambda x: jax.tree.map(lambda xx: xx[::subsample], x)
-  return batch_shmap(fn, x) if subsample > 1 else x
+  if subsample <= 1:
+    return x
+  take_strided = lambda tree: jax.tree.map(lambda a: a[::subsample], tree)
+  return batch_shmap(take_strided, x)

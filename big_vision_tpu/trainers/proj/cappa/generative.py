@@ -167,16 +167,9 @@ def _main(argv=None, *, config=None, workdir=None):
           config.get("model", {}), **config.get("model_load", {}))
       train_state["params"] = u.reshard(loaded, params_sharding)
 
-  def perplexity_fn(train_state, batch):
-    logits = model.apply({"params": train_state["params"]},
-                         batch["image"], batch["labels"])
-    weights = (batch["labels"] != 0).astype(jnp.float32)
-    nll = u.weighted_softmax_xent(
-        logits=logits, labels=batch["labels"], weights=weights,
-        reduction=False, normalize=True)
-    return {"perplexity": nll}
-
-  predict_fns = {"perplexity": perplexity_fn}
+  # pred="perplexity" / "score" / "enc_rep" (ref generative.py:378).
+  from big_vision_tpu.trainers.proj.cappa import predict_fns as pfns
+  predict_fns = pfns.get_predict_fns(model)
 
   @functools.cache
   def evaluators():

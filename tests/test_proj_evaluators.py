@@ -146,3 +146,40 @@ def test_image_text_retrieval_math():
   dist[1, 0] = 0.0
   t2i = image_text_retrieval.text_to_image_retrieval_eval(dist, corr)
   assert t2i["Recall@1"] == pytest.approx(3 / 4)
+
+
+def test_cappa_scoring_classifier_end_to_end(monkeypatch):
+  """Drives the score predict_fn + scoring_classifier evaluator together."""
+  from big_vision_tpu.evaluators.proj.cappa import scoring_classifier
+  from big_vision_tpu.models.proj.cappa import cappa
+  from big_vision_tpu.trainers.proj.cappa import predict_fns
+
+  model = cappa.Model(
+      num_layers=1, num_heads=2, mlp_dim=16, emb_dim=16, vocab_size=32,
+      seq_len=4, patches=(8, 8), posemb_type="learn")
+  img = jnp.zeros((2, 16, 16, 3))
+  txt = jnp.zeros((2, 4), jnp.int32)
+  params = model.init(jax.random.PRNGKey(0), img, txt)["params"]
+  fns = predict_fns.get_predict_fns(model)
+
+  # Tokenized "class names": 3 classes, 4 tokens each.
+  monkeypatch.setitem(
+      scoring_classifier.CLASS_NAMES, "arrays", lambda: ["a", "b", "c"])
+  monkeypatch.setattr(
+      scoring_classifier, "get_classes",
+      lambda name, pp: np.arange(12, dtype=np.int32).reshape(3, 4) % 5 + 1)
+
+  data = {"image": np.random.RandomState(0).randn(4, 16, 16, 3)
+          .astype(np.float32),
+          "label": np.array([0, 1, 2, 0])}
+  ev = scoring_classifier.Evaluator(
+      fns["score"], "", data=dict(name="arrays", data=data), pp_fn="",
+      batch_size=4, devices=jax.devices())
+  results = dict(ev.run({"params": params}))
+  assert 0.0 <= results["prec@1"] <= 1.0
+
+  # Prompt path: make_prompt is cached and prefixes every caption.
+  scores = fns["score"]({"params": params},
+                        {"image": jnp.asarray(data["image"]),
+                         "_label_tokens": jnp.ones((3, 4), jnp.int32)})
+  assert scores.shape == (4, 3)
