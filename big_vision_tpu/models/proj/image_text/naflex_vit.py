@@ -2,9 +2,14 @@
 
 Parity target: reference models/proj/image_text/naflex_vit.py: input is a
 tuple (patches [B,N,phw*3], ptype [B,N], yidx [B,N], xidx [B,N]) from the
-NaFlex pp ops; learned 2D posemb is resized per example to the image's
-patch grid and gathered at each patch's coordinates; attention and pooling
-mask out padding tokens.
+NaFlex pp ops; a learned 2D posemb is bilinearly rescaled per example to
+that example's patch grid and gathered at each patch's (y, x) coordinate;
+attention and pooling mask out padding tokens (ptype != 1).
+
+The trunk is models/vit.py's Encoder/MAPHead (which take the padding mask
+or, for the fused flash kernel, segment ids), so this file only owns the
+NaFlex-specific stem: linear patch embedding with optional pre/post LN and
+the per-example posemb resample.
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from big_vision_tpu.models import vit
+from big_vision_tpu.ops import flash_attention as fa
 
 
 def _decode_posemb(posemb):
@@ -47,188 +53,97 @@ def _pos_emb_resize(pos_emb, shapes, coords, l):
   return jax.vmap(resize_fn)(shapes, coords)
 
 
-class Encoder1DBlock(nn.Module):
-  """ViT block with an attention mask (padding tokens can't attend)."""
-  attn_impl: str = "xla"
-  mlp_dim: Optional[int] = None
-  num_heads: int = 12
-  dropout: float = 0.0
-  dtype_mm: str = "float32"
-
-  @nn.compact
-  def __call__(self, x, mask=None, deterministic=True, seg=None):
-    out = {}
-    y = nn.LayerNorm()(x)
-    use_seg = self.attn_impl == "flash" and seg is not None
-    y = out["sa"] = vit.MultiHeadAttention(
-        num_heads=self.num_heads, dtype_mm=self.dtype_mm,
-        attn_impl=self.attn_impl,
-        name="MultiHeadDotProductAttention_0")(
-            y, y,
-            mask=(None if use_seg else
-                  mask[..., None, :, :] if mask is not None else None),
-            seg=seg if use_seg else None)
-    y = nn.Dropout(rate=self.dropout)(y, deterministic)
-    x = out["+sa"] = x + y
-    y = nn.LayerNorm()(x)
-    y = out["mlp"] = vit.MlpBlock(
-        mlp_dim=self.mlp_dim, dropout=self.dropout,
-        dtype_mm=self.dtype_mm)(y, deterministic)
-    y = nn.Dropout(rate=self.dropout)(y, deterministic)
-    x = out["+mlp"] = x + y
-    return x, out
-
-
-class Encoder(nn.Module):
-  depth: int
-  mlp_dim: Optional[int] = None
-  num_heads: int = 12
-  dropout: float = 0.0
-  scan: bool = False
-  remat_policy: str = "nothing_saveable"
-  dtype_mm: str = "float32"
-  attn_impl: str = "xla"
-
-  @nn.compact
-  def __call__(self, x, mask=None, deterministic=True, seg=None):
-    out = {}
-    block_kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
-                    dropout=self.dropout, dtype_mm=self.dtype_mm,
-                    attn_impl=self.attn_impl)
-    if self.scan:
-      block = nn.remat(Encoder1DBlock, prevent_cse=False,
-                       static_argnums=(3,),
-                       policy=getattr(jax.checkpoint_policies,
-                                      self.remat_policy, None))
-      x, scan_out = nn.scan(
-          block, variable_axes={"params": 0},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast, length=self.depth)(
-              name="encoderblock", **block_kw)(x, mask, deterministic,
-                                               seg)
-      for lyr in range(self.depth):
-        out[f"block{lyr:02d}"] = jax.tree.map(lambda o, l=lyr: o[l],
-                                              scan_out)
-    else:
-      for lyr in range(self.depth):
-        x, out[f"block{lyr:02d}"] = Encoder1DBlock(
-            name=f"encoderblock_{lyr}", **block_kw)(x, mask,
-                                                    deterministic, seg)
-      out["pre_ln"] = x
-    return nn.LayerNorm(name="encoder_norm")(x), out
-
-
-class MAPHead(nn.Module):
-  mlp_dim: Optional[int] = None
-  num_heads: int = 12
-
-  @nn.compact
-  def __call__(self, x, mask=None):
-    n, _, d = x.shape
-    probe = self.param("probe", nn.initializers.xavier_uniform(),
-                       (1, 1, d), x.dtype)
-    probe = jnp.tile(probe, [n, 1, 1])
-    if mask is not None:
-      mask = mask[..., None, None, :]
-    x = vit.MultiHeadAttention(
-        num_heads=self.num_heads, attn_impl="xla",
-        name="MultiHeadDotProductAttention_0")(probe, x, mask=mask)
-    y = nn.LayerNorm()(x)
-    x = x + vit.MlpBlock(mlp_dim=self.mlp_dim)(y)
-    return x[:, 0]
+def masked_pool(x, keep, pool_type):
+  """Pools [B, T, D] over valid (keep) tokens only."""
+  keep = keep[..., None]
+  if pool_type == "gap":
+    return jnp.sum(x * keep, axis=1) / jnp.sum(keep, axis=1)
+  if pool_type == "max":
+    neg = jnp.where(keep, 0, jnp.finfo(x.dtype).min)
+    return jnp.max(x * keep + neg, axis=1)
+  raise ValueError(f"Unknown pool type {pool_type!r}")
 
 
 class _Model(nn.Module):
   """NaFlex ViT over (patches, type, yidx, xidx) tuples."""
   num_classes: Optional[int] = None
-  width: int = 768
   depth: int = 12
-  mlp_dim: Optional[int] = None
+  width: int = 768
   num_heads: int = 12
-  rep_size: Union[int, bool] = False
+  mlp_dim: Optional[int] = None
   pool_type: str = "gap"  # map / gap / max / none
+  rep_size: Union[int, bool] = False
   head_zeroinit: bool = True
-  scan: bool = False
-  remat_policy: str = "nothing_saveable"
-  dtype_mm: str = "float32"
+  # NaFlex stem.
   posemb: str = "learn_2d(64)"
   nposemb: Optional[int] = None
   patchln_pre: bool = False
   patchln_post: bool = False
+  # TPU execution knobs.
+  dtype_mm: str = "float32"
   attn_impl: str = "xla"
+  scan: bool = False
+  remat_policy: str = "nothing_saveable"
 
   @nn.compact
   def __call__(self, image, *, train=False):
     out = {}
     patches, ptype, yabs, xabs = image
-    patches = jnp.asarray(patches, self.dtype_mm)
+    valid = ptype == 1
 
+    # Stem: linear patch embedding (pp already did the patchify).
+    patches = jnp.asarray(patches, self.dtype_mm)
     if self.patchln_pre:
       patches = nn.LayerNorm(name="patchln_pre")(patches)
-    tokens = out["stem"] = nn.Dense(
+    x = out["stem"] = nn.Dense(
         self.width, name="embedding", dtype=self.dtype_mm)(patches)
     if self.patchln_post:
-      tokens = nn.LayerNorm(name="patchln_post")(tokens)
+      x = nn.LayerNorm(name="patchln_post")(x)
 
-    x = tokens
-    posemb, grid = _decode_posemb(self.posemb)
-    if posemb == "learn_2d":
-      posembs = self.param(
-          "pos_embedding",
-          nn.initializers.normal(stddev=1 / np.sqrt(self.width)),
-          (self.nposemb, self.nposemb, self.width), self.dtype_mm)
-      coords = jnp.stack([yabs, xabs], axis=-1)
-      shapes = coords.max(axis=1) + 1
-      x += _pos_emb_resize(posembs, shapes, coords, grid or 64)
-    else:
+    # Posemb: rescale the canonical grid to each example's own grid, then
+    # pick the embedding under every patch's coordinate.
+    kind, grid = _decode_posemb(self.posemb)
+    if kind != "learn_2d":
       raise ValueError(f"Unknown posemb {self.posemb!r}")
+    table = self.param(
+        "pos_embedding",
+        nn.initializers.normal(stddev=1 / np.sqrt(self.width)),
+        (self.nposemb, self.nposemb, self.width), self.dtype_mm)
+    coords = jnp.stack([yabs, xabs], axis=-1)
+    x = x + _pos_emb_resize(table, coords.max(axis=1) + 1, coords,
+                            grid or 64)
     out["with_posemb"] = x
 
-    from big_vision_tpu.ops import flash_attention as _fa
-    if (self.attn_impl == "flash"
-        and patches.shape[1] <= _fa.MAX_ONESHOT):
-      # Padding-only masking == segment ids 1 (valid) / 0 (pad): the
-      # fused kernel consumes this directly (no [T, T] bool mask).
-      sa_mask, seg = None, (ptype == 1).astype(jnp.int32)
+    # Padding-only masking == segment ids (1 valid / 0 pad) for the fused
+    # flash kernel; the [B, T, T] bool mask otherwise.
+    if self.attn_impl == "flash" and patches.shape[1] <= fa.MAX_ONESHOT:
+      sa_mask, seg = None, valid.astype(jnp.int32)
     else:
-      seg = None
-      sa_mask = ptype == 1
-      sa_mask = jnp.logical_and(sa_mask[..., :, None],
-                                sa_mask[..., None, :])
-    x, out["encoder"] = Encoder(
-        depth=self.depth, mlp_dim=self.mlp_dim, num_heads=self.num_heads,
-        scan=self.scan, remat_policy=self.remat_policy,
-        dtype_mm=self.dtype_mm, attn_impl=self.attn_impl,
-        name="Transformer")(
-            x, mask=sa_mask, deterministic=not train, seg=seg)
+      sa_mask, seg = valid[..., :, None] & valid[..., None, :], None
+
+    x, out["encoder"] = vit.Encoder(
+        depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+        attn_impl=self.attn_impl, dtype_mm=self.dtype_mm, scan=self.scan,
+        remat_policy=self.remat_policy, name="Transformer")(
+            x, deterministic=not train, mask=sa_mask, seg=seg)
     out["encoded"] = x
 
-    pool_mask = ptype == 1
     if self.pool_type == "map":
-      x = MAPHead(num_heads=self.num_heads, mlp_dim=self.mlp_dim)(
-          x, mask=pool_mask)
-    elif self.pool_type == "gap":
-      pm = pool_mask[..., None]
-      x = jnp.sum(x * pm, axis=1) / jnp.sum(pm, axis=1)
-    elif self.pool_type == "max":
-      pm = pool_mask[..., None]
-      ignore = jnp.where(pm, 0, jnp.finfo(x.dtype).min)
-      x = jnp.max(pm * x + ignore, axis=1)
-    elif self.pool_type == "none":
-      pass
-    else:
-      raise ValueError(f"Unknown pool type {self.pool_type!r}")
+      x = vit.MAPHead(num_heads=self.num_heads,
+                      mlp_dim=self.mlp_dim)(x, mask=valid)
+    elif self.pool_type != "none":
+      x = masked_pool(x, valid, self.pool_type)
     out["head_input"] = x
 
     if self.rep_size:
-      rep_size = self.width if self.rep_size is True else self.rep_size
-      x = nn.tanh(nn.Dense(rep_size, name="pre_logits")(x))
+      hid_width = self.width if self.rep_size is True else self.rep_size
+      x = nn.tanh(nn.Dense(hid_width, name="pre_logits")(x))
     out["pre_logits"] = x
 
     if self.num_classes:
-      kw = ({"kernel_init": nn.initializers.zeros}
-            if self.head_zeroinit else {})
-      x = out["logits"] = nn.Dense(self.num_classes, name="head", **kw)(x)
+      reps = vit.classify(self, {"": x}, self.num_classes,
+                          self.head_zeroinit)
+      x = out["logits"] = reps[""]
     return x, out
 
 

@@ -7,6 +7,9 @@ components loaded from an npz; decode() inverts exactly. With
 that mode needs no file and is what smoke configs use. The (orthogonal)
 PCA and the reshape are volume-preserving up to the whitening scale, so
 the Jet flow on top stays exactly invertible.
+
+All reshapes are explicit reshape/transpose pairs (XLA lowers them to
+layout changes that fuse with the adjacent PCA matmuls).
 """
 
 from __future__ import annotations
@@ -14,7 +17,6 @@ from __future__ import annotations
 import functools
 from typing import Any, Sequence
 
-import einops
 import jax
 import jax.numpy as jnp
 
@@ -44,24 +46,31 @@ class Model(vae.Model):
     assert self.codeword_dim is not None
     assert self.pca_init_file or self.skip_pca
     assert not self.skip_pca or self.depth_to_seq == 1
-    if self.skip_pca:
-      return
-    pca = _load_pca_params(self.pca_init_file)
-    self.components_ = jnp.asarray(pca["components_"], jnp.float32)
-    self.explained_variance_ = jnp.asarray(
-        pca["explained_variance_"], jnp.float32)
-    self.mean_ = jnp.asarray(pca["mean_"], jnp.float32)
+    if not self.skip_pca:
+      table = _load_pca_params(self.pca_init_file)
+      as_f32 = lambda key: jnp.asarray(table[key], jnp.float32)
+      self.components_ = as_f32("components_")
+      self.explained_variance_ = as_f32("explained_variance_")
+      self.mean_ = as_f32("mean_")
+
+  @property
+  def _grid(self):
+    (ih, iw), (p, q) = self.input_size, self.patch_size
+    return ih // p, iw // q
 
   def _flatten_images(self, x):
-    return einops.rearrange(
-        x, "b (h p) (w q) c -> b (h w) (p q c)",
-        p=self.patch_size[0], q=self.patch_size[1])
+    """[B, H, W, 3] -> [B, h*w, p*q*3] non-overlapping patch vectors."""
+    b = x.shape[0]
+    (h, w), (p, q) = self._grid, self.patch_size
+    x = x.reshape(b, h, p, w, q, -1).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * w, -1)
 
   def _unflatten_patches(self, x):
-    (h, w), (p, q) = self.input_size, self.patch_size
-    return einops.rearrange(
-        x, "b (h w) (p q c) -> b (h p) (w q) c",
-        h=h // p, w=w // q, p=p, q=q, c=3)
+    """Exact inverse of _flatten_images (c=3)."""
+    b = x.shape[0]
+    (h, w), (p, q) = self._grid, self.patch_size
+    x = x.reshape(b, h, w, p, q, 3).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * p, w * q, 3)
 
   def encode(self, x, *, train=False):
     del train
@@ -73,22 +82,26 @@ class Model(vae.Model):
       return x, jnp.zeros_like(x)
 
     # sklearn PCA transform: (x - mean) @ components.T, optionally whitened.
-    x_emb = x @ self.components_.T
-    x_emb -= jnp.reshape(self.mean_, (1, -1)) @ self.components_.T
+    # The mean is folded in post-matmul (distributivity), keeping encode a
+    # single [B*S, D] @ [D, K] MXU matmul plus a rank-1 correction.
+    mu = self.mean_.reshape(1, -1) @ self.components_.T
+    z = x @ self.components_.T - mu
     if self.whiten:
       scale = jnp.sqrt(self.explained_variance_)
       eps = jnp.finfo(scale.dtype).eps
-      x_emb /= jnp.where(scale < eps, eps, scale)
+      z = z / jnp.maximum(scale, eps)
 
     if self.depth_to_seq > 1:
-      x_emb = einops.rearrange(
-          x_emb, "b s (f d) -> b (f s) d", f=self.depth_to_seq)
+      b, s, fd = z.shape
+      f = self.depth_to_seq
+      z = z.reshape(b, s, f, fd // f).transpose(0, 2, 1, 3)
+      z = z.reshape(b, f * s, fd // f)
 
-    if self.noise_std <= 0.0:
-      logvar = jnp.zeros_like(x_emb)
+    if self.noise_std > 0.0:
+      logvar = jnp.full(z.shape, 2.0 * jnp.log(self.noise_std))
     else:
-      logvar = 2.0 * jnp.log(jnp.full(x_emb.shape, self.noise_std))
-    return x_emb, logvar
+      logvar = jnp.zeros_like(z)
+    return z, logvar
 
   def reparametrize(self, mu, logvar, rng=None):
     if self.noise_std <= 0.0:
@@ -99,13 +112,16 @@ class Model(vae.Model):
     del train
     if not self.skip_pca:
       if self.depth_to_seq > 1:
-        x = einops.rearrange(x, "b (f s) d -> b s (f d)",
-                             f=self.depth_to_seq)
+        b, fs, d = x.shape
+        f = self.depth_to_seq
+        x = x.reshape(b, f, fs // f, d).transpose(0, 2, 1, 3)
+        x = x.reshape(b, fs // f, f * d)
+      # Inverse transform: un-whiten (fold the scale into the component
+      # matrix — one matmul), then un-center.
+      basis = self.components_
       if self.whiten:
-        x = x @ (jnp.sqrt(self.explained_variance_[:, None])
-                 * self.components_) + self.mean_
-      else:
-        x = x @ self.components_ + self.mean_
+        basis = jnp.sqrt(self.explained_variance_)[:, None] * basis
+      x = x @ basis + self.mean_
     return jnp.clip(self._unflatten_patches(x), -1.0, 1.0)
 
 

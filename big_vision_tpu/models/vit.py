@@ -162,7 +162,7 @@ class Encoder1DBlock(nn.Module):
   dropout: float = 0.0
 
   @nn.compact
-  def __call__(self, x, deterministic=True):
+  def __call__(self, x, deterministic=True, mask=None, seg=None):
     out = {}
     # dtype=dtype_mm keeps the residual stream in bf16: the default f32
     # LayerNorm output promotes every residual add (and all inter-block
@@ -170,13 +170,15 @@ class Encoder1DBlock(nn.Module):
     # Stats still accumulate in f32 inside flax's _compute_stats.
     norm = lambda: nn.LayerNorm(dtype=self.dtype_mm)
     drop = nn.Dropout(rate=self.dropout)
+    if mask is not None and mask.ndim == 3:
+      mask = mask[..., None, :, :]  # add the (broadcast) head dim
 
     x = _constrain(x)
     delta = norm()(x)
     delta = out["sa"] = MultiHeadAttention(
         num_heads=self.num_heads, dtype_mm=self.dtype_mm,
         attn_impl=self.attn_impl, name="MultiHeadDotProductAttention_0")(
-            delta, delta, deterministic=deterministic)
+            delta, delta, mask=mask, deterministic=deterministic, seg=seg)
     x = out["+sa"] = x + drop(_constrain(delta), deterministic)
 
     delta = norm()(x)
@@ -199,7 +201,7 @@ class Encoder(nn.Module):
   remat_policy: str = "nothing_saveable"
 
   @nn.compact
-  def __call__(self, x, deterministic=True):
+  def __call__(self, x, deterministic=True, mask=None, seg=None):
     out = {}
     block_kw = dict(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
                     attn_impl=self.attn_impl, dtype_mm=self.dtype_mm,
@@ -214,13 +216,14 @@ class Encoder(nn.Module):
           block, length=self.depth, in_axes=nn.broadcast,
           variable_axes={"params": 0},
           split_rngs={"dropout": True, "params": True},
-      )(name="encoderblock", **block_kw)(x, deterministic)
+      )(name="encoderblock", **block_kw)(x, deterministic, mask, seg)
       peel = lambda i: jax.tree.map(lambda leaf: leaf[i], scan_out)
       out.update({f"block{i:02d}": peel(i) for i in range(self.depth)})
     else:
       for i in range(self.depth):
         x, out[f"block{i:02d}"] = Encoder1DBlock(
-            name=f"encoderblock_{i}", **block_kw)(x, deterministic)
+            name=f"encoderblock_{i}", **block_kw)(x, deterministic, mask,
+                                                  seg)
       out["pre_ln"] = x
     return nn.LayerNorm(name="encoder_norm")(x), out
 
@@ -232,13 +235,15 @@ class MAPHead(nn.Module):
   dtype_mm: str = "float32"
 
   @nn.compact
-  def __call__(self, x):
+  def __call__(self, x, mask=None):
     probe = self.param("probe", nn.initializers.xavier_uniform(),
                        (1, 1, x.shape[-1]), x.dtype)
     q = jnp.broadcast_to(probe, (x.shape[0], *probe.shape[1:]))
+    if mask is not None:  # [B, T] validity -> [B, 1(head), 1(q), T]
+      mask = mask[..., None, None, :]
     pooled = MultiHeadAttention(
         num_heads=self.num_heads, dtype_mm=self.dtype_mm, attn_impl="xla",
-        name="MultiHeadDotProductAttention_0")(q, x)
+        name="MultiHeadDotProductAttention_0")(q, x, mask=mask)
     mlp = MlpBlock(mlp_dim=self.mlp_dim, dtype_mm=self.dtype_mm)
     pooled = pooled + mlp(nn.LayerNorm()(pooled))
     return pooled[:, 0]
