@@ -419,6 +419,59 @@ class Block(nn.Module):
     return x + y, unused_scan_arg
 
 
+def decoder_stack(owner, depth, scan, remat_policy, block_kw):
+  """Builds the Gemma block stack under `owner`'s "layers" scope.
+
+  `owner` is a module or a flax Scope. Shared by this file's Model and
+  jetformer's backbone: one place owns the scan-vs-pyloop choice (param
+  layout: stacked leading depth axis vs "layers/<i>" subtrees), the remat
+  wrapping, and the cache axis layout.
+  Returns a runner fn(x, positions, mask, decode, deterministic, seg) -> x.
+  """
+  cls = Block
+  if remat_policy != "none":
+    cls = nn.remat(
+        cls, prevent_cse=not scan,
+        static_argnums=(5, 6),  # 0=self, 5=decode, 6=deterministic
+        policy=getattr(jax.checkpoint_policies, remat_policy))
+  layers = getattr(owner, "scope", owner).push("layers")
+  if scan:
+    stack = [nn.scan(
+        cls,
+        # Cache axis 1: batch stays the leading dimension of every cache leaf.
+        variable_axes={"params": 0, "cache": 1},
+        split_rngs={"params": True, "dropout": True},
+        in_axes=nn.broadcast, length=depth)(parent=layers, **block_kw)]
+  else:
+    stack = [cls(parent=layers.push(str(i)), **block_kw)
+             for i in range(depth)]
+
+  def run(x, positions, mask, decode, deterministic, seg=None):
+    carry = ()
+    for block in stack:
+      x, carry = block(x, carry, positions, mask, decode, deterministic, seg)
+    return x
+  return run
+
+
+def prep_positions_mask(x, positions, mask, decode):
+  """Default positions/mask and normalize mask to [B, 1, T, cache]."""
+  batch_size, seq_len, _ = x.shape
+  if decode:
+    assert positions is not None and mask is not None, (
+        "decode=True requires explicit positions and mask")
+  if positions is None:
+    positions = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+  assert positions.shape[1] == seq_len
+  if mask is None:
+    mask = nn.attention.make_causal_mask(jnp.ones([batch_size, seq_len]))
+  if mask.ndim == 3:
+    mask = mask[:, None, :, :]
+  cache_size = max(seq_len, mask.shape[-1])
+  assert mask.shape == (batch_size, 1, seq_len, cache_size), mask.shape
+  return positions, mask
+
+
 class Model(nn.Module):
   """Gemma decoder-only LM."""
   variant: str
@@ -471,30 +524,9 @@ class Model(nn.Module):
     if embed_only:
       return x
 
-    if decode:
-      assert positions is not None and mask is not None, (
-          "decode=True requires explicit positions and mask")
-    if positions is None:
-      positions = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
-    assert positions.shape[1] == x.shape[1]
+    positions, mask = prep_positions_mask(x, positions, mask, decode)
 
-    if mask is None:
-      mask = nn.attention.make_causal_mask(
-          jnp.ones([batch_size, seq_len]))
-    if mask.ndim == 3:
-      mask = mask[:, None, :, :]
-    cache_size = max(seq_len, mask.shape[-1])
-    assert mask.shape == (batch_size, 1, seq_len, cache_size), mask.shape
-
-    if self.remat_policy == "none":
-      block_cls = Block
-    else:
-      block_cls = nn.remat(
-          Block, prevent_cse=not self.scan,
-          static_argnums=(5, 6),  # 0=self, 5=decode, 6=deterministic
-          policy=getattr(jax.checkpoint_policies, self.remat_policy))
-
-    block_kw = dict(
+    run = decoder_stack(self, self.depth, self.scan, self.remat_policy, dict(
         num_heads=self.num_heads, head_dim=self.head_dim,
         num_kv_heads=self.num_kv_heads, embed_dim=self.width,
         hidden_dim=self.mlp_dim, dropout=self.dropout,
@@ -502,24 +534,8 @@ class Model(nn.Module):
         query_pre_attn_norm=self.query_pre_attn_norm,
         attn_logits_softcap=self.attn_logits_softcap,
         post_norms=self.post_norms, attn_impl=self.attn_impl,
-        quant=self.quant)
-
-    layers = self.scope.push("layers")
-    if self.scan:
-      blocks = [nn.scan(
-          block_cls,
-          variable_axes={"params": 0, "cache": 1},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast,
-          length=self.depth)(parent=layers, **block_kw)]
-    else:
-      blocks = [block_cls(parent=layers.push(str(i)), **block_kw)
-                for i in range(self.depth)]
-
-    unused_scan_arg = ()
-    for block in blocks:
-      x, unused_scan_arg = block(x, unused_scan_arg, positions, mask,
-                                 decode, deterministic, seg)
+        quant=self.quant))
+    x = run(x, positions, mask, decode, deterministic, seg)
     assert x.dtype == jnp.dtype(self.embed_dtype)
     out["encoded"] = x
 

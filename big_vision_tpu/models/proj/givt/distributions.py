@@ -238,3 +238,56 @@ class MultivariateNormalTri:
 
   def mean(self):
     return self.locs
+
+
+# ---------------------------------------------------------------------------
+# Raw-head-output -> distribution builders, shared by givt.py / jetformer.py.
+# ---------------------------------------------------------------------------
+
+
+def square_plus(x):
+  """Smooth positivity map (x + sqrt(x^2+4))/2, f(0)=1 (Barron, 2021)."""
+  return (x + jnp.sqrt(jnp.square(x) + 4)) / 2
+
+
+def square_plus_legacy(x):
+  """GIVT's original mis-parenthesized variant (kept for ckpt parity)."""
+  return x + jnp.sqrt(jnp.square(x) + 4) / 2
+
+
+def mixture_from_raw(logits, *, num_mixtures, out_dim, scale_tol,
+                     sp=square_plus, temp_scales=None, temp_probs=None):
+  """DiagMixture from [..., M + 2*M*D] raw channels (mix | locs,scales)."""
+  *lead, _ = logits.shape
+  mix = logits[..., :num_mixtures]
+  if temp_probs is not None:
+    mix = mix * temp_probs
+  rest = logits[..., num_mixtures:].reshape(*lead, num_mixtures, 2, out_dim)
+  scales = jnp.maximum(sp(rest[..., 1, :]), scale_tol)
+  if temp_scales is not None:
+    scales = scales * temp_scales
+  return DiagMixture(mix, rest[..., 0, :], scales)
+
+
+def per_channel_from_raw(logits, *, num_mixtures, scale_tol, sp=square_plus,
+                         temp_scales=None, temp_probs=None):
+  """PerChannelMixture from [..., 3*M*D] raw channels ([probs;locs;scales])."""
+  logits = logits.reshape(*logits.shape[:-1], 3, -1, num_mixtures)
+  probs, locs, scales = (logits[..., i, :, :] for i in range(3))
+  if temp_probs is not None:
+    probs = probs * temp_probs
+  scales = jnp.maximum(sp(scales), scale_tol)
+  if temp_scales is not None:
+    scales = scales * temp_scales
+  return PerChannelMixture(jax.nn.softmax(probs), locs, scales)
+
+
+def mvn_tri_from_raw(logits, *, out_dim, scale_tol, sp=square_plus,
+                     temp_scales=None):
+  """Lower-tri-covariance Normal from [..., D^2 + D] raw channels."""
+  *lead, _ = logits.shape
+  tri = sp(logits[..., :out_dim ** 2]).reshape(*lead, out_dim, out_dim)
+  tri = jnp.maximum(tri, jnp.eye(out_dim) * scale_tol)
+  if temp_scales is not None:
+    tri = tri * temp_scales
+  return MultivariateNormalTri(logits[..., out_dim ** 2:], tri)

@@ -4,7 +4,12 @@ Parity target: reference models/proj/givt/givt.py (arxiv.org/abs/2312.02116):
 decoder-only or encoder-decoder transformer whose output head parameterizes
 a GMM over CONTINUOUS (VAE-latent) tokens; causal "ar" and MaskGIT-style
 "masked" modes; classifier-free guidance via label dropping; square-plus
-scale activation. Distributions come from distributions.py (distrax-free).
+scale activation.
+
+TPU-first notes: the GMM head builders live in distributions.py (distrax-
+free, shared with jetformer); masked-training masks come from one argsort
+rank comparison instead of per-example top-k; the decoder reuses vit's
+MlpBlock and the flax decode cache for AR sampling.
 """
 
 from __future__ import annotations
@@ -31,12 +36,16 @@ class _SpecialLabel(enum.Enum):
 
 
 def _random_mask_with_ratios(rng, ratios, seq_len):
-  """bool [B, L]: True = masked; per-example mask counts = ratio*L."""
+  """bool [B, L]: True = masked; per-example mask counts = ratio*L.
+
+  One argsort over uniform scores yields, per example, a uniformly random
+  rank permutation; comparing ranks against the per-example count masks a
+  uniform subset of exactly that size (no per-example top_k).
+  """
   b = ratios.shape[0]
   n_masked = jnp.round(ratios * seq_len).astype(jnp.int32)
   scores = jax.random.uniform(rng, (b, seq_len))
-  order = jnp.argsort(scores, axis=-1)
-  ranks = jnp.argsort(order, axis=-1)
+  ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
   return ranks < n_masked[:, None]
 
 
@@ -49,47 +58,51 @@ def apply_mask_schedule(ratio, method="cosine"):
   raise ValueError(f"Unknown mask schedule {method!r}")
 
 
+def _wlc(x):
+  return nn.with_logical_constraint(x, ("act_batch", "act_len", "act_emb"))
+
+
 class EncoderDecoderBlock(nn.Module):
+  """Pre-LN block: self-attention, optional cross-attention, MLP.
+
+  Param names (LayerNorm1/2/3, SelfAttn, CrossAttn, MLP) pin the reference
+  checkpoint layout (ref givt.py:96-160).
+  """
   mlp_dim: int
   num_heads: int
   dropout_rate: float = 0.0
   decode: bool = False
 
+  def _attn(self, name, decode=False):
+    return nn.MultiHeadDotProductAttention(
+        num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
+        dropout_rate=self.dropout_rate, decode=decode, name=name)
+
   @nn.compact
   def __call__(self, targets, encoded=None, decoder_mask=None,
                deterministic=True):
-    def wlc(f):
-      return nn.with_logical_constraint(
-          f, ("act_batch", "act_len", "act_emb"))
+    drop = nn.Dropout(rate=self.dropout_rate)
 
-    x = wlc(nn.LayerNorm(name="LayerNorm1", use_bias=False)(targets))
-    x = wlc(nn.MultiHeadDotProductAttention(
-        num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
-        dropout_rate=self.dropout_rate, decode=self.decode,
-        name="SelfAttn")(x, mask=decoder_mask,
-                         deterministic=deterministic))
-    x = wlc(nn.Dropout(rate=self.dropout_rate)(x, deterministic))
-    x = wlc(x + targets)
+    x = _wlc(nn.LayerNorm(name="LayerNorm1", use_bias=False)(targets))
+    x = _wlc(self._attn("SelfAttn", decode=self.decode)(
+        x, mask=decoder_mask, deterministic=deterministic))
+    x = _wlc(targets + drop(x, deterministic))
 
-    if encoded is None:
-      y = x
-    else:
-      y = wlc(nn.LayerNorm(name="LayerNorm2", use_bias=False)(x))
-      y = wlc(nn.MultiHeadDotProductAttention(
-          num_heads=self.num_heads, use_bias=False,
-          broadcast_dropout=False, dropout_rate=self.dropout_rate,
-          name="CrossAttn")(y, encoded, deterministic=deterministic))
-      y = wlc(nn.Dropout(rate=self.dropout_rate)(y, deterministic))
-      y = wlc(y + x)
+    if encoded is not None:
+      y = _wlc(nn.LayerNorm(name="LayerNorm2", use_bias=False)(x))
+      y = _wlc(self._attn("CrossAttn")(y, encoded,
+                                       deterministic=deterministic))
+      x = _wlc(x + drop(y, deterministic))
 
-    z = wlc(nn.LayerNorm(name="LayerNorm3", use_bias=False)(y))
-    z = wlc(vit.MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout_rate,
-                         name="MLP")(z, deterministic))
-    out = wlc(y + z)
+    z = _wlc(nn.LayerNorm(name="LayerNorm3", use_bias=False)(x))
+    z = _wlc(vit.MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout_rate,
+                          name="MLP")(z, deterministic))
+    out = _wlc(x + z)
     return out, out
 
 
 class Decoder(nn.Module):
+  """Stack of EncoderDecoderBlocks with learned posemb and GMM-raw head."""
   emb_dim: int
   mlp_dim: int
   num_heads: int
@@ -113,43 +126,39 @@ class Decoder(nn.Module):
     y = common.AddPositionEmbs(decode=decode, name="PosEmbedTargets")(
         targets, pos_emb)
 
+    block_kw = dict(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                    dropout_rate=self.dropout_rate, decode=decode)
     out = {}
     if self.scan:
+      from flax.linen import partitioning  # pylint: disable=g-import-not-at-top
       block = nn.remat(
           EncoderDecoderBlock, prevent_cse=False, static_argnums=(-1,),
           policy=getattr(jax.checkpoint_policies, self.remat_policy, None))
-      from flax.linen import partitioning
-      initializing = self.is_mutable_collection("params")
-      params_spec = (1 if initializing else partitioning.ScanIn(1))
+      # ScanIn keeps the stacked-params axis out of the logical avals when
+      # restoring; plain axis 1 only at init time.
+      spec = 1 if self.is_mutable_collection("params") else (
+          partitioning.ScanIn(1))
       y, reps = nn.scan(
           block,
-          variable_axes={"params": params_spec, "cache": 0},
+          variable_axes={"params": spec, "cache": 0},
           split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast,
-          length=self.num_layers)(
-              num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-              dropout_rate=self.dropout_rate, decode=decode,
-              name="EncDecBlock")(y, encoded, decoder_mask, deterministic)
-      out = {f"block{l}_rep": jnp.mean(reps[l], axis=1)
-             for l in range(self.num_layers)}
+          in_axes=nn.broadcast, length=self.num_layers)(
+              name="EncDecBlock", **block_kw)(
+                  y, encoded, decoder_mask, deterministic)
+      for l in range(self.num_layers):
+        out[f"block{l}_rep"] = jnp.mean(reps[l], axis=1)
     else:
-      for lyr in range(self.num_layers):
-        y, _ = EncoderDecoderBlock(
-            num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-            dropout_rate=self.dropout_rate, decode=decode,
-            name=f"EncDecBlock{lyr}")(y, encoded,
-                                      decoder_mask=decoder_mask,
-                                      deterministic=deterministic)
-        out[f"block{lyr}_rep"] = jnp.mean(y, axis=1)
+      for l in range(self.num_layers):
+        y, _ = EncoderDecoderBlock(name=f"EncDecBlock{l}", **block_kw)(
+            y, encoded, decoder_mask=decoder_mask,
+            deterministic=deterministic)
+        out[f"block{l}_rep"] = jnp.mean(y, axis=1)
 
     y = nn.LayerNorm(name="LayerNorm")(y)
     out["pre_logits"] = jnp.mean(y, axis=1)
-    logits = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
-                      name="LogitsDense")(y)
-    out["logits"] = logits
-    if return_reps:
-      return logits, out
-    return logits
+    out["logits"] = nn.Dense(self.out_dim, name="LogitsDense",
+                             kernel_init=nn.initializers.zeros)(y)
+    return (out["logits"], out) if return_reps else out["logits"]
 
 
 class Model(nn.Module):
@@ -201,7 +210,7 @@ class Model(nn.Module):
     if self.multivariate and self.num_mixtures != 1:
       raise ValueError("Multivariate requires num_mixtures == 1")
 
-    if self.num_layers > 0:
+    if self.has_encoder:
       grid_size = np.array(self.input_size) // np.array(self.patches)
       self.pos_emb_for_encoder = vit.get_posemb(
           self, self.posemb_type, tuple(grid_size), self.emb_dim,
@@ -216,22 +225,7 @@ class Model(nn.Module):
     else:
       self.encoder = None
 
-    next_label = itertools.count(self.num_labels or 0)
-    special_labels = {}
-    if self.style == "masked":
-      if self.mask_style == "replace":
-        special_labels = {_SpecialLabel.MASK: next(next_label)}
-      elif self.mask_style == "concat":
-        special_labels = {
-            _SpecialLabel.MASK: next(next_label),
-            _SpecialLabel.NOMASK: next(next_label),
-            _SpecialLabel.REPLACE: next(next_label)}
-      else:
-        raise NotImplementedError(self.mask_style)
-    if self.drop_labels_probability > 0:
-      special_labels[_SpecialLabel.NOLABEL] = next(next_label)
-    self.special_labels = special_labels
-
+    self.special_labels = self._assign_special_labels()
     lookup_size = (self.num_labels or 1) + len(self.special_labels)
     self.labels_emb = nn.Embed(
         lookup_size, self.emb_dim, name="EmbedLabels",
@@ -242,10 +236,27 @@ class Model(nn.Module):
         num_layers=self.num_decoder_layers or self.num_layers,
         mlp_dim=self.mlp_dim, num_heads=self.num_heads,
         out_dim=self.num_logits,
+        # Masked mode prepends the label token to the full sequence.
         seq_len=self.seq_len + int(self.style == "masked"),
         dropout_rate=self.dec_dropout_rate, emb_dim=self.emb_dim,
         zero_embedding_init=self.zero_embedding_init, style=self.style,
         scan=self.scan, remat_policy=self.remat_policy)
+
+  def _assign_special_labels(self):
+    """Special label ids slot in directly after the real ones (ref :219)."""
+    fresh = itertools.count(self.num_labels or 0)
+    order = []
+    if self.style == "masked":
+      if self.mask_style == "replace":
+        order += [_SpecialLabel.MASK]
+      elif self.mask_style == "concat":
+        order += [_SpecialLabel.MASK, _SpecialLabel.NOMASK,
+                  _SpecialLabel.REPLACE]
+      else:
+        raise NotImplementedError(self.mask_style)
+    if self.drop_labels_probability > 0:
+      order += [_SpecialLabel.NOLABEL]
+    return {label: next(fresh) for label in order}
 
   def encode(self, image, train=False):
     emb = self.conv(image)
@@ -255,79 +266,75 @@ class Model(nn.Module):
     return encoded
 
   def embed_labels(self, labels=None, batch_size=None):
-    if labels is not None:
-      return self.labels_emb(labels)[:, None, :]
-    assert ((self.num_labels == 1 or self.num_labels is None)
-            and batch_size is not None)
-    return self.labels_emb(jnp.zeros((batch_size,), jnp.int32))[:, None, :]
+    if labels is None:
+      assert batch_size is not None
+      assert self.num_labels in (1, None)
+      labels = jnp.zeros((batch_size,), jnp.int32)
+    return self.labels_emb(labels)[:, None, :]
+
+  def _special_emb(self, size, label):
+    return self.labels_emb(
+        jnp.full(size, self.special_labels[label], jnp.int32))
 
   def prefill(self, labels=None, batch_size=None, encoded=None,
               drop_labels=None):
-    labels = self._drop_labels(drop_labels, labels)
-    lab = self.embed_labels(labels=labels, batch_size=batch_size)
+    lab = self.embed_labels(labels=self._drop_labels(drop_labels, labels),
+                            batch_size=batch_size)
     return self.decoder(lab, encoded=encoded, decode=True)
 
   def _decode_ar(self, targets, labels=None, encoded=None, decode=False,
                  train=False):
-    targets_embedded = self.targets_emb(targets)
+    embedded = self.targets_emb(targets)
     if decode:
-      decoder_mask = None
+      decoder_mask = None  # The flax cache handles causality one-step-wise.
     else:
       decoder_mask = nn.make_causal_mask(targets[:, :, 0])
-      b = targets.shape[0]
-      labels_embedded = self.embed_labels(labels, b)
-      targets_embedded = jnp.concatenate(
-          [labels_embedded, targets_embedded[:, :-1]], axis=1)
-    return self.decoder(targets_embedded, encoded=encoded,
+      # Teacher forcing: [label, t_0 .. t_{L-2}] predicts [t_0 .. t_{L-1}].
+      embedded = jnp.concatenate(
+          [self.embed_labels(labels, targets.shape[0]), embedded[:, :-1]],
+          axis=1)
+    return self.decoder(embedded, encoded=encoded,
                         decoder_mask=decoder_mask, decode=decode,
                         deterministic=not train, return_reps=True)
-
-  def _get_special_label(self, size, label):
-    return self.labels_emb(
-        jnp.full(size, self.special_labels[label], jnp.int32))
 
   def _decode_masked(self, targets, input_mask, labels=None, encoded=None,
                      train=False):
     b, s, _ = targets.shape
     assert input_mask.shape == (b, s)
+    masked = input_mask[:, :, None]
     if self.mask_style == "replace":
-      targets_embedded = jnp.where(
-          input_mask[:, :, None],
-          self._get_special_label((b, s), _SpecialLabel.MASK),
-          self.targets_emb(targets))
+      embedded = jnp.where(masked, self._special_emb((b, s),
+                                                     _SpecialLabel.MASK),
+                           self.targets_emb(targets))
     elif self.mask_style == "concat":
-      masks = jnp.where(
-          input_mask[:, :, None],
-          self._get_special_label((b, s), _SpecialLabel.MASK),
-          self._get_special_label((b, s), _SpecialLabel.NOMASK))
-      embedded = self.targets_emb(targets)
-      replaced = jnp.where(
-          input_mask[:, :, None],
-          self._get_special_label((b, s), _SpecialLabel.REPLACE), embedded)
-      targets_embedded = jnp.concatenate(
-          [masks[..., ::2], replaced[..., ::2]], axis=-1)
+      # Half the channels carry the mask/nomask flag embedding, half the
+      # (REPLACE-d where masked) content embedding.
+      flag = jnp.where(masked, self._special_emb((b, s), _SpecialLabel.MASK),
+                       self._special_emb((b, s), _SpecialLabel.NOMASK))
+      content = jnp.where(masked,
+                          self._special_emb((b, s), _SpecialLabel.REPLACE),
+                          self.targets_emb(targets))
+      embedded = jnp.concatenate([flag[..., ::2], content[..., ::2]],
+                                 axis=-1)
     else:
       raise ValueError(self.mask_style)
 
-    labels_embedded = self.embed_labels(labels, b)
-    targets_embedded = jnp.concatenate([labels_embedded, targets_embedded],
-                                       axis=1)
-    logits = self.decoder(targets_embedded, encoded=encoded,
-                          decoder_mask=None, decode=False,
-                          deterministic=not train)
-    return logits[:, 1:, ...]
+    embedded = jnp.concatenate([self.embed_labels(labels, b), embedded],
+                               axis=1)
+    logits = self.decoder(embedded, encoded=encoded, decoder_mask=None,
+                          decode=False, deterministic=not train)
+    return logits[:, 1:, ...]  # Drop the label position.
 
   def _drop_labels(self, drop_labels_mask, labels):
     if labels is None:
       return None
+    nolabel = lambda: jnp.full_like(
+        labels, self.special_labels[_SpecialLabel.NOLABEL])
     if self.drop_labels_probability >= 0.999:
-      return jnp.full_like(labels,
-                           self.special_labels[_SpecialLabel.NOLABEL])
+      return nolabel()
     if drop_labels_mask is None:
       return labels
-    nolabel = jnp.full_like(labels,
-                            self.special_labels[_SpecialLabel.NOLABEL])
-    return jnp.where(drop_labels_mask, nolabel, labels)
+    return jnp.where(drop_labels_mask, nolabel(), labels)
 
   def decode(self, targets, labels=None, encoded=None, decode=False,
              train=False, max_decode_length=None, input_mask=None,
@@ -335,57 +342,32 @@ class Model(nn.Module):
     del max_decode_length
     labels = self._drop_labels(drop_labels, labels)
     if self.style == "ar":
-      logits, out = self._decode_ar(targets, labels, encoded, decode,
-                                    train)
+      logits, out = self._decode_ar(targets, labels, encoded, decode, train)
       return (logits, out) if return_reps else logits
     if self.style == "masked":
       assert not decode and input_mask is not None and not return_reps
-      return self._decode_masked(targets, input_mask, labels, encoded,
-                                 train)
+      return self._decode_masked(targets, input_mask, labels, encoded, train)
     raise NotImplementedError(self.style)
 
   def _square_plus(self, x):
     if self.fix_square_plus:
-      return (x + jnp.sqrt(jnp.square(x) + 4)) / 2
-    return x + jnp.sqrt(jnp.square(x) + 4) / 2
+      return distributions.square_plus(x)
+    return distributions.square_plus_legacy(x)
 
-  def get_pdf(self, logits, temperature_scales=None,
-              temperature_probs=None):
+  def get_pdf(self, logits, temperature_scales=None, temperature_probs=None):
+    kw = dict(scale_tol=self.scale_tol, sp=self._square_plus,
+              temp_scales=temperature_scales)
     assert logits.shape[-1] == self.num_logits
     if self.multivariate:
-      scales = self._square_plus(logits[..., :self.out_dim ** 2])
-      locs = logits[..., self.out_dim ** 2:]
-      *lead, _ = scales.shape
-      scales = scales.reshape(*lead, self.out_dim, self.out_dim)
-      scales = jnp.maximum(scales, jnp.eye(self.out_dim) * self.scale_tol)
-      if temperature_scales is not None:
-        scales = scales * temperature_scales
-      return distributions.MultivariateNormalTri(locs, scales)
-
+      return distributions.mvn_tri_from_raw(logits, out_dim=self.out_dim,
+                                            **kw)
     if self.per_channel_mixtures:
-      logits = jnp.reshape(logits,
-                           logits.shape[:-1] + (-1, self.num_mixtures))
-      probs, locs, scales = jnp.split(logits, 3, axis=-2)
-      if temperature_probs is not None:
-        probs = probs * temperature_probs
-      probs = jax.nn.softmax(probs)
-      scales = jnp.maximum(self._square_plus(scales), self.scale_tol)
-      if temperature_scales is not None:
-        scales = scales * temperature_scales
-      return distributions.PerChannelMixture(probs, locs, scales)
-
-    *shape, _ = logits.shape
-    prob_logits = logits[..., :self.num_mixtures]
-    other = logits[..., self.num_mixtures:].reshape(
-        (*shape, self.num_mixtures, 2, self.out_dim))
-    if temperature_probs is not None:
-      prob_logits = prob_logits * temperature_probs
-    locs = other[..., 0, :]
-    scales = jnp.maximum(self._square_plus(other[..., 1, :]),
-                         self.scale_tol)
-    if temperature_scales is not None:
-      scales = scales * temperature_scales
-    return distributions.DiagMixture(prob_logits, locs, scales)
+      return distributions.per_channel_from_raw(
+          logits, num_mixtures=self.num_mixtures,
+          temp_probs=temperature_probs, **kw)
+    return distributions.mixture_from_raw(
+        logits, num_mixtures=self.num_mixtures, out_dim=self.out_dim,
+        temp_probs=temperature_probs, **kw)
 
   def __call__(self, sequence, labels=None, *, image=None, decode=False,
                input_mask=None, drop_labels=None, train=False):
@@ -423,17 +405,17 @@ class Model(nn.Module):
 
 def load(init_params, init_files, model_params=None, dont_load=(),
          resample_encoder_posemb=False, trim_decoder_posemb=False):
+  """Checkpoint load with optional posemb resample/trim (ref :780)."""
   del model_params
   assert isinstance(init_files, str), "Composite init not supported yet"
   ckpt = u.load_params(init_files)
   ckpt = common.merge_params(ckpt, init_params, dont_load)
-  if resample_encoder_posemb and init_params:
-    if "pos_embedding_encoder" in init_params:
-      ckpt["pos_embedding_encoder"] = vit.resample_posemb(
-          old=ckpt["pos_embedding_encoder"],
-          new=init_params["pos_embedding_encoder"])
-  if trim_decoder_posemb and init_params:
-    if "pos_embedding_decoder" in init_params:
-      ckpt["pos_embedding_decoder"] = ckpt["pos_embedding_decoder"][
-          :, :init_params["pos_embedding_decoder"].shape[1], :]
+  if resample_encoder_posemb and "pos_embedding_encoder" in (init_params
+                                                             or {}):
+    ckpt["pos_embedding_encoder"] = vit.resample_posemb(
+        old=ckpt["pos_embedding_encoder"],
+        new=init_params["pos_embedding_encoder"])
+  if trim_decoder_posemb and "pos_embedding_decoder" in (init_params or {}):
+    ckpt["pos_embedding_decoder"] = ckpt["pos_embedding_decoder"][
+        :, :init_params["pos_embedding_decoder"].shape[1], :]
   return ckpt

@@ -11,11 +11,19 @@ TPU-native differences from the reference:
     O(L^2) one-hot einsums: sorting the boolean input mask moves padding to
     the front while preserving token order, which is the exact permutation
     the reference builds. O(L log L), no LxL bool intermediates.
+  * Sequence assembly: the reference materializes BOTH modality orders
+    ([bos,text,boi,image] AND [boi,image,bos,text]) and jnp.where-selects,
+    touching every embedded byte three times. Here the segments are embedded
+    once into a single buffer and each example gathers its order's static
+    permutation (`take_along_axis`) — one pass over the [B, T, E] stream.
+    Same trick for splitting prelogits back into modalities.
+  * Attention masks come from iota comparisons (fused by XLA), not
+    make_causal_mask + one-hot algebra.
+  * The block stack is gemma.decoder_stack — the exact scan/remat/cache
+    machinery the PaliGemma LLM uses, so param/cache trees match the
+    reference layout by construction.
   * The GMM head returns our distrax-free mixtures
     (models/proj/givt/distributions.py) so sampling/NLL are plain jnp.
-  * The decode cache is the shared-write-index cache from ppp/gemma.py:
-    right-alignment makes every example's write slot identical, so cache
-    extension is one dynamic_update_slice (no per-example scatter).
 """
 
 from __future__ import annotations
@@ -54,82 +62,7 @@ def right_align(x, attn_mask, input_mask):
   return x, attn_mask, input_mask
 
 
-class GemmaBackbone(nn.Module):
-  """Gemma decoder stack without embedder/LM-head (ref jetformer.py:93)."""
-
-  width: int
-  depth: int
-  mlp_dim: int
-  num_heads: int
-  num_kv_heads: int
-  head_dim: int
-  norm_eps: float = 1e-6
-
-  dropout: float = 0.0
-  dropout_bdims: tuple = ()
-  cache_dtype: Optional[str] = None
-  embed_dtype: str = "float32"
-
-  scan: bool = False
-  remat_policy: str = "none"
-
-  @nn.compact
-  def __call__(self, x, *, mask, positions=None, decode=False,
-               deterministic=True):
-    """x: [B, T, E] pre-embedded tokens -> (normed, out) like ref :117."""
-    out = {}
-    x = x.astype(self.embed_dtype)
-    batch_size, seq_len, _ = x.shape
-
-    if decode:
-      assert positions is not None and mask is not None, (
-          "decode=True requires explicit positions and mask")
-    if positions is None:
-      positions = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
-    assert positions.shape[1] == x.shape[1]
-
-    if mask.ndim == 3:
-      mask = mask[:, None, :, :]
-    cache_size = max(seq_len, mask.shape[-1])
-    assert mask.shape == (batch_size, 1, seq_len, cache_size), mask.shape
-
-    if self.remat_policy == "none":
-      block_cls = gemma.Block
-    else:
-      block_cls = nn.remat(
-          gemma.Block, prevent_cse=not self.scan,
-          static_argnums=(5, 6),  # 0=self, 5=decode, 6=deterministic
-          policy=getattr(jax.checkpoint_policies, self.remat_policy))
-
-    block_kw = dict(
-        num_heads=self.num_heads, head_dim=self.head_dim,
-        num_kv_heads=self.num_kv_heads, embed_dim=self.width,
-        hidden_dim=self.mlp_dim, dropout=self.dropout,
-        dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
-        # Gemma v1 settings (ref jetformer.py:174).
-        query_pre_attn_norm="rsqrt_head_dim",
-        attn_logits_softcap=None, post_norms=False)
-
-    layers = self.scope.push("layers")
-    if self.scan:
-      blocks = [nn.scan(
-          block_cls,
-          variable_axes={"params": 0, "cache": 1},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast,
-          length=self.depth)(parent=layers, **block_kw)]
-    else:
-      blocks = [block_cls(parent=layers.push(str(i)), **block_kw)
-                for i in range(self.depth)]
-
-    unused_scan_arg = ()
-    for block in blocks:
-      x, unused_scan_arg = block(x, unused_scan_arg, positions, mask,
-                                 decode, deterministic)
-    out["encoded"] = x
-    x = gemma.RMSNorm(name="final_norm")(x)
-    out["pre_logits"] = x
-    return x, out
+square_plus = distributions.square_plus
 
 
 class Model(nn.Module):
@@ -199,13 +132,35 @@ class Model(nn.Module):
       self.text_norm = gemma.RMSNorm(name="TextNorm")
       self.img_norm = gemma.RMSNorm(name="ImageNorm")
 
-    self.decoder = GemmaBackbone(
-        width=self.width, depth=self.depth, mlp_dim=self.mlp_dim,
-        num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
-        head_dim=self.head_dim, norm_eps=self.norm_eps,
-        dropout=self.dropout, dropout_bdims=self.dropout_bdims,
-        cache_dtype=self.cache_dtype, embed_dtype=self.embed_dtype,
-        scan=self.scan, remat_policy=self.remat_policy)
+  # ------------------------------------------------------------------
+  # Backbone: the PaliGemma block stack minus embedder/LM-head.
+  # ------------------------------------------------------------------
+
+  def _backbone(self, x, *, mask, positions=None, decode=False,
+                deterministic=True):
+    """Runs [B, T, E] through the decoder; returns (final_norm(x), out)."""
+    out = {}
+    x = x.astype(self.embed_dtype)
+    positions, mask = gemma.prep_positions_mask(x, positions, mask, decode)
+    dec = self.scope.push("decoder")
+    run = gemma.decoder_stack(
+        dec, self.depth, self.scan, self.remat_policy,
+        dict(num_heads=self.num_heads, head_dim=self.head_dim,
+             num_kv_heads=self.num_kv_heads, embed_dim=self.width,
+             hidden_dim=self.mlp_dim, dropout=self.dropout,
+             dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
+             # Gemma v1 settings (ref jetformer.py:174).
+             query_pre_attn_norm="rsqrt_head_dim",
+             attn_logits_softcap=None, post_norms=False))
+    x = out["encoded"] = run(x, positions, mask, decode, deterministic)
+    x = out["pre_logits"] = gemma.RMSNorm(
+        parent=dec.push("final_norm"))(x)
+    return x, out
+
+  def _backbone_prelogits(self, *args, **kw):
+    """Backbone output feeding the heads: pre- or post-final-norm."""
+    x, out = self._backbone(*args, **kw)
+    return (out["encoded"] if self.per_modality_final_norm else x), out
 
   # ------------------------------------------------------------------
   # Decode-cache protocol (prefill + one-token extension).
@@ -220,7 +175,6 @@ class Model(nn.Module):
     _, prefill_len, _ = x.shape
     x, attn_mask, input_mask = right_align(x, attn_mask, input_mask)
     seq_len = jnp.sum(input_mask, axis=-1)
-    positions = jnp.cumsum(input_mask, axis=-1) - 1
 
     self.put_variable("cache", "seq_len", seq_len)
     self.put_variable("cache", "cache_begin", prefill_len - seq_len)
@@ -229,70 +183,50 @@ class Model(nn.Module):
 
     attn_mask = jnp.pad(
         attn_mask, ((0, 0), (0, 0), (0, cache_size - prefill_len)))
-    x, out = self.decoder(x, positions=positions, mask=attn_mask,
-                          decode=True)
-    if self.per_modality_final_norm:
-      x = out["encoded"]
+    x, _ = self._backbone_prelogits(
+        x, positions=jnp.cumsum(input_mask, axis=-1) - 1, mask=attn_mask,
+        decode=True)
     return x
 
   def extend_cache(self, x):
     """Extends the cache by one token `x` [B, 1, E]; returns pre-logits."""
     assert x.shape[1] == 1, "extend_cache is one token at a time"
-    if self.decoder.scan:
-      cache_size = self.variables["cache"]["decoder"]["layers"]["attn"][
-          "k_cache"].shape[2]
+    cache = self.variables["cache"]["decoder"]["layers"]
+    if self.scan:
+      cache_size = cache["attn"]["k_cache"].shape[2]
     else:
-      cache_size = self.variables["cache"]["decoder"]["layers"]["0"][
-          "attn"]["k_cache"].shape[1]
+      cache_size = cache["0"]["attn"]["k_cache"].shape[1]
 
     positions = self.get_variable("cache", "seq_len")
     self.put_variable("cache", "seq_len", positions + 1)
 
-    cache_begin = self.get_variable("cache", "cache_begin")
-    cache_end = self.get_variable("cache", "cache_end") + 1
-    self.put_variable("cache", "cache_end", cache_end)
-    mask = jnp.logical_and(
-        jnp.arange(cache_size)[None, None, :] >= cache_begin[:, None, None],
-        jnp.arange(cache_size)[None, None, :] < cache_end[:, None, None])
+    # The valid cache window [begin, end) grows by one on the right; the new
+    # token may attend to exactly that window (incl. itself).
+    begin = self.get_variable("cache", "cache_begin")
+    end = self.get_variable("cache", "cache_end") + 1
+    self.put_variable("cache", "cache_end", end)
+    slot = jnp.arange(cache_size)[None, None, :]
+    mask = (slot >= begin[:, None, None]) & (slot < end[:, None, None])
 
-    x, out = self.decoder(x, positions=positions[:, None], mask=mask,
-                          decode=True)
-    if self.per_modality_final_norm:
-      x = out["encoded"]
+    x, _ = self._backbone_prelogits(
+        x, positions=positions[:, None], mask=mask, decode=True)
     return x
 
   # ------------------------------------------------------------------
   # Distribution heads.
   # ------------------------------------------------------------------
 
-  def _square_plus(self, x):
-    return (x + jnp.sqrt(jnp.square(x) + 4)) / 2
-
   def get_pdf(self, logits, temperature_scales=None, temperature_probs=None):
     """GMM over image soft tokens from raw head outputs (ref :380)."""
     assert logits.shape[-1] == self.num_logits
     if self.multivariate:
-      scales = logits[..., :self.out_dim ** 2]
-      locs = logits[..., self.out_dim ** 2:]
-      scales = self._square_plus(scales)
-      *lead, _ = scales.shape
-      scales = scales.reshape(*lead, self.out_dim, self.out_dim)
-      scales = jnp.maximum(scales, jnp.eye(self.out_dim) * self.scale_tol)
-      if (t := temperature_scales) is not None:
-        scales = scales * t
-      return distributions.MultivariateNormalTri(locs, scales)
-
-    *shape, _ = logits.shape
-    prob_logits = logits[..., :self.num_mixtures]
-    if (t := temperature_probs) is not None:
-      prob_logits = prob_logits * t
-    other = logits[..., self.num_mixtures:].reshape(
-        *shape, self.num_mixtures, 2, self.out_dim)
-    locs = other[..., 0, :]
-    scales = jnp.maximum(self._square_plus(other[..., 1, :]), self.scale_tol)
-    if (t := temperature_scales) is not None:
-      scales = scales * t
-    return distributions.DiagMixture(prob_logits, locs, scales)
+      return distributions.mvn_tri_from_raw(
+          logits, out_dim=self.out_dim, scale_tol=self.scale_tol,
+          temp_scales=temperature_scales)
+    return distributions.mixture_from_raw(
+        logits, num_mixtures=self.num_mixtures, out_dim=self.out_dim,
+        scale_tol=self.scale_tol, temp_scales=temperature_scales,
+        temp_probs=temperature_probs)
 
   @staticmethod
   def get_pmf(logits):
@@ -309,21 +243,38 @@ class Model(nn.Module):
         text_tokens, image_tokens, text_first_mask=text_first_mask,
         text_input_mask=text_input_mask, drop_prefix=drop_prefix)
 
-    positions = jnp.cumsum(input_mask, axis=-1) - 1
-    prelogits, decoder_out = self.decoder(
-        x, mask=attn_mask, positions=positions, deterministic=not train)
-    if self.per_modality_final_norm:
-      prelogits = decoder_out["encoded"]
+    prelogits, decoder_out = self._backbone_prelogits(
+        x, mask=attn_mask, positions=jnp.cumsum(input_mask, axis=-1) - 1,
+        deterministic=not train)
 
     text_prelogits, img_prelogits = self.split_image_and_text_prelogits(
         prelogits, text_first_mask, text_tokens.shape[1],
         image_tokens.shape[1])
 
     text_logits = self.text_logits(text_prelogits)
-    pmf = self.get_pmf(text_logits)
     image_logits = self.img_logits(img_prelogits)
-    pdf = self.get_pdf(image_logits)
-    return text_logits, image_logits, pmf, pdf, decoder_out
+    return (text_logits, image_logits, self.get_pmf(text_logits),
+            self.get_pdf(image_logits), decoder_out)
+
+  def _segment_layout(self, text_len, image_len):
+    """Static gather indices realizing both modality orders.
+
+    The embedded buffer is [bos, (boi,) text, image]; `take_along_axis` with
+    one of these index vectors yields the text-first or image-first
+    interleaving (ref :543-561 builds both orders densely instead).
+    """
+    has_boi = self.boi_id is not None
+    t0 = 1 + has_boi  # First text slot in the buffer.
+    txt = jnp.arange(text_len) + t0
+    img = jnp.arange(image_len) + t0 + text_len
+    bos, boi = jnp.array([0]), jnp.array([1])
+    if has_boi:
+      text_first = jnp.concatenate([bos, txt, boi, img])
+      image_first = jnp.concatenate([boi, img, bos, txt])
+    else:
+      text_first = jnp.concatenate([bos, txt, img])
+      image_first = jnp.concatenate([bos, img, txt])
+    return text_first, image_first
 
   def embed_image_and_text(self, text_tokens, image_tokens, *,
                            text_first_mask, text_input_mask=None,
@@ -332,18 +283,19 @@ class Model(nn.Module):
     assert text_tokens is not None and image_tokens is not None
     if text_input_mask is None:
       text_input_mask = jnp.full(text_tokens.shape, True)
+    txt_prefix = text_first_mask
 
-    txt_prefix, img_prefix = text_first_mask, ~text_first_mask
-
+    # Embed each modality once.
     if self.num_vocab_repeats > 1:
+      # Class-conditional mode: r copies of the (length-1) text, each shifted
+      # into its own vocab slice, so every repeat gets a distinct embedding.
       offsets = jnp.repeat(
           jnp.arange(self.num_vocab_repeats) * self.vocab_size,
-          text_tokens.shape[1])
-      def _repeat_text(tokens):
-        return jnp.tile(tokens, (1, self.num_vocab_repeats)) + offsets[None]
-      nolabel = self.text_emb(_repeat_text(
+          text_tokens.shape[1])[None]
+      widen = lambda t: jnp.tile(t, (1, self.num_vocab_repeats)) + offsets
+      nolabel = self.text_emb(widen(
           jnp.full_like(text_tokens, self.nolabel_id)))
-      text_tokens = _repeat_text(text_tokens)
+      text_tokens = widen(text_tokens)
       text_input_mask = jnp.tile(text_input_mask,
                                  (1, self.num_vocab_repeats))
     else:
@@ -351,75 +303,56 @@ class Model(nn.Module):
     x_txt = self.text_emb(text_tokens)
     x_img = self.img_emb(image_tokens)
 
-    x_txt_m = text_input_mask
-    x_img_m = jnp.full(x_img.shape[:-1], True)
-
+    # CFG label dropping: a dropped prefix becomes all-nolabel, fully valid.
+    img_valid = jnp.full(x_img.shape[:-1], True)
+    txt_valid = text_input_mask
     if drop_prefix is not None:
-      drop_txt = txt_prefix & drop_prefix
-      drop_img = img_prefix & drop_prefix
-      x_txt = jnp.where(drop_txt[:, None, None], nolabel, x_txt)
-      # A dropped prefix is always fully "valid" (it's all nolabel).
-      x_txt_m = jnp.where(
-          drop_txt[:, None], jnp.full_like(x_txt_m, True), x_txt_m)
-      x_img = jnp.where(drop_img[:, None, None], nolabel[:, :1, :], x_img)
+      drop_txt = (txt_prefix & drop_prefix)[:, None]
+      drop_img = (~txt_prefix & drop_prefix)[:, None]
+      x_txt = jnp.where(drop_txt[..., None], nolabel, x_txt)
+      txt_valid = drop_txt | txt_valid
+      x_img = jnp.where(drop_img[..., None], nolabel[:, :1, :], x_img)
 
-    batch_size = image_tokens.shape[0]
-    bos = self.lookup_token(self.bos_id, batch_size)
-    bos_m = jnp.full(bos.shape[:-1], True)
+    # One buffer holding every segment, then a per-example order gather.
+    batch = image_tokens.shape[0]
+    ones = lambda t: jnp.full(t.shape[:-1], True)
+    segs = [self.lookup_token(self.bos_id, batch)]
     if self.boi_id is not None:
-      # [bos, text, boi, image] / [boi, image, bos, text]
-      boi = self.lookup_token(self.boi_id, batch_size)
-      boi_m = jnp.full(boi.shape[:-1], True)
-      x_txt_img = jnp.concatenate([bos, x_txt, boi, x_img], axis=1)
-      x_txt_img_m = jnp.concatenate([bos_m, x_txt_m, boi_m, x_img_m], 1)
-      x_img_txt = jnp.concatenate([boi, x_img, bos, x_txt], axis=1)
-      x_img_txt_m = jnp.concatenate([boi_m, x_img_m, bos_m, x_txt_m], 1)
-    else:
-      # [bos, text, image] / [bos, image, text]
-      x_txt_img = jnp.concatenate([bos, x_txt, x_img], axis=1)
-      x_txt_img_m = jnp.concatenate([bos_m, x_txt_m, x_img_m], axis=1)
-      x_img_txt = jnp.concatenate([bos, x_img, x_txt], axis=1)
-      x_img_txt_m = jnp.concatenate([bos_m, x_img_m, x_txt_m], axis=1)
+      segs.append(self.lookup_token(self.boi_id, batch))
+    seg_valid = [ones(s) for s in segs] + [txt_valid, img_valid]
+    segs += [x_txt, x_img]
 
-    if shift:
-      x_txt_img, x_img_txt = x_txt_img[:, :-1], x_img_txt[:, :-1]
-      x_txt_img_m, x_img_txt_m = x_txt_img_m[:, :-1], x_img_txt_m[:, :-1]
+    idx_a, idx_b = self._segment_layout(x_txt.shape[1], x_img.shape[1])
+    idx = jnp.where(txt_prefix[:, None], idx_a[None], idx_b[None])
+    if shift:  # Teacher forcing: inputs are the sequence minus its last token.
+      idx = idx[:, :-1]
+    buf = jnp.concatenate(segs, axis=1)
+    x = jnp.take_along_axis(buf, idx[..., None], axis=1)
+    input_mask = jnp.take_along_axis(
+        jnp.concatenate(seg_valid, axis=1), idx, axis=1)
 
-    x = jnp.where(txt_prefix[:, None, None], x_txt_img, x_img_txt)
-    input_mask = jnp.where(txt_prefix[:, None], x_txt_img_m, x_img_txt_m)
-
-    batch_size, seq_len = x.shape[:2]
-    attn_mask = nn.attention.make_causal_mask(
-        jnp.ones([batch_size, seq_len])).squeeze(1)
+    # Causal (optionally prefix-bidirectional) x valid-key mask, via iota.
+    pos = jnp.arange(idx.shape[1])
+    attn_mask = (pos[:, None] >= pos[None, :])[None]
     if not self.causal_mask_on_prefix:
-      txt_prefix_mask = jnp.full_like(
-          input_mask, False).at[:, :x_txt.shape[1] + 1].set(True)
-      img_prefix_mask = jnp.full_like(
-          input_mask, False).at[:, :x_img.shape[1] + 1].set(True)
-      prefix_mask = jnp.where(
-          txt_prefix[:, None], txt_prefix_mask, img_prefix_mask)
-      attn_mask = jnp.logical_or(attn_mask, prefix_mask[:, None, :])
-
-    # No token may attend to an invalid (padding) token.
-    attn_mask = jnp.logical_and(attn_mask, input_mask[:, None, :])
-    return x, attn_mask, input_mask
+      prefix_len = jnp.where(txt_prefix, x_txt.shape[1] + 1,
+                             x_img.shape[1] + 1)
+      attn_mask = attn_mask | (pos[None, :] < prefix_len[:, None])[:, None, :]
+    return x, attn_mask & input_mask[:, None, :], input_mask
 
   def split_image_and_text_prelogits(self, prelogits, text_first_mask,
                                      text_len, image_len):
-    """Undo the two interleavings (ref :593)."""
-    if self.boi_id is not None:
-      a_txt = prelogits[:, :text_len]
-      a_img = prelogits[:, self.num_vocab_repeats * text_len + 1:]
-      b_img = prelogits[:, :image_len]
-      b_txt = prelogits[:, image_len + 1:image_len + 1 + text_len]
-    else:
-      a_txt = prelogits[:, :text_len]
-      a_img = prelogits[:, self.num_vocab_repeats * text_len:]
-      b_img = prelogits[:, :image_len]
-      b_txt = prelogits[:, image_len:image_len + text_len]
-    txt = jnp.where(text_first_mask[:, None, None], a_txt, b_txt)
-    img = jnp.where(text_first_mask[:, None, None], a_img, b_img)
-    return txt, img
+    """Undo the interleaving: gather each modality's rows (ref :593)."""
+    has_boi = int(self.boi_id is not None)
+    # Position of the prediction for token i of each modality, per order.
+    # (The shift already happened on the inputs, so text-first text
+    # predictions sit at rows [0, text_len).)
+    txt0 = jnp.where(text_first_mask, 0, image_len + has_boi)
+    img0 = jnp.where(text_first_mask,
+                     self.num_vocab_repeats * text_len + has_boi, 0)
+    pick = lambda start, n: jnp.take_along_axis(
+        prelogits, (start[:, None] + jnp.arange(n))[..., None], axis=1)
+    return pick(txt0, text_len), pick(img0, image_len)
 
   def lookup_token(self, token_id, batch_size):
     """Embeds a static special token (bos/boi/nolabel)."""
