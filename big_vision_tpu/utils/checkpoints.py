@@ -37,6 +37,30 @@ def _ocp():
   return ocp
 
 
+def _replicated_global_sharding():
+  mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("_ckpt_rep",))
+  return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+
+def _globalize_for_save(pytree):
+  """Multi-process array I/O requires GLOBAL arrays: a host-local leaf
+  (e.g. chrono timing state pinned to the local CPU device) cannot be
+  serialized when process_count > 1. Such leaves are tiny by construction,
+  so replicate them onto the global device set before handing to orbax."""
+  if jax.process_count() == 1:
+    return pytree
+  sharding = _replicated_global_sharding()
+
+  def fix(x):
+    if isinstance(x, jax.Array) and x.sharding.is_fully_addressable:
+      host = np.asarray(jax.device_get(x))
+      return jax.make_array_from_callback(
+          host.shape, sharding, lambda idx: host[idx])
+    return x
+
+  return jax.tree.map(fix, pytree)
+
+
 class CheckpointManager:
   """Async sharded save with atomic -LAST pointer commit."""
 
@@ -70,7 +94,8 @@ class CheckpointManager:
 
     if os.path.exists(path):  # Re-save after preemption mid-commit.
       shutil.rmtree(path)
-    self._ckptr.save(path, args=ocp.args.StandardSave(pytree))
+    self._ckptr.save(path, args=ocp.args.StandardSave(
+        _globalize_for_save(pytree)))
 
     def commit():
       self._ckptr.wait_until_finished()
@@ -139,9 +164,18 @@ def load_checkpoint(abstract_tree, path, *, regex=None):
 
   def to_abstract(x):
     if isinstance(x, jax.ShapeDtypeStruct):
-      return x
-    return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
-                                sharding=getattr(x, "sharding", None))
+      sds = x
+    else:
+      sds = jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                 sharding=getattr(x, "sharding", None))
+    # Multi-process restore must target GLOBAL arrays; leaves that carry no
+    # sharding (or a host-local one — the mirror of _globalize_for_save)
+    # default to fully-replicated over the global device set.
+    if jax.process_count() > 1 and (
+        sds.sharding is None or sds.sharding.is_fully_addressable):
+      sds = jax.ShapeDtypeStruct(sds.shape, sds.dtype,
+                                 sharding=_replicated_global_sharding())
+    return sds
 
   if regex is None:
     abstract = jax.tree.map(to_abstract, abstract_tree)
