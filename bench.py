@@ -53,6 +53,28 @@ def measure_matmul_peak_tflops(n=8192, iters=10):
   return 2 * n**3 / dt / 1e12
 
 
+def measure_paired_device_windows(step_fn, state, fixed, batch, n_chips,
+                                  pairs=3, ceil_steps=10):
+  """Alternate [matmul-peak probe, device-step window] so each step window
+  has a peak measurement from the SAME contention phase (shared/tunneled
+  chips drift on minute scales; r03 recorded a 0.63 step/peak ratio purely
+  because the lone probe and the step windows sampled different phases).
+  Returns (state, rows) where each row is
+  (ceiling_img_s_chip, probe_tflops, paired_ratio)."""
+  rows = []
+  for _ in range(pairs):
+    probe = measure_matmul_peak_tflops(iters=6)
+    t0 = time.perf_counter()
+    for _ in range(ceil_steps):
+      state, loss = step_fn(state, fixed)
+    _fetch(loss)
+    dt = (time.perf_counter() - t0) / ceil_steps
+    ceiling = batch / dt / n_chips
+    step_tflops = ceiling * FLOPS_PER_IMG_TRAIN / 1e12
+    rows.append((ceiling, probe, step_tflops / probe))
+  return state, rows
+
+
 def measure_h2d_gbps(mb=16, iters=8):
   """Sustained host->device transfer rate (synced each put).
 
@@ -214,15 +236,27 @@ def main():
 
   # Device-only ceiling: chained steps on one preloaded batch, one sync.
   # Measured AFTER the e2e windows so its device hogging doesn't drain the
-  # prefetch queue under the first measured window.
+  # prefetch queue under the first measured window. Paired with a matmul
+  # peak probe per window so the step/peak ratio is phase-robust, and the
+  # host-decode probe is interleaved between device windows (device windows
+  # use no host CPU, so the probe sees a quiet host) and taken best-of-N —
+  # the r03 headline lost ~200 img/s to a single host probe landing in a
+  # contention trough (904 -> 278 img/s/thread for identical code).
   fixed = b
-  t0 = time.perf_counter()
-  ceil_steps = 10
-  for _ in range(ceil_steps):
-    state, loss = step_fn(state, fixed)
-  _fetch(loss)
-  ceil_dt = (time.perf_counter() - t0) / ceil_steps
-  device_only_ceiling = batch / ceil_dt / n_chips
+  host_rates = [measure_host_decode_rate(res)]
+  state, pair_rows = measure_paired_device_windows(
+      step_fn, state, fixed, batch, n_chips, pairs=2)
+  host_rates.append(measure_host_decode_rate(res))
+  state, more_rows = measure_paired_device_windows(
+      step_fn, state, fixed, batch, n_chips, pairs=1)
+  pair_rows += more_rows
+  host_rates.append(measure_host_decode_rate(res))
+
+  ceil_windows = sorted(r[0] for r in pair_rows)
+  device_only_ceiling = ceil_windows[-1]          # a ceiling: best-of-N
+  device_only_ceiling_median = ceil_windows[len(ceil_windows) // 2]
+  paired_ratios = [r[2] for r in pair_rows]
+  mfu_paired_max = max(paired_ratios)
 
   rates = sorted(w[0] for w in windows)
   median_rate = rates[len(rates) // 2]
@@ -232,9 +266,9 @@ def main():
 
   device_kind = jax.devices()[0].device_kind
   nominal = NOMINAL_PEAK.get(device_kind, 197e12)
-  measured_peak = measure_matmul_peak_tflops()
-  host_decode_rate = measure_host_decode_rate(res)
-  h2d_gbps = measure_h2d_gbps()
+  measured_peak = max(r[1] for r in pair_rows)
+  host_decode_rate = max(host_rates)
+  h2d_gbps = max(measure_h2d_gbps(), measure_h2d_gbps())
   # Bytes shipped per image on the YUV path: Y res^2 + 2 chroma (res/2)^2
   # uint8 (+ a scalar label; one-hot happens in the device pp phase).
   bytes_per_img = res * res * 3 // 2 + 8
@@ -262,9 +296,9 @@ def main():
           f"({binding} = {ceilings[binding]:.0f} img/s) — the residual "
           f"is repo-owned, investigate.", file=sys.stderr)
 
-  # Device step throughput in TFLOP/s vs the same-session matmul probe:
-  # the contention-robust efficiency number (the probe and the step see
-  # the same platform phase).
+  # Device step throughput in TFLOP/s vs the PAIRED matmul probes: each
+  # ratio compares a step window with a probe from the same platform
+  # phase, and the max over pairs is the contention-robust efficiency.
   device_step_tflops = device_only_ceiling * FLOPS_PER_IMG_TRAIN / 1e12
 
   print(json.dumps({
@@ -286,12 +320,16 @@ def main():
       "mfu_nominal": round(achieved_tflops / (nominal / 1e12), 4),
       "mfu_vs_measured_peak": round(achieved_tflops / measured_peak, 4),
       "mfu_device_only": round(device_step_tflops * 1e12 / nominal, 4),
-      "mfu_device_only_vs_measured_peak": round(
-          device_step_tflops / measured_peak, 4),
+      # Primary step-efficiency claim: max over per-phase PAIRED ratios.
+      "mfu_device_only_vs_measured_peak": round(mfu_paired_max, 4),
+      "mfu_paired_ratios": [round(r, 4) for r in paired_ratios],
+      "device_ceiling_windows": [round(c, 1) for c in ceil_windows],
+      "device_only_ceiling_median": round(device_only_ceiling_median, 2),
       "device_step_tflops": round(device_step_tflops, 1),
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
       "host_decode_imgs_per_sec_1thread": round(host_decode_rate, 1),
+      "host_decode_probe_windows": [round(r, 1) for r in host_rates],
       "h2d_link_mb_per_sec": round(h2d_gbps * 1024, 1),
       "h2d_link_bound_imgs_per_sec": round(h2d_bound_imgs, 1),
       "host_cpus": os.cpu_count(),
