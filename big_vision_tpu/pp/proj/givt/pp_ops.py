@@ -15,10 +15,15 @@ from big_vision_tpu.pp.utils import InKeyOutKey, as_pp_op
 @as_pp_op()
 @InKeyOutKey(indefault="labels", outdefault="labels")
 def get_bin_nyu_depth(min_depth=0.001, max_depth=10.0, num_bins=256):
-  """Bins NYU depth values into integer classes (ref :22)."""
-  def _bin_depth(labels):
-    labels = (jnp.asarray(labels, jnp.float32) - min_depth) / (
-        max_depth - min_depth)
-    labels = jnp.floor(labels * num_bins).astype(jnp.int32)
-    return jnp.clip(labels, 0, num_bins - 1)
-  return _bin_depth
+  """Quantizes metric NYU depth into `num_bins` integer classes (ref :22).
+
+  Out-of-range depths clamp to the first/last bin, matching the reference's
+  floor-then-min/max TF formulation.
+  """
+  inv_range = float(num_bins) / (max_depth - min_depth)
+
+  def _quantize(depth):
+    idx = jnp.floor((jnp.asarray(depth, jnp.float32) - min_depth) * inv_range)
+    return jnp.clip(idx, 0, num_bins - 1).astype(jnp.int32)
+
+  return _quantize

@@ -15,18 +15,21 @@ import numpy as np
 
 def mkrng(xid, wid, step):
   """Deterministic host RNG; ids are capped at 0 (local runs use -1)."""
-  return np.random.default_rng(tuple(max(v, 0) for v in (xid, wid, step)))
+  return np.random.default_rng((*map(lambda v: max(v, 0), (xid, wid)),
+                                max(step, 0)))
 
 
 def mkprob(weights):
+  """Normalizes a weight list into a probability vector (None passthrough)."""
   if weights is None:
     return None
-  weights = np.asarray(weights, dtype=float)
-  return weights / weights.sum()
+  return np.divide(weights, np.sum(weights, dtype=float))
 
 
 def choice(values, ratios, rng=None):
-  return (rng or np.random.default_rng()).choice(values, p=mkprob(ratios))
+  """Samples one of `values` with (unnormalized) `ratios` as weights."""
+  sampler = np.random.default_rng() if rng is None else rng
+  return sampler.choice(values, p=mkprob(ratios))
 
 
 def mkpredictfns(predict_fn, config, template="predict_{x}"):
