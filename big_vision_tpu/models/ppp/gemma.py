@@ -95,6 +95,13 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
   compute_dtype = k.dtype
   cache_dtype = cache_dtype or k.dtype
   quant = cache_dtype == "int8"
+  if not quant and jnp.issubdtype(jnp.dtype(cache_dtype), jnp.integer):
+    # An integer dtype object (e.g. jnp.int8) would silently store bf16
+    # values astype(int8) with no scales — garbage attention. Only the
+    # literal "int8" string selects the quantized (scaled) cache layout.
+    raise ValueError(
+        f"Integer cache_dtype {cache_dtype!r} is not a storage format; "
+        "pass cache_dtype='int8' to get the quantized KV cache.")
 
   idx = module.variable("cache", "idx", jnp.zeros, (batch_size,), jnp.int32)
   kv_shape = (batch_size, cache_size, num_heads, head_dim)
@@ -681,6 +688,12 @@ def load(init_params, init_file, model_cfg=None, dont_load=()):
     if missing == 0:
       return emb
     assert missing > 0, "Can't shrink the vocab"
+    if not np.issubdtype(np.asarray(emb).dtype, np.floating):
+      # int8 rows would quantize randn*0.02 to all zeros and the embedding
+      # scale tensor would keep its old row count -> shape mismatch later.
+      raise ValueError(
+          "vocab_size extension needs a float checkpoint; extend rows "
+          "BEFORE quantization (tools/quantize_ckpt.py), not after.")
     new = (np.random.randn(missing, emb.shape[1]) * 0.02).astype(emb.dtype)
     return np.concatenate([np.asarray(emb), new])
 
@@ -707,5 +720,11 @@ def load(init_params, init_file, model_cfg=None, dont_load=()):
   if init_params is not None and any_int8(init_params) \
       and not any_int8(params):
     params = jax.device_get(quantize_params(params))
+  if init_params is not None and any_int8(params) \
+      and not any_int8(init_params):
+    raise ValueError(
+        "Loading an int8-quantized checkpoint into a float (quant=False) "
+        "model; build the model with quant=True, or re-export the "
+        "checkpoint in float.")
 
   return common.merge_params(params, init_params, dont_load)

@@ -71,6 +71,11 @@ def main(argv=None):
     gemma._del_pad_rows(params)  # pylint: disable=protected-access
     gemma._maybe_transpose_gating_einsum(params)  # pylint: disable=protected-access
 
+  if args.subtree and args.subtree not in params:
+    raise SystemExit(
+        f"--subtree {args.subtree!r} not in the checkpoint's top-level "
+        f"keys {sorted(params)} (orbax Gemma trees are already the bare "
+        "LLM — omit --subtree; npz trees may nest, e.g. --subtree=llm).")
   target = params[args.subtree] if args.subtree else params
   quantized = quantize_tree(target, args.layout)
   if args.subtree:
