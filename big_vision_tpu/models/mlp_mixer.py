@@ -2,8 +2,10 @@
 
 Parity target: reference big_vision/models/mlp_mixer.py (S/B/L/H variants,
 stochastic depth, public checkpoint loader). Token- and channel-mixing are
-plain Dense matmuls — ideal MXU food; `dtype_mm` selects bfloat16 compute.
-Param names match the reference for checkpoint compat.
+the same operation on transposed operands, so one residual-mix loop serves
+both; all mixing is plain Dense matmuls — ideal MXU food — and `dtype_mm`
+selects bfloat16 compute. Param tree names match the reference for
+checkpoint compat.
 """
 
 from __future__ import annotations
@@ -19,11 +21,11 @@ from big_vision_tpu.models import common
 from big_vision_tpu.models import vit
 
 
-def _stoch_depth_mask(x, drop_p, deterministic, make_rng):
-  """Per-example residual-branch drop mask (stochastic depth)."""
-  if not deterministic and drop_p:
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    return 1.0 - jax.random.bernoulli(make_rng("dropout"), drop_p, shape)
+def _keep_branch(x, drop_p, train, make_rng):
+  """Stochastic-depth multiplier: per-example 0/1 on the residual branch."""
+  if train and drop_p:
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    return 1.0 - jax.random.bernoulli(make_rng("dropout"), drop_p, mask_shape)
   return 1.0
 
 
@@ -33,13 +35,17 @@ class MlpBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    y = nn.Dense(self.mlp_dim, dtype=self.dtype_mm)(x)
-    y = nn.gelu(y)
-    return nn.Dense(x.shape[-1], dtype=self.dtype_mm)(y)
+    h = nn.gelu(nn.Dense(self.mlp_dim, dtype=self.dtype_mm)(x))
+    return nn.Dense(x.shape[-1], dtype=self.dtype_mm)(h)
 
 
 class MixerBlock(nn.Module):
-  """Token-mixing then channel-mixing, both with residuals."""
+  """One token-mix + one channel-mix, each a pre-LN residual branch.
+
+  Both mixes run through the same loop: token mixing is channel mixing on
+  the transposed token/channel axes (kernel shapes and the reference's
+  param names are unchanged).
+  """
   tokens_mlp_dim: int
   channels_mlp_dim: int
   drop_p: float
@@ -47,19 +53,21 @@ class MixerBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x, *, train=False):
-    y = nn.LayerNorm()(x)
-    y = jnp.swapaxes(y, 1, 2)
-    y = MlpBlock(self.tokens_mlp_dim, self.dtype_mm, name="token_mixing")(y)
-    y = jnp.swapaxes(y, 1, 2)
-    x = x + y * _stoch_depth_mask(x, self.drop_p, not train, self.make_rng)
-    y = nn.LayerNorm()(x)
-    y = MlpBlock(self.channels_mlp_dim, self.dtype_mm,
-                 name="channel_mixing")(y)
-    return x + y * _stoch_depth_mask(x, self.drop_p, not train, self.make_rng)
+    plan = (("token_mixing", self.tokens_mlp_dim, True),
+            ("channel_mixing", self.channels_mlp_dim, False))
+    for i, (mix_name, width, over_tokens) in enumerate(plan):
+      y = nn.LayerNorm(name=f"LayerNorm_{i}")(x)
+      if over_tokens:
+        y = jnp.swapaxes(y, -1, -2)
+      y = MlpBlock(width, self.dtype_mm, name=mix_name)(y)
+      if over_tokens:
+        y = jnp.swapaxes(y, -1, -2)
+      x = x + y * _keep_branch(x, self.drop_p, train, self.make_rng)
+    return x
 
 
 class MlpMixer(nn.Module):
-  """Mixer backbone + linear head."""
+  """Mixer backbone + mean-pool + linear head."""
   patch_size: Tuple[int, int]
   num_classes: Optional[int]
   num_blocks: int
@@ -76,76 +84,82 @@ class MlpMixer(nn.Module):
     image = jnp.asarray(image, self.dtype_mm)
     # Patchify as reshape+matmul (same param tree as the nn.Conv it
     # replaces; see vit.PatchEmbed for the MXU-efficiency rationale).
-    x = out["stem"] = vit.PatchEmbed(self.hidden_dim, self.patch_size,
-                                     dtype_mm=self.dtype_mm,
-                                     padding="SAME",  # the nn.Conv default
-                                     name="stem")(image)
-    n, h, w, c = x.shape
-    x = out["input_tokens"] = jnp.reshape(x, [n, h * w, c])
+    tokens = out["stem"] = vit.PatchEmbed(
+        self.hidden_dim, self.patch_size, dtype_mm=self.dtype_mm,
+        padding="SAME",  # the nn.Conv default
+        name="stem")(image)
+    x = out["input_tokens"] = tokens.reshape(tokens.shape[0], -1,
+                                             tokens.shape[-1])
+    # Linearly ramp stochastic depth over blocks: 0 at the stem end,
+    # `stoch_depth` at the last block.
+    denom = max(self.num_blocks - 1, 1)
     for i in range(self.num_blocks):
-      drop_p = (i / max(self.num_blocks - 1, 1)) * self.stoch_depth
       x = out[f"block_{i}"] = MixerBlock(
-          self.tokens_mlp_dim, self.channels_mlp_dim, drop_p,
-          self.dtype_mm)(x, train=train)
+          self.tokens_mlp_dim, self.channels_mlp_dim,
+          drop_p=self.stoch_depth * i / denom,
+          dtype_mm=self.dtype_mm)(x, train=train)
     x = nn.LayerNorm(name="pre_head_layer_norm")(x)
-    x = out["pre_logits"] = jnp.mean(x, axis=1)
-    if self.num_classes:
-      x = out["logits"] = nn.Dense(
-          self.num_classes, kernel_init=nn.initializers.zeros, name="head")(x)
-    return x, out
+    x = out["pre_logits"] = x.mean(axis=1)
+    if not self.num_classes:
+      return x, out
+    logits = nn.Dense(self.num_classes, kernel_init=nn.initializers.zeros,
+                      name="head")(x)
+    out["logits"] = logits
+    return logits, out
 
 
+# (hidden_dim, num_blocks, tokens_mlp_dim, channels_mlp_dim) per size.
 _VARIANTS = {
-    "S": dict(hidden_dim=512, num_blocks=8, channels_mlp_dim=2048,
-              tokens_mlp_dim=256),
-    "B": dict(hidden_dim=768, num_blocks=12, channels_mlp_dim=3072,
-              tokens_mlp_dim=384),
-    "L": dict(hidden_dim=1024, num_blocks=24, channels_mlp_dim=4096,
-              tokens_mlp_dim=512),
-    "H": dict(hidden_dim=1280, num_blocks=32, channels_mlp_dim=5120,
-              tokens_mlp_dim=640),
+    "S": (512, 8, 256, 2048),
+    "B": (768, 12, 384, 3072),
+    "L": (1024, 24, 512, 4096),
+    "H": (1280, 32, 640, 5120),
 }
 
 
 def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-name
+  """Builds a Mixer from a variant string like "B/16"."""
   if variant is not None:
     size, patch = variant.split("/")
-    kw.setdefault("patch_size", (int(patch), int(patch)))
-    for k, v in _VARIANTS[size].items():
-      kw.setdefault(k, v)
+    width, depth, tok_mlp, chan_mlp = _VARIANTS[size]
+    defaults = dict(patch_size=(int(patch), int(patch)), hidden_dim=width,
+                    num_blocks=depth, tokens_mlp_dim=tok_mlp,
+                    channels_mlp_dim=chan_mlp)
+    kw = {**defaults, **kw}
   return MlpMixer(num_classes=num_classes, **kw)
+
+
+_PAPER_CKPTS = {
+    "B-i1k/16": "gs://mixer_models/imagenet1k/Mixer-B_16.npz",
+    "L-i1k/16": "gs://mixer_models/imagenet1k/Mixer-L_16.npz",
+    "B-i21k/16": "gs://mixer_models/imagenet21k/Mixer-B_16.npz",
+    "L-i21k/16": "gs://mixer_models/imagenet21k/Mixer-L_16.npz",
+}
 
 
 def load(init_params, init_file, model_cfg, dont_load=()):
   """Loads a Mixer checkpoint, incl. the original paper's layout."""
   del model_cfg
-  init_file = {
-      "B-i1k/16": "gs://mixer_models/imagenet1k/Mixer-B_16.npz",
-      "L-i1k/16": "gs://mixer_models/imagenet1k/Mixer-L_16.npz",
-      "B-i21k/16": "gs://mixer_models/imagenet21k/Mixer-B_16.npz",
-      "L-i21k/16": "gs://mixer_models/imagenet21k/Mixer-L_16.npz",
-  }.get(init_file, init_file)
   import flax.training.checkpoints
-  restored = u.load_params(init_file)
+  restored = u.load_params(_PAPER_CKPTS.get(init_file, init_file))
   restored = flax.training.checkpoints.convert_pre_linen(restored)
 
   if "Mixer" in restored:
-    # Original-paper layout -> current layout.
+    # Original-paper layout: blocks nested under "Mixer" with fused-phase
+    # MLP param names. Unfold into this module's tree.
     restored["pre_head_layer_norm"] = restored["Mixer"].pop("encoder_norm")
     restored["stem"] = restored.pop("embedding")
 
-    def split_fused(d):
-      return {
-          "Dense_0": {"bias": d["bias1"].squeeze(),
-                      "kernel": d["kernel1"].squeeze()},
-          "Dense_1": {"bias": d["bias2"].squeeze(),
-                      "kernel": d["kernel2"].squeeze()},
-      }
-    for k, v in restored["Mixer"].items():
-      assert k.startswith("encoderblock_"), k
-      v["token_mixing"] = split_fused(v.pop("token_mixing_phase_0"))
-      v["channel_mixing"] = split_fused(v.pop("channel_mixing_phase_0"))
-      restored["MixerBlock_" + k[len("encoderblock_"):]] = v
-    del restored["Mixer"]
+    def unfuse(phase):
+      return {f"Dense_{j}": {"bias": phase[f"bias{j + 1}"].squeeze(),
+                             "kernel": phase[f"kernel{j + 1}"].squeeze()}
+              for j in range(2)}
+
+    for key, block in restored.pop("Mixer").items():
+      idx = key.removeprefix("encoderblock_")
+      assert idx != key, f"unexpected Mixer entry {key}"
+      block["token_mixing"] = unfuse(block.pop("token_mixing_phase_0"))
+      block["channel_mixing"] = unfuse(block.pop("channel_mixing_phase_0"))
+      restored[f"MixerBlock_{idx}"] = block
 
   return common.merge_params(restored, init_params, dont_load)
