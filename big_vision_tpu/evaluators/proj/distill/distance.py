@@ -19,35 +19,53 @@ from big_vision_tpu.evaluators import common
 API = "jit"
 
 
+def _sq_norm(d, axis):
+  return (d * d).sum(axis=axis)
+
+
+def _hard(s, t, *, axis, ls, **_):
+  # Cross-entropy against the teacher's (optionally smoothed) argmax.
+  pseudo = u.onehot(jnp.argmax(t, axis), t.shape[axis])
+  if ls:
+    off = ls / (pseudo.shape[-1] - 1)
+    pseudo = pseudo * (1.0 - ls - off) + off
+  return u.softmax_xent(logits=s, labels=pseudo, reduction=False, kl=True,
+                        axis=axis)
+
+
+def _kl(s, t, *, axis, t_temp, **_):
+  soft_teacher = jax.nn.softmax(t / t_temp, axis=axis)
+  xent = u.softmax_xent(logits=s / t_temp, labels=soft_teacher,
+                        reduction=False, kl=True, axis=axis)
+  return t_temp ** 2 * xent
+
+
+def _agree(s, t, *, axis, k, **_):
+  def ranks(arr, kk):
+    return jax.lax.top_k(arr.swapaxes(axis, -1), kk)[1].swapaxes(axis, -1)
+  return (ranks(s, k) == ranks(t, 1)).sum(axis)
+
+
+_KINDS = {
+    "euclidean": lambda s, t, *, axis, eps, **_:
+        jnp.sqrt(_sq_norm(s - t, axis) + eps),
+    "l2": lambda s, t, *, axis, **_: _sq_norm(s - t, axis),
+    "hard": _hard,
+    "kl": _kl,
+    "logsoftmax_euclidean": lambda s, t, *, axis, eps, **_:
+        jnp.sqrt(_sq_norm(jax.nn.log_softmax(s, axis=axis)
+                          - jax.nn.log_softmax(t, axis=axis), axis) + eps),
+    "agree": _agree,
+}
+
+
 def dist(student, teacher, kind, feat_axis=-1, epsilon=1e-12, t=1, ls=0.0,
          k=1):
   """Distance between student/teacher representations (ref :35-68)."""
-  diff = student - teacher
-  if kind == "euclidean":
-    return jnp.sqrt(jnp.sum(diff * diff, axis=feat_axis) + epsilon)
-  if kind == "l2":
-    return jnp.sum(diff * diff, axis=feat_axis)
-  if kind == "hard":
-    pseudo = jnp.argmax(teacher, feat_axis)
-    pl = u.onehot(pseudo, teacher.shape[feat_axis])
-    if ls:
-      pl = (1.0 - ls) * pl + (ls / (pl.shape[-1] - 1)) * (1.0 - pl)
-    return u.softmax_xent(logits=student, labels=pl, reduction=False,
-                          kl=True, axis=feat_axis)
-  if kind == "kl":
-    return t ** 2 * u.softmax_xent(
-        logits=student / t, labels=jax.nn.softmax(teacher / t),
-        reduction=False, kl=True, axis=feat_axis)
-  if kind == "logsoftmax_euclidean":
-    d = (jax.nn.log_softmax(student, axis=feat_axis)
-         - jax.nn.log_softmax(teacher, axis=feat_axis))
-    return jnp.sqrt(jnp.sum(d * d, axis=feat_axis) + epsilon)
-  if kind == "agree":
-    def top_k(arr, kk):
-      return jax.lax.top_k(arr.swapaxes(feat_axis, -1), kk)[1].swapaxes(
-          feat_axis, -1)
-    return (top_k(student, k) == top_k(teacher, 1)).sum(feat_axis)
-  raise ValueError(f"Unknown distance kind {kind!r}")
+  if kind not in _KINDS:
+    raise ValueError(f"Unknown distance kind {kind!r}; have {list(_KINDS)}")
+  return _KINDS[kind](student, teacher, axis=feat_axis, eps=epsilon,
+                      t_temp=t, ls=ls, k=k)
 
 
 @functools.lru_cache(None)

@@ -24,32 +24,30 @@ def merge_params(loaded, inited, dont_load=(), match_dtype=False):
 
   patterns = u.check_and_compile_patterns(dont_load)
 
-  def should_merge(name):
-    return not any(p.fullmatch(name) for p in patterns)
+  def keep_init(name):
+    return any(p.fullmatch(name) for p in patterns)
 
-  loaded_flat = dict(u.tree_flatten_with_names(loaded)[0])
-  inited_flat = dict(u.tree_flatten_with_names(inited)[0])
+  have = dict(u.tree_flatten_with_names(loaded)[0])
+  want = dict(u.tree_flatten_with_names(inited)[0])
 
-  merged = {}
-  for name, init_val in inited_flat.items():
-    if name in loaded_flat and should_merge(name):
-      merged[name] = loaded_flat[name]
-      if match_dtype:
-        merged[name] = merged[name].astype(init_val.dtype)
+  merged, problems = {}, []
+  for name in sorted(set(have) | set(want)):
+    if name not in want:
+      # Checkpoint-only entry: silently dropped when dont_load'ed.
+      if not keep_init(name):
+        problems.append(f" + {name}  (in checkpoint, not in model)")
+    elif name in have and not keep_init(name):
+      val = have[name]
+      merged[name] = val.astype(want[name].dtype) if match_dtype else val
     else:
-      merged[name] = init_val
+      merged[name] = want[name]
+      if name not in have and not keep_init(name):
+        problems.append(f" - {name}  (in model, not in checkpoint)")
 
-  only_inited = {k for k in inited_flat.keys() - loaded_flat.keys()
-                 if should_merge(k)}
-  only_loaded = {k for k in loaded_flat.keys() - inited_flat.keys()
-                 if should_merge(k)}
-  if only_inited or only_loaded:
-    def fmt(title, keys, mark):
-      return f"{title}:\n" + "\n".join(f" {mark} {k}" for k in sorted(keys))
+  if problems:
     raise ValueError(
-        "Checkpoint/model structure mismatch not covered by dont_load.\n"
-        + fmt("In model but not checkpoint", only_inited, "-") + "\n"
-        + fmt("In checkpoint but not model", only_loaded, "+"))
+        "Checkpoint/model structure mismatch not covered by dont_load:\n"
+        + "\n".join(problems))
 
   return u.recover_tree(merged.keys(), merged.values())
 
@@ -61,16 +59,15 @@ class AddPositionEmbs(nn.Module):
   @nn.compact
   def __call__(self, inputs, posemb):
     assert inputs.ndim == 3, f"Bad inputs shape: {inputs.shape}"
-    _, seq_len, emb_dim = inputs.shape
-    pe = posemb[:, :seq_len, :]
     if self.decode:
-      is_initialized = self.has_variable("cache", "cache_index")
-      cache_index = self.variable(
-          "cache", "cache_index", lambda: jnp.array(0, dtype=jnp.uint32))
-      if is_initialized:
-        i = cache_index.value
-        cache_index.value = i + 1
-        pe = jax.lax.dynamic_slice(
-            posemb, (jnp.int32(0), i.astype(jnp.int32), jnp.int32(0)),
-            (1, 1, emb_dim))
-    return inputs + pe
+      # A cache pointer tracks the current decode position; each call
+      # consumes one posemb row. First (init) call falls through to the
+      # full-sequence add below.
+      started = self.has_variable("cache", "cache_index")
+      ptr = self.variable("cache", "cache_index",
+                          lambda: jnp.array(0, dtype=jnp.uint32))
+      if started:
+        pos = ptr.value.astype(jnp.int32)
+        ptr.value = ptr.value + 1
+        return inputs + jax.lax.dynamic_slice_in_dim(posemb, pos, 1, axis=1)
+    return inputs + posemb[:, :inputs.shape[1], :]

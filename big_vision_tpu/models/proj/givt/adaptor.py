@@ -4,16 +4,17 @@ Parity target: reference models/proj/givt/adaptor.py (which follows the
 public PyTorch iRevNet, github.com/jhjacobsen/pytorch-i-revnet). Additive
 couplings over the channel split make forward/inverse exact with zero
 log-det, so the adaptor reshapes latent likelihoods without changing them.
+Param tree names (modules_i, gn_j) match published checkpoints.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Sequence
 
-import einops
 import flax.linen as nn
-import jax
+import jax.numpy as jnp
 
 import big_vision_tpu.utils as u
 from big_vision_tpu.models import common
@@ -22,19 +23,10 @@ from big_vision_tpu.models import common
 def get_h_w_pixelshuffle(hw, pixel_shuffle_patch_size):
   """Spatial dims after space-to-depth, assuming a square source image."""
   ph, pw = pixel_shuffle_patch_size
-  s = int(math.sqrt(hw * ph * pw))
-  h, w = s // ph, s // pw
-  assert h * w == hw, f"Length {hw} incompatible with shuffle ({ph},{pw})"
-  return h, w
-
-
-def _split(x):
-  n = x.shape[-1] // 2
-  return x[..., :n], x[..., n:]
-
-
-def _merge(x1, x2):
-  return jax.numpy.concatenate((x1, x2), axis=-1)
+  side = math.isqrt(hw * ph * pw)
+  if (side // ph) * (side // pw) != hw:
+    raise ValueError(f"Length {hw} incompatible with shuffle ({ph},{pw})")
+  return side // ph, side // pw
 
 
 class IRevNetBlock(nn.Module):
@@ -47,31 +39,24 @@ class IRevNetBlock(nn.Module):
 
   @nn.compact
   def _fx2(self, x, train=True):
-    ks = (3, 3)
-    if not self.first:
-      y = nn.relu(nn.GroupNorm(num_groups=self.num_grps_norm,
-                               name="gn_0")(x))
-    else:
-      y = x
+    gn = functools.partial(nn.GroupNorm, num_groups=self.num_grps_norm)
+    conv3x3 = functools.partial(nn.Conv, kernel_size=(3, 3), padding=1,
+                                use_bias=False)
     mid = self.num_channels_bottleneck or self.num_channels
-    y = nn.Conv(mid, kernel_size=ks, padding=1, use_bias=False)(y)
-    y = nn.relu(nn.GroupNorm(num_groups=self.num_grps_norm,
-                             name="gn_1")(y))
-    y = nn.Conv(mid, kernel_size=ks, padding=1, use_bias=False)(y)
-    y = nn.Dropout(rate=self.dropout_rate,
-                   deterministic=not train)(y)
-    y = nn.relu(nn.GroupNorm(num_groups=self.num_grps_norm,
-                             name="gn_2")(y))
-    return nn.Conv(self.num_channels, kernel_size=ks, padding=1,
-                   use_bias=False)(y)
+    y = x if self.first else nn.relu(gn(name="gn_0")(x))
+    y = nn.relu(gn(name="gn_1")(conv3x3(mid)(y)))
+    y = conv3x3(mid)(y)
+    y = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(y)
+    y = nn.relu(gn(name="gn_2")(y))
+    return conv3x3(self.num_channels)(y)
 
-  def forward(self, x, train=True):
-    x1, x2 = x
-    return (x2, self._fx2(x2, train=train) + x1)
+  def forward(self, halves, train=True):
+    passive, active = halves
+    return active, passive + self._fx2(active, train=train)
 
-  def inverse(self, x, train=True):
-    x2, y1 = x
-    return (y1 - self._fx2(x2, train=train), x2)
+  def inverse(self, halves, train=True):
+    active, coupled = halves
+    return coupled - self._fx2(active, train=train), active
 
 
 class IRevNet(nn.Module):
@@ -82,30 +67,34 @@ class IRevNet(nn.Module):
   dropout_rate: float = 0.0
 
   def setup(self):
-    num_grps = min(32, self.num_channels // 2)
+    half = self.num_channels // 2
     # Named `modules` so param trees match the published checkpoints
     # (modules_0, modules_1, ... — ref adaptor.py:107).
     self.modules = [
         IRevNetBlock(
             first=(i == 0),
-            num_channels=self.num_channels // 2,
+            num_channels=half,
             num_channels_bottleneck=(
                 self.num_channels_bottleneck or self.num_channels) // 2,
-            num_grps_norm=num_grps,
+            num_grps_norm=min(32, half),
             dropout_rate=self.dropout_rate)
         for i in range(self.num_blocks)]
 
+  @staticmethod
+  def _halve(x):
+    return x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+
   def forward(self, x, train=True):
-    out = _split(x)
-    for m in self.modules:
-      out = m.forward(out, train=train)
-    return _merge(*out)
+    halves = self._halve(x)
+    for block in self.modules:
+      halves = block.forward(halves, train=train)
+    return jnp.concatenate(halves, axis=-1)
 
   def inverse(self, out_bij, train=True):
-    out = _split(out_bij)
-    for m in reversed(self.modules):
-      out = m.inverse(out, train=train)
-    return _merge(*out)
+    halves = self._halve(out_bij)
+    for block in self.modules[::-1]:
+      halves = block.inverse(halves, train=train)
+    return jnp.concatenate(halves, axis=-1)
 
   def __call__(self, x, train=True):
     return self.forward(x, train=train)
@@ -116,18 +105,17 @@ class Model(IRevNet):
 
   pixel_shuffle_patch_size: tuple = (1, 1)
 
-  def forward(self, x, train=True):
-    h, w = get_h_w_pixelshuffle(x.shape[1], self.pixel_shuffle_patch_size)
-    x = einops.rearrange(x, "b (h w) c -> b h w c", h=h, w=w)
-    x = super().forward(x, train)
-    return einops.rearrange(x, "b h w c -> b (h w) c")
+  def _as_grid(self, seq):
+    h, w = get_h_w_pixelshuffle(seq.shape[1], self.pixel_shuffle_patch_size)
+    return seq.reshape(seq.shape[0], h, w, seq.shape[-1])
+
+  def forward(self, seq, train=True):
+    y = super().forward(self._as_grid(seq), train)
+    return y.reshape(seq.shape)
 
   def inverse(self, out_bij, train=True):
-    h, w = get_h_w_pixelshuffle(out_bij.shape[1],
-                                self.pixel_shuffle_patch_size)
-    out_bij = einops.rearrange(out_bij, "b (h w) c -> b h w c", h=h, w=w)
-    out_bij = super().inverse(out_bij, train)
-    return einops.rearrange(out_bij, "b h w c -> b (h w) c")
+    y = super().inverse(self._as_grid(out_bij), train)
+    return y.reshape(out_bij.shape)
 
 
 def load(init_params: Any, init_file: str, model_params: Any = None,

@@ -11,10 +11,9 @@ Usage:
 
 from __future__ import annotations
 
-import functools
+import argparse
 import sys
 
-from absl import app, flags, logging
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 import ml_collections
@@ -31,96 +30,98 @@ import big_vision_tpu.sharding as bv_sharding
 import big_vision_tpu.trainers.proj.paligemma.predict_fns as predict_fns
 import big_vision_tpu.utils as u
 
-CKPT = flags.DEFINE_string("ckpt", default=None, help="Checkpoint path.")
-IMAGE = flags.DEFINE_string("image", default=None, help="Input image.")
-SAMPLER = flags.DEFINE_string(
-    "sampler", default="greedy", help="Decoding strategy, e.g. nucleus(0.1)")
-RES = flags.DEFINE_integer("res", default=224, help="Image resolution.")
-MAX_DECODE_LEN = flags.DEFINE_integer(
-    "max_decode_len", default=128, help="Max total generation steps.")
-PREFILL_LEN = flags.DEFINE_integer(
-    "prefill_len", default=32, help="Prompt prefill size.")
-CKPT_DTYPE = flags.DEFINE_string(
-    "ckpt_dtype", default=None, help="Cast ckpt to dtype (e.g. float16).")
-
 TOKENIZER = "gemma(tokensets=['loc', 'seg'])"
 
 
-def load_model(ckpt):
-  model_cfg = ml_collections.FrozenConfigDict(dict(
-      img=dict(variant="So400m/14", pool_type="none", scan=True),
-      llm=dict(vocab_size=256_000 + 1024 + 128),
-  ))
-  model = model_mod.Model(**model_cfg)
-  params = model_mod.load(None, ckpt, model_cfg)
-  return model, params
+def parse_args(argv=None):
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--ckpt", required=True, help="Checkpoint path.")
+  p.add_argument("--image", required=True, help="Input image.")
+  p.add_argument("--sampler", default="greedy",
+                 help="Decoding strategy, e.g. nucleus(0.1)")
+  p.add_argument("--res", type=int, default=224, help="Image resolution.")
+  p.add_argument("--max_decode_len", type=int, default=128,
+                 help="Max total generation steps.")
+  p.add_argument("--prefill_len", type=int, default=32,
+                 help="Prompt prefill size.")
+  p.add_argument("--ckpt_dtype", default=None,
+                 help="Cast ckpt to dtype (e.g. float16).")
+  return p.parse_args(argv)
 
 
-def info(s, *a):
-  logging.info("[33mNOTE[0m: " + s, *a)
+class Session:
+  """A sharded PaliGemma with its preprocessing + decode plumbing."""
 
+  def __init__(self, args):
+    self.args = args
+    u.write_note("Loading model...")
+    model_cfg = ml_collections.FrozenConfigDict(dict(
+        img=dict(variant="So400m/14", pool_type="none", scan=True),
+        llm=dict(vocab_size=256_000 + 1024 + 128),
+    ))
+    self.model = model_mod.Model(**model_cfg)
+    with jax.transfer_guard("allow"):
+      params = model_mod.load(None, args.ckpt, model_cfg)
 
-def main(argv):
-  del argv
-  jax.config.update("jax_transfer_guard", "disallow")
-  info("Loading model...")
-  with jax.transfer_guard("allow"):
-    model, params = load_model(CKPT.value)
+    u.write_note("Loading tokenizer...")
+    self.tokzr = big_vision_tpu.pp.tokenizer.get_tokenizer(TOKENIZER)
 
-  fns = predict_fns.get_all(
-      model, max_decode_len=MAX_DECODE_LEN.value, sampler=SAMPLER.value)
+    u.write_note("Creating mesh and sharding params...")
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    self.repl_sharding = NamedSharding(mesh, PartitionSpec())
+    params_sharding = bv_sharding.infer_sharding(
+        params, strategy=[(".*", "fsdp(axis='data')")], mesh=mesh)
+    with jax.transfer_guard("allow"):
+      params = u.reshard(params, params_sharding)
+    if args.ckpt_dtype:
+      def cast(x):
+        if np.issubdtype(x.dtype, np.floating):
+          return x.astype(args.ckpt_dtype)
+        return x
+      params = jax.jit(lambda p: jax.tree.map(cast, p), donate_argnums=(0,),
+                       out_shardings=params_sharding)(params)
+    self.params = params
 
-  info("Loading tokenizer...")
-  tokzr = big_vision_tpu.pp.tokenizer.get_tokenizer(TOKENIZER)
+    self.decode = predict_fns.get_all(
+        self.model, max_decode_len=args.max_decode_len,
+        sampler=args.sampler)["decode"]
+    self.pp_fn = big_vision_tpu.pp.builder.get_preprocess_fn("|".join([
+        f"decode|resize({args.res})|value_range(-1, 1)",
+        f"tok(key='prefix', bos='yes', model={TOKENIZER!r})",
+        f"tok(key='septok', text='\\n', model={TOKENIZER!r})",
+        "masked_concat(['prefix', 'septok'], mask_ar=[0, 0],"
+        " mask_input=[1, 1])",
+        f"tolen({args.prefill_len}, pad_value=0, key='text')",
+        f"tolen({args.prefill_len}, pad_value=1, key='mask_ar')",
+        f"tolen({args.prefill_len}, pad_value=0, key='mask_input')",
+        "keep('image', 'text', 'mask_ar', 'mask_input')",
+    ]))
 
-  info("Creating mesh and sharding params...")
-  mesh = Mesh(np.asarray(jax.devices()), ("data",))
-  repl_sharding = NamedSharding(mesh, PartitionSpec())
-  params_sharding = bv_sharding.infer_sharding(
-      params, strategy=[(".*", "fsdp(axis='data')")], mesh=mesh)
-  with jax.transfer_guard("allow"):
-    params = u.reshard(params, params_sharding)
-  if CKPT_DTYPE.value:
-    cast = lambda x: (x.astype(CKPT_DTYPE.value)
-                      if np.issubdtype(x.dtype, np.floating) else x)
-    params = jax.jit(lambda p: jax.tree.map(cast, p), donate_argnums=(0,),
-                     out_shardings=params_sharding)(params)
-
-  pp_fn = big_vision_tpu.pp.builder.get_preprocess_fn("|".join([
-      f"decode|resize({RES.value})|value_range(-1, 1)",
-      f"tok(key='prefix', bos='yes', model={TOKENIZER!r})",
-      f"tok(key='septok', text='\\n', model={TOKENIZER!r})",
-      "masked_concat(['prefix', 'septok'], mask_ar=[0, 0],"
-      " mask_input=[1, 1])",
-      f"tolen({PREFILL_LEN.value}, pad_value=0, key='text')",
-      f"tolen({PREFILL_LEN.value}, pad_value=1, key='mask_ar')",
-      f"tolen({PREFILL_LEN.value}, pad_value=0, key='mask_input')",
-      "keep('image', 'text', 'mask_ar', 'mask_input')",
-  ]))
-
-  decode = functools.partial(fns["decode"])
-
-  def make_batch(fname, prompt):
-    with open(fname, "rb") as f:
-      image = f.read()
-    example = pp_fn({"image": image, "prefix": np.array(prompt)})
+  def answer(self, image_bytes, prompt):
+    example = self.pp_fn({"image": image_bytes, "prefix": np.array(prompt)})
     example["_mask"] = np.array(True)
     batch = jax.tree.map(lambda x: np.asarray(x)[None], example)
     with jax.transfer_guard("allow"):
-      return u.reshard(batch, repl_sharding)
-
-  info("Precompiling inference function...")
-  decode({"params": params}, make_batch(IMAGE.value, "caption en"))
-
-  info("Type a prompt and press enter, e.g. 'caption en': ")
-  for line in map(str.strip, sys.stdin):
-    tokens = decode({"params": params}, make_batch(IMAGE.value, line))
+      batch = u.reshard(batch, self.repl_sharding)
+    tokens = self.decode({"params": self.params}, batch)
     with jax.transfer_guard("allow"):
-      tokens = jax.device_get(tokens)[0]
-    print(tokzr.to_str(tokens), flush=True)
+      return self.tokzr.to_str(jax.device_get(tokens)[0])
+
+
+def main(argv=None):
+  args = parse_args(argv)
+  jax.config.update("jax_transfer_guard", "disallow")
+  session = Session(args)
+  with open(args.image, "rb") as f:
+    image_bytes = f.read()
+
+  u.write_note("Precompiling inference function...")
+  session.answer(image_bytes, "caption en")
+
+  u.write_note("Type a prompt and press enter, e.g. 'caption en': ")
+  for line in map(str.strip, sys.stdin):
+    print(session.answer(image_bytes, line), flush=True)
 
 
 if __name__ == "__main__":
-  flags.mark_flag_as_required("ckpt")
-  flags.mark_flag_as_required("image")
-  app.run(main)
+  main()
