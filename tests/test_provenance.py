@@ -31,13 +31,8 @@ RATCHET = {
     "sharding.py": (0.75, "rule semantics are the compat surface"),
     # Checkpoint-compatible param trees + the public config call surface
     # pin much of the structure; being worked down, must not regrow.
-    "models/proj/givt/adaptor.py": (0.78, "ratchet: rewrite pending"),
-    "models/mlp_mixer.py": (0.77, "ratchet: rewrite pending"),
     "models/proj/paligemma/paligemma.py": (0.77, "ratchet: rewrite pending"),
-    "models/common.py": (0.72, "ratchet: rewrite pending"),
-    "trainers/proj/paligemma/run.py": (0.72, "ratchet: rewrite pending"),
     "trainers/proj/flexi/common.py": (0.70, "small file; metric saturates"),
-    "evaluators/proj/distill/distance.py": (0.67, "ratchet: rewrite pending"),
     "models/proj/givt/givt.py": (0.66, "ratchet: 0.796->0.639 in r4"),
     "models/ppp/gemma.py": (0.62, "ratchet: shared tensor layout w/ ckpts"),
 }
@@ -50,16 +45,15 @@ def test_similarity_ratchet():
     if not os.path.isdir(simcheck.REF):
         pytest.skip("reference tree not present")
     results = simcheck.sweep()
-    over, regressed, stale = [], [], dict(RATCHET)
-    for r in results:
-        if r["exempt"]:
-            continue
-        pinned = stale.pop(r["file"], None)
+    current = {r["file"]: r["similarity"] for r in results if not r["exempt"]}
+    over, regressed = [], []
+    for file, sim in current.items():
+        pinned = RATCHET.get(file)
         if pinned is not None:
-            if r["similarity"] > pinned[0]:
-                regressed.append((r["file"], r["similarity"], pinned[0]))
-        elif r["similarity"] >= GATE:
-            over.append((r["file"], r["similarity"]))
+            if sim > pinned[0]:
+                regressed.append((file, sim, pinned[0]))
+        elif sim >= GATE:
+            over.append((file, sim))
     assert not over, (
         f"files >= {GATE} similarity to the reference and not in the "
         f"ratchet table (rewrite them, do not extend the table): {over}")
@@ -68,7 +62,5 @@ def test_similarity_ratchet():
         f"{regressed}")
     # Rows whose file now scores below the gate (or vanished) must be
     # removed so the ratchet only ever shrinks.
-    done = [f for f in stale
-            if not any(x["file"] == f and x["similarity"] >= GATE
-                       for x in results)]
+    done = [f for f in RATCHET if current.get(f, 0.0) < GATE]
     assert not done, f"ratchet rows can graduate (delete them): {done}"
