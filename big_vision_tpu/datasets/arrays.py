@@ -8,10 +8,17 @@ from big_vision_tpu.datasets import core
 
 
 class DataSource(core.DataSource):
-  """data={"image": [...], "label": [...]}; all values same length."""
+  """data={"image": [...], "label": [...]}; all values same length.
 
-  def __init__(self, data, split=None):
+  Alternatively pass npz="/path/file.npz" to read the arrays from disk
+  (so file-based configs can name an in-memory-style source).
+  """
+
+  def __init__(self, data=None, npz=None, split=None):
     del split
+    if npz is not None:
+      assert data is None, "pass either data= or npz=, not both"
+      data = dict(np.load(npz))
     lengths = {k: len(v) for k, v in data.items()}
     assert len(set(lengths.values())) == 1, f"Ragged source: {lengths}"
     self.data = data

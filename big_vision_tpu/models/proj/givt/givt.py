@@ -14,7 +14,6 @@ MlpBlock and the flax decode cache for AR sampling.
 
 from __future__ import annotations
 
-import enum
 import itertools
 from typing import Literal, Optional, Sequence
 
@@ -28,11 +27,9 @@ from big_vision_tpu.models import common, vit
 from big_vision_tpu.models.proj.givt import distributions
 
 
-class _SpecialLabel(enum.Enum):
-  MASK = "mask"
-  NOMASK = "nomask"
-  REPLACE = "replace"
-  NOLABEL = "nolabel"
+# Special conditioning tokens, appended to the label vocabulary. Plain
+# strings: they only ever key the special_labels id map.
+MASK, NOMASK, REPLACE, NOLABEL = "mask", "nomask", "replace", "nolabel"
 
 
 def _random_mask_with_ratios(rng, ratios, seq_len):
@@ -75,8 +72,8 @@ class EncoderDecoderBlock(nn.Module):
 
   def _attn(self, name, decode=False):
     return nn.MultiHeadDotProductAttention(
-        num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
-        dropout_rate=self.dropout_rate, decode=decode, name=name)
+        num_heads=self.num_heads, dropout_rate=self.dropout_rate,
+        decode=decode, use_bias=False, broadcast_dropout=False, name=name)
 
   @nn.compact
   def __call__(self, targets, encoded=None, decoder_mask=None,
@@ -103,17 +100,17 @@ class EncoderDecoderBlock(nn.Module):
 
 class Decoder(nn.Module):
   """Stack of EncoderDecoderBlocks with learned posemb and GMM-raw head."""
-  emb_dim: int
-  mlp_dim: int
-  num_heads: int
-  num_layers: int
-  out_dim: int
-  seq_len: int
   style: Literal["ar", "masked"]
+  seq_len: int
+  out_dim: int
+  emb_dim: int
+  num_layers: int
+  num_heads: int
+  mlp_dim: int
   dropout_rate: float = 0.0
-  zero_embedding_init: bool = False
   scan: bool = False
   remat_policy: str = "nothing_saveable"
+  zero_embedding_init: bool = False
 
   @nn.compact
   def __call__(self, targets, encoded=None, decoder_mask=None, decode=False,
@@ -145,51 +142,64 @@ class Decoder(nn.Module):
           in_axes=nn.broadcast, length=self.num_layers)(
               name="EncDecBlock", **block_kw)(
                   y, encoded, decoder_mask, deterministic)
-      for l in range(self.num_layers):
-        out[f"block{l}_rep"] = jnp.mean(reps[l], axis=1)
+      per_block = list(reps)
     else:
+      per_block = []
       for l in range(self.num_layers):
         y, _ = EncoderDecoderBlock(name=f"EncDecBlock{l}", **block_kw)(
             y, encoded, decoder_mask=decoder_mask,
             deterministic=deterministic)
-        out[f"block{l}_rep"] = jnp.mean(y, axis=1)
+        per_block.append(y)
 
+    # Sequence-pooled per-block activations, for representation probes.
+    out.update({f"block{l}_rep": jnp.mean(rep, axis=1)
+                for l, rep in enumerate(per_block)})
     y = nn.LayerNorm(name="LayerNorm")(y)
     out["pre_logits"] = jnp.mean(y, axis=1)
-    out["logits"] = nn.Dense(self.out_dim, name="LogitsDense",
-                             kernel_init=nn.initializers.zeros)(y)
-    return (out["logits"], out) if return_reps else out["logits"]
+    raw = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
+                   name="LogitsDense")(y)
+    out["logits"] = raw
+    return (raw, out) if return_reps else raw
 
 
 class Model(nn.Module):
-  """GIVT (decoder-only when num_layers=0)."""
-  num_heads: int = 8
-  num_layers: int = 0  # 0 = no encoder
-  num_decoder_layers: int = 6
-  mlp_dim: int = 2048
-  enc_dropout_rate: float = 0.0
-  dec_dropout_rate: float = 0.0
-  emb_dim: int = 512
-  num_labels: Optional[int] = 1000
-  seq_len: int = 256
-  patches: Sequence[int] = (16, 16)
-  input_size: Sequence[int] = (256, 256)
-  posemb_type: Literal["learn", "sincos2d"] = "learn"
-  zero_decoder_seq: bool = False
-  style: Literal["ar", "masked"] = "ar"
-  zero_embedding_init: bool = False
-  num_mixtures: int = 4
-  multivariate: bool = False
+  """GIVT (decoder-only when num_layers=0).
+
+  Field names/defaults are the config-compat surface (kwargs-only); they
+  are grouped here by role, not in the reference's declaration order.
+  """
+  # -- GMM output head over continuous tokens --
   out_dim: int = 32
-  scale_tol: float = 1e-6
-  mask_schedule_train: str = "cosine"
-  min_masking_rate_training: float = 0.3
-  mask_style: str = "replace"
-  drop_labels_probability: float = 0.0
-  fix_square_plus: bool = False
+  num_mixtures: int = 4
   per_channel_mixtures: bool = True
+  multivariate: bool = False
+  scale_tol: float = 1e-6
+  fix_square_plus: bool = False
+  # -- transformer geometry (shared by encoder & decoder) --
+  emb_dim: int = 512
+  mlp_dim: int = 2048
+  num_heads: int = 8
+  num_decoder_layers: int = 6
+  num_layers: int = 0  # encoder depth; 0 = no encoder
+  seq_len: int = 256
+  posemb_type: Literal["learn", "sincos2d"] = "learn"
   scan: bool = False
   remat_policy: str = "nothing_saveable"
+  # -- encoder patchification (encoder-decoder mode only) --
+  input_size: Sequence[int] = (256, 256)
+  patches: Sequence[int] = (16, 16)
+  # -- conditioning / masked-mode training --
+  style: Literal["ar", "masked"] = "ar"
+  num_labels: Optional[int] = 1000
+  mask_style: str = "replace"
+  mask_schedule_train: str = "cosine"
+  min_masking_rate_training: float = 0.3
+  drop_labels_probability: float = 0.0
+  # -- regularization & init --
+  enc_dropout_rate: float = 0.0
+  dec_dropout_rate: float = 0.0
+  zero_decoder_seq: bool = False
+  zero_embedding_init: bool = False
 
   @property
   def has_encoder(self):
@@ -197,71 +207,73 @@ class Model(nn.Module):
 
   @property
   def num_logits(self):
-    if self.multivariate:
-      assert self.num_mixtures == 1
-      return round(self.out_dim ** 2) + self.out_dim
-    if self.per_channel_mixtures:
-      return 3 * self.num_mixtures * self.out_dim
-    return self.num_mixtures + 2 * self.num_mixtures * self.out_dim
+    """Raw head width, by distribution family (see distributions.py)."""
+    d, k = self.out_dim, self.num_mixtures
+    if self.multivariate:  # mean + lower-triangular scale (k must be 1)
+      assert k == 1
+      return d * d + d
+    if self.per_channel_mixtures:  # per-channel (logit, mean, scale) x k
+      return 3 * k * d
+    return k * (1 + 2 * d)  # shared mixture logits + per-component mean/scale
 
   def setup(self):
-    assert self.posemb_type == "learn"
-    assert self.num_mixtures > 0
+    assert self.posemb_type == "learn" and self.num_mixtures > 0
     if self.multivariate and self.num_mixtures != 1:
       raise ValueError("Multivariate requires num_mixtures == 1")
 
-    if self.has_encoder:
-      grid_size = np.array(self.input_size) // np.array(self.patches)
-      self.pos_emb_for_encoder = vit.get_posemb(
-          self, self.posemb_type, tuple(grid_size), self.emb_dim,
-          "pos_embedding_encoder")
-      self.conv = nn.Conv(self.emb_dim, tuple(self.patches),
-                          padding="VALID", strides=tuple(self.patches),
-                          name="EmbedPatches")
-      self.encoder = vit.Encoder(
-          depth=self.num_layers, mlp_dim=self.mlp_dim,
-          num_heads=self.num_heads, dropout=self.enc_dropout_rate,
-          scan=self.scan, remat_policy=self.remat_policy)
-    else:
-      self.encoder = None
+    self.encoder = self._build_encoder() if self.has_encoder else None
 
+    # Label vocabulary = real labels followed by the mode's special slots.
     self.special_labels = self._assign_special_labels()
-    lookup_size = (self.num_labels or 1) + len(self.special_labels)
+    emb_init = (nn.initializers.zeros if self.zero_embedding_init
+                else nn.initializers.normal(stddev=1.0))
     self.labels_emb = nn.Embed(
-        lookup_size, self.emb_dim, name="EmbedLabels",
-        embedding_init=(nn.initializers.zeros if self.zero_embedding_init
-                        else nn.initializers.normal(stddev=1.0)))
+        (self.num_labels or 1) + len(self.special_labels), self.emb_dim,
+        embedding_init=emb_init, name="EmbedLabels")
     self.targets_emb = nn.Dense(self.emb_dim, name="EmbedTargets")
+
+    shared = dict(emb_dim=self.emb_dim, mlp_dim=self.mlp_dim,
+                  num_heads=self.num_heads, scan=self.scan,
+                  remat_policy=self.remat_policy)
     self.decoder = Decoder(
         num_layers=self.num_decoder_layers or self.num_layers,
-        mlp_dim=self.mlp_dim, num_heads=self.num_heads,
         out_dim=self.num_logits,
         # Masked mode prepends the label token to the full sequence.
         seq_len=self.seq_len + int(self.style == "masked"),
-        dropout_rate=self.dec_dropout_rate, emb_dim=self.emb_dim,
-        zero_embedding_init=self.zero_embedding_init, style=self.style,
-        scan=self.scan, remat_policy=self.remat_policy)
+        dropout_rate=self.dec_dropout_rate, style=self.style,
+        zero_embedding_init=self.zero_embedding_init, **shared)
+
+  def _build_encoder(self):
+    tokens_hw = tuple(np.array(self.input_size) // np.array(self.patches))
+    self.pos_emb_for_encoder = vit.get_posemb(
+        self, self.posemb_type, tokens_hw, self.emb_dim,
+        "pos_embedding_encoder")
+    self.conv = nn.Conv(self.emb_dim, tuple(self.patches),
+                        strides=tuple(self.patches), padding="VALID",
+                        name="EmbedPatches")
+    return vit.Encoder(depth=self.num_layers, mlp_dim=self.mlp_dim,
+                       num_heads=self.num_heads, scan=self.scan,
+                       dropout=self.enc_dropout_rate,
+                       remat_policy=self.remat_policy)
 
   def _assign_special_labels(self):
     """Special label ids slot in directly after the real ones (ref :219)."""
-    fresh = itertools.count(self.num_labels or 0)
-    order = []
+    needed = []
     if self.style == "masked":
-      if self.mask_style == "replace":
-        order += [_SpecialLabel.MASK]
-      elif self.mask_style == "concat":
-        order += [_SpecialLabel.MASK, _SpecialLabel.NOMASK,
-                  _SpecialLabel.REPLACE]
-      else:
-        raise NotImplementedError(self.mask_style)
+      try:
+        needed += {"replace": [MASK],
+                   "concat": [MASK, NOMASK, REPLACE]}[self.mask_style]
+      except KeyError:
+        raise NotImplementedError(self.mask_style) from None
     if self.drop_labels_probability > 0:
-      order += [_SpecialLabel.NOLABEL]
-    return {label: next(fresh) for label in order}
+      needed.append(NOLABEL)
+    ids = itertools.count(self.num_labels or 0)
+    return dict(zip(needed, ids))
 
   def encode(self, image, train=False):
-    emb = self.conv(image)
-    emb = emb.reshape(emb.shape[0], -1, emb.shape[-1])
-    encoded, _ = self.encoder(emb + self.pos_emb_for_encoder,
+    patches = self.conv(image)
+    tokens = patches.reshape(patches.shape[0], -1, patches.shape[-1])
+    encoded, _ = self.encoder(tokens + self.pos_emb_for_encoder,
                               deterministic=not train)
     return encoded
 
@@ -273,8 +285,8 @@ class Model(nn.Module):
     return self.labels_emb(labels)[:, None, :]
 
   def _special_emb(self, size, label):
-    return self.labels_emb(
-        jnp.full(size, self.special_labels[label], jnp.int32))
+    token_id = self.special_labels[label]
+    return self.labels_emb(jnp.full(size, token_id, jnp.int32))
 
   def prefill(self, labels=None, batch_size=None, encoded=None,
               drop_labels=None):
@@ -284,18 +296,17 @@ class Model(nn.Module):
 
   def _decode_ar(self, targets, labels=None, encoded=None, decode=False,
                  train=False):
-    embedded = self.targets_emb(targets)
-    if decode:
-      decoder_mask = None  # The flax cache handles causality one-step-wise.
-    else:
-      decoder_mask = nn.make_causal_mask(targets[:, :, 0])
+    seq = self.targets_emb(targets)
+    if not decode:
       # Teacher forcing: [label, t_0 .. t_{L-2}] predicts [t_0 .. t_{L-1}].
-      embedded = jnp.concatenate(
-          [self.embed_labels(labels, targets.shape[0]), embedded[:, :-1]],
-          axis=1)
-    return self.decoder(embedded, encoded=encoded,
-                        decoder_mask=decoder_mask, decode=decode,
-                        deterministic=not train, return_reps=True)
+      lab = self.embed_labels(labels, targets.shape[0])
+      seq = jnp.concatenate([lab, seq[:, :-1]], axis=1)
+    # One-step-wise decoding relies on the flax cache for causality; the
+    # teacher-forced path needs the explicit triangular mask.
+    causal = None if decode else nn.make_causal_mask(targets[:, :, 0])
+    return self.decoder(seq, encoded=encoded, decoder_mask=causal,
+                        decode=decode, deterministic=not train,
+                        return_reps=True)
 
   def _decode_masked(self, targets, input_mask, labels=None, encoded=None,
                      train=False):
@@ -304,15 +315,15 @@ class Model(nn.Module):
     masked = input_mask[:, :, None]
     if self.mask_style == "replace":
       embedded = jnp.where(masked, self._special_emb((b, s),
-                                                     _SpecialLabel.MASK),
+                                                     MASK),
                            self.targets_emb(targets))
     elif self.mask_style == "concat":
       # Half the channels carry the mask/nomask flag embedding, half the
       # (REPLACE-d where masked) content embedding.
-      flag = jnp.where(masked, self._special_emb((b, s), _SpecialLabel.MASK),
-                       self._special_emb((b, s), _SpecialLabel.NOMASK))
+      flag = jnp.where(masked, self._special_emb((b, s), MASK),
+                       self._special_emb((b, s), NOMASK))
       content = jnp.where(masked,
-                          self._special_emb((b, s), _SpecialLabel.REPLACE),
+                          self._special_emb((b, s), REPLACE),
                           self.targets_emb(targets))
       embedded = jnp.concatenate([flag[..., ::2], content[..., ::2]],
                                  axis=-1)
@@ -329,7 +340,7 @@ class Model(nn.Module):
     if labels is None:
       return None
     nolabel = lambda: jnp.full_like(
-        labels, self.special_labels[_SpecialLabel.NOLABEL])
+        labels, self.special_labels[NOLABEL])
     if self.drop_labels_probability >= 0.999:
       return nolabel()
     if drop_labels_mask is None:
@@ -341,13 +352,12 @@ class Model(nn.Module):
              drop_labels=None, return_reps=False):
     del max_decode_length
     labels = self._drop_labels(drop_labels, labels)
-    if self.style == "ar":
-      logits, out = self._decode_ar(targets, labels, encoded, decode, train)
-      return (logits, out) if return_reps else logits
     if self.style == "masked":
       assert not decode and input_mask is not None and not return_reps
       return self._decode_masked(targets, input_mask, labels, encoded, train)
-    raise NotImplementedError(self.style)
+    assert self.style == "ar", self.style
+    logits, reps = self._decode_ar(targets, labels, encoded, decode, train)
+    return (logits, reps) if return_reps else logits
 
   def _square_plus(self, x):
     if self.fix_square_plus:
@@ -373,24 +383,24 @@ class Model(nn.Module):
                input_mask=None, drop_labels=None, train=False):
     if self.style == "masked" and input_mask is None:
       raise ValueError("Masked model requires input_mask")
-    if self.encoder is not None:
-      assert image is not None
-      encoded = self.encode(image, train=train)
-    else:
-      assert image is None
-      encoded = None
-    logits = self.decode(sequence, labels=labels, encoded=encoded,
-                         decode=decode, input_mask=input_mask, train=train)
-    return logits, self.get_pdf(logits)
+    assert (image is not None) == (self.encoder is not None), (
+        "pass image iff the model has an encoder")
+    encoded = self.encode(image, train=train) if self.encoder else None
+    raw = self.decode(sequence, encoded=encoded, labels=labels,
+                      input_mask=input_mask, decode=decode, train=train)
+    return raw, self.get_pdf(raw)
 
   def get_input_mask_training(self, rng, shape):
     if self.style == "ar":
       return None
-    b, s = shape
-    keep = jax.random.uniform(
-        rng, (b,), maxval=1.0 - self.min_masking_rate_training)
-    ratio = apply_mask_schedule(keep, self.mask_schedule_train)
-    return _random_mask_with_ratios(rng, ratios=ratio, seq_len=s)
+    batch, length = shape
+    # Progress is drawn per-example, capped so at least
+    # min_masking_rate_training of the sequence stays masked.
+    progress = jax.random.uniform(
+        rng, (batch,), maxval=1.0 - self.min_masking_rate_training)
+    return _random_mask_with_ratios(
+        rng, ratios=apply_mask_schedule(progress, self.mask_schedule_train),
+        seq_len=length)
 
   def get_input_mask_teacher_forced(self, shape):
     if self.style == "ar":
@@ -398,9 +408,10 @@ class Model(nn.Module):
     return jnp.zeros(shape, bool)
 
   def get_drop_labels(self, rng, batch_size):
-    if (p := self.drop_labels_probability) > 0:
-      return jax.random.uniform(rng, (batch_size,)) <= p
-    return None
+    p = self.drop_labels_probability
+    if not p:
+      return None
+    return jax.random.uniform(rng, (batch_size,)) <= p
 
 
 def load(init_params, init_files, model_params=None, dont_load=(),
@@ -408,14 +419,14 @@ def load(init_params, init_files, model_params=None, dont_load=(),
   """Checkpoint load with optional posemb resample/trim (ref :780)."""
   del model_params
   assert isinstance(init_files, str), "Composite init not supported yet"
-  ckpt = u.load_params(init_files)
-  ckpt = common.merge_params(ckpt, init_params, dont_load)
-  if resample_encoder_posemb and "pos_embedding_encoder" in (init_params
-                                                             or {}):
-    ckpt["pos_embedding_encoder"] = vit.resample_posemb(
-        old=ckpt["pos_embedding_encoder"],
-        new=init_params["pos_embedding_encoder"])
-  if trim_decoder_posemb and "pos_embedding_decoder" in (init_params or {}):
-    ckpt["pos_embedding_decoder"] = ckpt["pos_embedding_decoder"][
-        :, :init_params["pos_embedding_decoder"].shape[1], :]
+  ckpt = common.merge_params(u.load_params(init_files), init_params,
+                             dont_load)
+  have = init_params or {}
+  enc, dec = "pos_embedding_encoder", "pos_embedding_decoder"
+  if resample_encoder_posemb and enc in have:
+    # Encoder grid changed (different input size): 2d-resample.
+    ckpt[enc] = vit.resample_posemb(old=ckpt[enc], new=have[enc])
+  if trim_decoder_posemb and dec in have:
+    # Decoder sequence shrank (shorter latent code): truncate.
+    ckpt[dec] = ckpt[dec][:, :have[dec].shape[1], :]
   return ckpt
