@@ -21,6 +21,9 @@ import pytest
 
 from big_vision_tpu.tools import mp_harness
 
+# spawns 2 real JAX processes x 4 devices (300s+)
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMOKE_ARG = "total_steps=4,batch_size=16,res=32,log=1,ckpt=2"
 

@@ -26,9 +26,14 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "big_vision")),
-    reason="reference checkout not available")
+pytestmark = [
+    # cross-implementation parity vs the actual reference checkout
+    # (minutes: dozens of model inits on a 1-CPU host)
+    pytest.mark.heavy,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "big_vision")),
+        reason="reference checkout not available"),
+]
 
 if os.path.isdir(os.path.join(REF, "big_vision")):
   sys.path.insert(0, REF)

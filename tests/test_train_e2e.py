@@ -11,6 +11,9 @@ import sys
 
 import pytest
 
+# full trainer subprocess runs (minutes each)
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -75,7 +75,7 @@ def stream_permutation(n, seed=0):
   return np.array([ex["i"] for ex in stream])
 
 
-def run_leg(side, npz, steps, batch, workdir, log):
+def run_leg(side, npz, steps, batch, workdir, log, reuse=False):
   cfg_arg = f"{CONFIG}:side={side},npz={npz},steps={steps},batch={batch}"
   runner = "twin_ref_runner.py" if side == "ref" else "twin_my_runner.py"
   cmd = [sys.executable, os.path.join(REPO, "tools", runner)]
@@ -85,13 +85,23 @@ def run_leg(side, npz, steps, batch, workdir, log):
   env = dict(os.environ,
              PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
   os.makedirs(workdir, exist_ok=True)
-  with open(log, "w") as f:
-    subprocess.run(cmd, cwd=REPO, env=env, stdout=f, stderr=f, check=True)
-  rows = {}
+  if not (reuse and os.path.exists(
+      os.path.join(workdir, "big_vision_metrics.txt"))):
+    with open(log, "w") as f:
+      subprocess.run(cmd, cwd=REPO, env=env, stdout=f, stderr=f, check=True)
   with open(os.path.join(workdir, "big_vision_metrics.txt")) as f:
-    for line in f:
-      row = json.loads(line)
-      rows[row.pop("step")] = row
+    rows = [r for r in map(json.loads, f) if "training_loss" in r]
+  # The rows are in write order, one per training step, but the step
+  # STAMPS cannot be trusted on the reference side: its metric writer
+  # flushes asynchronously and reads `self.step` at write time (ref
+  # utils.py:1283-1293), so stamps drift by +1 under load, and close()
+  # re-flushes the final step's metrics (step_end without a reset),
+  # duplicating the last row. Align by position instead — the
+  # global_schedule comparison (tolerance 1e-5) then PROVES the
+  # positional alignment, since the schedule is an injective function
+  # of the step index over the warmup+cosine range.
+  if len(rows) >= 2 and rows[-1] == rows[-2]:
+    rows = rows[:-1]
   return rows
 
 
@@ -182,10 +192,15 @@ def main():
   ap.add_argument("--k_batches", type=int, default=3)
   ap.add_argument("--workdir", default="/tmp/dynamics_twin")
   ap.add_argument("--out", default=os.path.join(REPO, "DYNAMICS_r05.json"))
-  ap.add_argument("--tol_loss_rel", type=float, default=0.02,
-                  help="per-step relative tolerance on training_loss")
-  ap.add_argument("--tol_params_rel", type=float, default=0.005,
-                  help="final-step relative tolerance on l2_params")
+  ap.add_argument("--tol_loss_rel", type=float, default=1e-3,
+                  help="per-step relative tolerance on training_loss "
+                       "(measured r05: max 2.3e-7 over 200 steps)")
+  ap.add_argument("--tol_params_rel", type=float, default=1e-3,
+                  help="final-step relative tolerance on l2_params "
+                       "(measured r05: 6.4e-5)")
+  ap.add_argument("--reuse", action="store_true",
+                  help="reuse existing leg metrics in --workdir instead of "
+                       "re-running the trainers (artifact re-evaluation)")
   # internal re-exec mode for batch dumping
   ap.add_argument("--_dump_side", default=None)
   ap.add_argument("--npz", default=None)
@@ -231,20 +246,23 @@ def main():
   print("[twin] running REFERENCE trainer leg...")
   ref_rows = run_leg("ref", npz_ref, args.steps, args.batch,
                      os.path.join(args.workdir, "wd_ref"),
-                     os.path.join(args.workdir, "ref.log"))
+                     os.path.join(args.workdir, "ref.log"),
+                     reuse=args.reuse)
   print("[twin] running big_vision_tpu trainer leg...")
   my_rows = run_leg("my", npz_my, args.steps, args.batch,
                     os.path.join(args.workdir, "wd_my"),
-                    os.path.join(args.workdir, "my.log"))
+                    os.path.join(args.workdir, "my.log"),
+                    reuse=args.reuse)
 
-  steps = sorted(s for s in ref_rows if s >= 1 and s in my_rows)
-  assert len(steps) == args.steps, (
-      f"expected {args.steps} common steps, got {len(steps)}")
+  assert len(ref_rows) == len(my_rows) == args.steps, (
+      f"expected {args.steps} rows per leg, got ref={len(ref_rows)} "
+      f"my={len(my_rows)}")
+  steps = list(range(1, args.steps + 1))
 
   curves, summary = {}, {}
   for m in METRICS:
-    r = np.array([ref_rows[s][m] for s in steps])
-    o = np.array([my_rows[s][m] for s in steps])
+    r = np.array([row[m] for row in ref_rows])
+    o = np.array([row[m] for row in my_rows])
     rel = np.abs(r - o) / np.maximum(1e-12, np.abs(r))
     curves[m] = {"ref": r.round(8).tolist(), "mine": o.round(8).tolist()}
     summary[m] = {
@@ -259,7 +277,7 @@ def main():
   loss_rel /= np.maximum(1.0, np.abs(curves["training_loss"]["ref"]))
   ok = (float(loss_rel.max()) <= args.tol_loss_rel
         and summary["l2_params"]["final_rel_diff"] <= args.tol_params_rel
-        and summary["global_schedule"]["max_rel_diff"] <= 1e-6)
+        and summary["global_schedule"]["max_rel_diff"] <= 1e-5)
 
   first, last = curves["training_loss"]["ref"][0], \
       curves["training_loss"]["ref"][-1]
