@@ -56,13 +56,14 @@ def get_config(variant):
 
 def _apply_rope(x, *, positions, max_wavelength=10_000):
   """Rotary position embedding; x [B, L, H, D], positions [B, L]."""
-  freq_exponents = (2.0 / x.shape[-1]) * jnp.arange(x.shape[-1] // 2)
-  timescale = max_wavelength ** freq_exponents
-  radians = positions[..., None] / timescale[None, None, :]
-  radians = radians[..., None, :]
-  sin, cos = jnp.sin(radians), jnp.cos(radians)
-  x1, x2 = jnp.split(x, 2, axis=-1)
-  return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+  d = x.shape[-1]
+  # One rotation angle per (position, feature-pair): pair i spins at
+  # wavelength^(2i/d), broadcast over heads -> [B, L, 1, d/2].
+  inv_freq = max_wavelength ** (-2.0 * jnp.arange(d // 2) / d)
+  angle = positions[:, :, None, None] * inv_freq
+  cos, sin = jnp.cos(angle), jnp.sin(angle)
+  lo, hi = jnp.split(x, 2, axis=-1)
+  return jnp.concatenate([lo * cos - hi * sin, hi * cos + lo * sin], -1)
 
 
 def _quant_kv(x):
@@ -152,9 +153,9 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
 
 
 def trunc_norm_init(in_axis, out_axis, batch_axis=()):
-  return nn.initializers.variance_scaling(
-      1.0, "fan_in", "truncated_normal",
-      in_axis=in_axis, out_axis=out_axis, batch_axis=batch_axis)
+  kw = dict(in_axis=in_axis, out_axis=out_axis, batch_axis=batch_axis)
+  return nn.initializers.variance_scaling(1.0, "fan_in",
+                                          "truncated_normal", **kw)
 
 
 def _scale_shape(shape, contract):
@@ -181,15 +182,14 @@ class Einsum(nn.Module):
 
   @nn.compact
   def __call__(self, eqn, x):
-    if self.quant:
-      w_q = self.param("w", nn.initializers.zeros_init(), self.shape,
-                       jnp.int8)
-      scale = self.param("w_scale", nn.initializers.ones_init(),
-                         _scale_shape(self.shape, self.contract),
-                         jnp.float32)
-      return jnp.einsum(eqn, x, _dequant(w_q, scale, x.dtype))
-    w = self.param("w", self.w_init, self.shape)
-    return jnp.einsum(eqn, x, w)
+    if not self.quant:
+      return jnp.einsum(eqn, x, self.param("w", self.w_init, self.shape))
+    w_q = self.param("w", nn.initializers.zeros_init(), self.shape,
+                     jnp.int8)
+    scale_shape = _scale_shape(self.shape, self.contract)
+    scale = self.param("w_scale", nn.initializers.ones_init(), scale_shape,
+                       jnp.float32)
+    return jnp.einsum(eqn, x, _dequant(w_q, scale, x.dtype))
 
 
 class RMSNorm(nn.Module):
@@ -254,24 +254,17 @@ class Attention(nn.Module):
   quant: bool = False
 
   def setup(self):
-    if self.num_kv_heads == self.num_heads:
-      self.qkv_einsum = Einsum(
-          shape=(3, self.num_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)),
-          quant=self.quant, contract=(-2,))
-    else:
-      self.q_einsum = Einsum(
-          shape=(self.num_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
-          quant=self.quant, contract=(-2,))
-      self.kv_einsum = Einsum(
-          shape=(2, self.num_kv_heads, self.features, self.head_dim),
-          w_init=trunc_norm_init(in_axis=(2,), out_axis=(0, 1, 3)),
-          quant=self.quant, contract=(-2,))
-    self.attn_vec_einsum = Einsum(
-        shape=(self.num_heads, self.head_dim, self.features),
-        w_init=trunc_norm_init(in_axis=(0, 1), out_axis=(2,)),
-        quant=self.quant, contract=(-3, -2))
+    H, K, D, F = (self.num_heads, self.num_kv_heads, self.features,
+                  self.head_dim)
+    def proj(shape, in_axis, out_axis, contract):
+      return Einsum(shape=shape, quant=self.quant, contract=contract,
+                    w_init=trunc_norm_init(in_axis, out_axis))
+    if H == K:  # MHA: one fused QKV projection
+      self.qkv_einsum = proj((3, H, D, F), (2,), (0, 1, 3), (-2,))
+    else:       # MQA/GQA: Q at H heads, fused KV at K heads
+      self.q_einsum = proj((H, D, F), (1,), (0, 2), (-2,))
+      self.kv_einsum = proj((2, K, D, F), (2,), (0, 1, 3), (-2,))
+    self.attn_vec_einsum = proj((H, F, D), (0, 1), (2,), (-3, -2))
 
   @nn.compact
   def __call__(self, x, positions, attn_mask, decode, deterministic=True,
@@ -283,14 +276,12 @@ class Attention(nn.Module):
       k, v = self.kv_einsum("BSD,2KDH->2BSKH", x)
 
     q = _apply_rope(q, positions=positions)
-    if self.query_pre_attn_norm == "rsqrt_head_dim":
-      q *= self.head_dim ** -0.5
-    elif self.query_pre_attn_norm == "rsqrt_emb_per_head":
-      q *= (self.features // self.num_heads) ** -0.5
-    else:
-      raise ValueError(self.query_pre_attn_norm)
-
     k = _apply_rope(k, positions=positions)
+    q_scales = {"rsqrt_head_dim": self.head_dim,
+                "rsqrt_emb_per_head": self.features // self.num_heads}
+    if self.query_pre_attn_norm not in q_scales:
+      raise ValueError(self.query_pre_attn_norm)
+    q *= q_scales[self.query_pre_attn_norm] ** -0.5
     if decode:
       k, v = _update_kv_cache(self, k, v, cache_size=attn_mask.shape[-1],
                               cache_dtype=self.cache_dtype)
@@ -392,23 +383,21 @@ class Block(nn.Module):
 
   def setup(self):
     self.pre_attention_norm = RMSNorm()
-    self.attn = Attention(
-        num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
-        features=self.embed_dim, head_dim=self.head_dim,
-        cache_dtype=self.cache_dtype,
-        query_pre_attn_norm=self.query_pre_attn_norm,
-        attn_logits_softcap=self.attn_logits_softcap,
-        attn_impl=self.attn_impl, quant=self.quant)
     self.pre_ffw_norm = RMSNorm()
-    self.mlp = FeedForward(features=self.embed_dim,
-                           hidden_dim=self.hidden_dim, quant=self.quant)
-    if self.dropout:
-      self.drop = nn.Dropout(self.dropout, self.dropout_bdims)
-    else:
-      self.drop = lambda x, _: x
     if self.post_norms:
       self.post_attention_norm = RMSNorm()
       self.post_ffw_norm = RMSNorm()
+    attn_kw = dict(features=self.embed_dim,
+                   query_pre_attn_norm=self.query_pre_attn_norm,
+                   attn_logits_softcap=self.attn_logits_softcap,
+                   cache_dtype=self.cache_dtype, attn_impl=self.attn_impl)
+    self.attn = Attention(num_heads=self.num_heads, head_dim=self.head_dim,
+                          num_kv_heads=self.num_kv_heads, quant=self.quant,
+                          **attn_kw)
+    self.mlp = FeedForward(features=self.embed_dim, quant=self.quant,
+                           hidden_dim=self.hidden_dim)
+    self.drop = (nn.Dropout(self.dropout, self.dropout_bdims)
+                 if self.dropout else (lambda x, _: x))
 
   def __call__(self, x, unused_scan_arg, positions, attn_mask, decode,
                deterministic=True, seg=None):
@@ -463,19 +452,19 @@ def decoder_stack(owner, depth, scan, remat_policy, block_kw):
 
 def prep_positions_mask(x, positions, mask, decode):
   """Default positions/mask and normalize mask to [B, 1, T, cache]."""
-  batch_size, seq_len, _ = x.shape
+  b, t, _ = x.shape
   if decode:
     assert positions is not None and mask is not None, (
         "decode=True requires explicit positions and mask")
   if positions is None:
-    positions = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
-  assert positions.shape[1] == seq_len
+    positions = jnp.arange(t, dtype=jnp.int32)[None, :]
+  assert positions.shape[1] == t
   if mask is None:
-    mask = nn.attention.make_causal_mask(jnp.ones([batch_size, seq_len]))
-  if mask.ndim == 3:
+    mask = jnp.tril(jnp.ones((b, 1, t, t), jnp.bool_))  # plain causal
+  elif mask.ndim == 3:
     mask = mask[:, None, :, :]
-  cache_size = max(seq_len, mask.shape[-1])
-  assert mask.shape == (batch_size, 1, seq_len, cache_size), mask.shape
+  cache_size = max(t, mask.shape[-1])
+  assert mask.shape == (b, 1, t, cache_size), mask.shape
   return positions, mask
 
 
@@ -533,15 +522,17 @@ class Model(nn.Module):
 
     positions, mask = prep_positions_mask(x, positions, mask, decode)
 
-    run = decoder_stack(self, self.depth, self.scan, self.remat_policy, dict(
-        num_heads=self.num_heads, head_dim=self.head_dim,
-        num_kv_heads=self.num_kv_heads, embed_dim=self.width,
-        hidden_dim=self.mlp_dim, dropout=self.dropout,
-        dropout_bdims=self.dropout_bdims, cache_dtype=self.cache_dtype,
+    block_kw = dict(
+        embed_dim=self.width, hidden_dim=self.mlp_dim,
+        num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+        head_dim=self.head_dim, post_norms=self.post_norms,
         query_pre_attn_norm=self.query_pre_attn_norm,
         attn_logits_softcap=self.attn_logits_softcap,
-        post_norms=self.post_norms, attn_impl=self.attn_impl,
-        quant=self.quant))
+        dropout=self.dropout, dropout_bdims=self.dropout_bdims,
+        cache_dtype=self.cache_dtype, attn_impl=self.attn_impl,
+        quant=self.quant)
+    run = decoder_stack(self, self.depth, self.scan, self.remat_policy,
+                        block_kw)
     x = run(x, positions, mask, decode, deterministic, seg)
     assert x.dtype == jnp.dtype(self.embed_dtype)
     out["encoded"] = x
@@ -617,14 +608,17 @@ def quantize_params(params):
 def _load_orbax(path):
   """DeepMind orbax release -> our layout (stack per-layer subtrees)."""
   import orbax.checkpoint as ocp
-  params = ocp.PyTreeCheckpointer().restore(path)
-  params = flax.traverse_util.unflatten_dict(params, sep="/")["transformer"]
-  n = sum(1 for k in params if k.startswith("layer_"))
-  params["layers"] = jax.tree.map(
-      lambda *xs: np.stack(xs), *(params.pop(f"layer_{i}") for i in range(n)))
-  mlp = params["layers"]["mlp"]
-  mlp["gating_einsum"] = mlp["gating_einsum"].pop("w")
-  mlp["linear"] = mlp["linear"].pop("w")
+  flat = ocp.PyTreeCheckpointer().restore(path)
+  params = flax.traverse_util.unflatten_dict(flat, sep="/")["transformer"]
+  per_layer = [params.pop(k)
+               for k in sorted((k for k in list(params)
+                                if k.startswith("layer_")),
+                               key=lambda k: int(k.split("_")[1]))]
+  params["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+  # The release nests each mlp einsum one level deeper ({.../w}); ours
+  # stores the arrays directly.
+  for name in ("gating_einsum", "linear"):
+    params["layers"]["mlp"][name] = params["layers"]["mlp"][name].pop("w")
   return params
 
 
@@ -635,11 +629,11 @@ def _del_pad_rows(params):
 
 
 def _maybe_transpose_gating_einsum(params):
-  mlp = params["layers"]["mlp"]
-  *_, d1, d2 = mlp["gating_einsum"].shape
-  if d1 > d2:
-    *ns, n1, n2 = range(len(mlp["gating_einsum"].shape))
-    mlp["gating_einsum"] = mlp["gating_einsum"].transpose(*ns, n2, n1)
+  # Some releases store gating as [..., hidden, width]; ours contracts
+  # [..., width, hidden]. Orientation is detectable because hidden>width.
+  gating = params["layers"]["mlp"]["gating_einsum"]
+  if gating.shape[-2] > gating.shape[-1]:
+    params["layers"]["mlp"]["gating_einsum"] = np.swapaxes(gating, -1, -2)
 
 
 def scan_to_pyloop(params):
