@@ -75,6 +75,28 @@ def measure_paired_device_windows(step_fn, state, fixed, batch, n_chips,
   return state, rows
 
 
+def measure_h2d_gbps_quick(mb=8, iters=4):
+  """Short h2d probe for per-window pairing (~0.3-1.5s).
+
+  Runs adjacent to each e2e window so the link-capacity figure comes from
+  the SAME contention phase as the window it brackets (BENCH_r04's
+  e2e_vs_binding_ceiling was 1.08 — self-contradictory — because the lone
+  h2d probe sampled a throttled phase that the e2e windows did not).
+  """
+  x = np.random.default_rng(0).integers(0, 255, (mb * 1024 * 1024,),
+                                        np.uint8)
+  d = jax.devices()[0]
+  with jax.transfer_guard("allow"):
+    a = jax.device_put(x, d)
+    _fetch(a[:1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+      a = jax.device_put(x, d)
+      _fetch(a[:1])
+  dt = (time.perf_counter() - t0) / iters
+  return mb / 1024 / dt
+
+
 def measure_h2d_gbps(mb=16, iters=8):
   """Sustained host->device transfer rate (synced each put).
 
@@ -218,21 +240,37 @@ def main():
     dt = time.perf_counter() - t0
     return state, b, (batch * steps / dt, 100.0 * stall / dt)
 
+  # Each measured window is BRACKETED by quick h2d and host-decode probes
+  # (alternating, so every window has one of each within a few seconds of
+  # it). The per-window binding ceiling then comes from the same platform
+  # phase as the window itself — r04 recorded e2e ABOVE its own h2d
+  # "ceiling" because the lone probes sampled a different phase.
+  bytes_per_img = res * res * 3 // 2 + 8  # YUV420 planes + label scalar
+  h2d_probes = [measure_h2d_gbps_quick()]
+  host_probes = []
+  win_pairs = []  # (rate, stall, paired_host, paired_h2d_imgs)
   for w in range(n_warmup + n_meas):
     state, b, win = run_window(state)
-    if w >= n_warmup:
-      windows.append(win)
+    if w < n_warmup:
+      continue
+    if len(win_pairs) % 2 == 0:
+      host_probes.append(measure_host_decode_rate(res, n=96, seconds_cap=4))
+    else:
+      h2d_probes.append(measure_h2d_gbps_quick())
+    win_pairs.append(win)
   # Shared-chip contention phases last minutes; if this run straddled one
   # (pathological spread), take a few more samples so the median reflects
   # the run's typical rate rather than which half dominated.
   extra = 0
   while extra < 4:
-    rates_so_far = sorted(wn[0] for wn in windows)
+    rates_so_far = sorted(wn[0] for wn in win_pairs)
     if rates_so_far[-1] / max(rates_so_far[0], 1e-9) <= 1.4:
       break
     state, b, win = run_window(state)
-    windows.append(win)
+    win_pairs.append(win)
+    h2d_probes.append(measure_h2d_gbps_quick())
     extra += 1
+  windows = win_pairs
 
   # Device-only ceiling: chained steps on one preloaded batch, one sync.
   # Measured AFTER the e2e windows so its device hogging doesn't drain the
@@ -267,11 +305,14 @@ def main():
   device_kind = jax.devices()[0].device_kind
   nominal = NOMINAL_PEAK.get(device_kind, 197e12)
   measured_peak = max(r[1] for r in pair_rows)
-  host_decode_rate = max(host_rates)
-  h2d_gbps = max(measure_h2d_gbps(), measure_h2d_gbps())
-  # Bytes shipped per image on the YUV path: Y res^2 + 2 chroma (res/2)^2
-  # uint8 (+ a scalar label; one-hot happens in the device pp phase).
-  bytes_per_img = res * res * 3 // 2 + 8
+  # Host/h2d capacity = max over ALL probes (bracketing quick probes from
+  # the e2e phase + the quiet-host probes between device windows): a
+  # capacity estimate can only be understated by contention, never
+  # overstated, so max is the honest aggregator.
+  host_probes += host_rates
+  host_decode_rate = max(host_probes)
+  h2d_probes.append(measure_h2d_gbps())
+  h2d_gbps = max(h2d_probes)
   h2d_bound_imgs = h2d_gbps * 1024**3 / bytes_per_img
   target = 0.95 * nominal / FLOPS_PER_IMG_TRAIN
   achieved_tflops = imgs_per_sec_chip * FLOPS_PER_IMG_TRAIN / 1e12
@@ -287,6 +328,14 @@ def main():
       "h2d": h2d_bound_imgs,
       "device": device_only_ceiling,
   }
+  # Invariant (r04 violated it): a recorded ceiling can never sit below a
+  # measured same-run throughput — observed img/s IS a lower bound on that
+  # resource's capacity. If a probe set still understates (every probe
+  # landed in throttled phases), lift to the observed rate and say so.
+  best_e2e_chip = max(wn[0] for wn in windows) / n_chips
+  probes_understated = [k for k, v in ceilings.items() if v < best_e2e_chip]
+  for k in probes_understated:
+    ceilings[k] = best_e2e_chip
   binding = min(ceilings, key=ceilings.get)
   eff_vs_ceiling = imgs_per_sec_chip / max(ceilings[binding], 1e-9)
   if eff_vs_ceiling < 0.85:
@@ -329,9 +378,15 @@ def main():
       "measured_matmul_peak_tflops": round(measured_peak, 1),
       "input_stall_pct": round(stall_pct, 2),
       "host_decode_imgs_per_sec_1thread": round(host_decode_rate, 1),
-      "host_decode_probe_windows": [round(r, 1) for r in host_rates],
+      "host_decode_probe_windows": [round(r, 1) for r in host_probes],
       "h2d_link_mb_per_sec": round(h2d_gbps * 1024, 1),
+      "h2d_probe_windows_mb_per_sec": [round(g * 1024, 1)
+                                       for g in h2d_probes],
       "h2d_link_bound_imgs_per_sec": round(h2d_bound_imgs, 1),
+      # Ceilings lifted to the observed e2e rate because every probe of
+      # that resource landed in a throttled phase (empty = all probes
+      # were consistent with the measured run).
+      "ceiling_probes_understated": probes_understated,
       "host_cpus": os.cpu_count(),
       "decode_path": decode_path,
       "device": device_kind,
