@@ -23,10 +23,10 @@ from big_vision_tpu.models import vit
 
 def _keep_branch(x, drop_p, train, make_rng):
   """Stochastic-depth multiplier: per-example 0/1 on the residual branch."""
-  if train and drop_p:
-    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    return 1.0 - jax.random.bernoulli(make_rng("dropout"), drop_p, mask_shape)
-  return 1.0
+  if not (train and drop_p):
+    return 1.0
+  mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+  return 1.0 - jax.random.bernoulli(make_rng("dropout"), drop_p, mask_shape)
 
 
 class MlpBlock(nn.Module):
@@ -35,8 +35,11 @@ class MlpBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    h = nn.gelu(nn.Dense(self.mlp_dim, dtype=self.dtype_mm)(x))
-    return nn.Dense(x.shape[-1], dtype=self.dtype_mm)(h)
+    expand, contract = self.mlp_dim, x.shape[-1]
+    for width, act in ((expand, nn.gelu), (contract, None)):
+      x = nn.Dense(width, dtype=self.dtype_mm)(x)
+      x = act(x) if act else x
+    return x
 
 
 class MixerBlock(nn.Module):
@@ -56,56 +59,58 @@ class MixerBlock(nn.Module):
     plan = (("token_mixing", self.tokens_mlp_dim, True),
             ("channel_mixing", self.channels_mlp_dim, False))
     for i, (mix_name, width, over_tokens) in enumerate(plan):
-      y = nn.LayerNorm(name=f"LayerNorm_{i}")(x)
-      if over_tokens:
-        y = jnp.swapaxes(y, -1, -2)
-      y = MlpBlock(width, self.dtype_mm, name=mix_name)(y)
-      if over_tokens:
-        y = jnp.swapaxes(y, -1, -2)
-      x = x + y * _keep_branch(x, self.drop_p, train, self.make_rng)
+      flip = (lambda t: jnp.swapaxes(t, -1, -2)) if over_tokens else (
+          lambda t: t)
+      branch = MlpBlock(width, self.dtype_mm, name=mix_name)
+      y = flip(branch(flip(nn.LayerNorm(name=f"LayerNorm_{i}")(x))))
+      x += y * _keep_branch(x, self.drop_p, train, self.make_rng)
     return x
 
 
 class MlpMixer(nn.Module):
   """Mixer backbone + mean-pool + linear head."""
+  # Geometry first (variant-table driven), then head/regularization knobs.
   patch_size: Tuple[int, int]
-  num_classes: Optional[int]
-  num_blocks: int
   hidden_dim: int
+  num_blocks: int
   tokens_mlp_dim: int
   channels_mlp_dim: int
-  model_name: Optional[str] = None
+  num_classes: Optional[int] = None
   stoch_depth: float = 0.0
   dtype_mm: str = "float32"
+  model_name: Optional[str] = None
+
+  def _blocks(self):
+    # Stochastic depth ramps linearly: 0 at the stem end, `stoch_depth`
+    # at the last block.
+    denom = max(self.num_blocks - 1, 1)
+    for i in range(self.num_blocks):
+      yield i, MixerBlock(self.tokens_mlp_dim, self.channels_mlp_dim,
+                          drop_p=self.stoch_depth * i / denom,
+                          dtype_mm=self.dtype_mm)
 
   @nn.compact
   def __call__(self, image, *, train=False):
     out = {}
-    image = jnp.asarray(image, self.dtype_mm)
     # Patchify as reshape+matmul (same param tree as the nn.Conv it
     # replaces; see vit.PatchEmbed for the MXU-efficiency rationale).
-    tokens = out["stem"] = vit.PatchEmbed(
-        self.hidden_dim, self.patch_size, dtype_mm=self.dtype_mm,
-        padding="SAME",  # the nn.Conv default
-        name="stem")(image)
-    x = out["input_tokens"] = tokens.reshape(tokens.shape[0], -1,
-                                             tokens.shape[-1])
-    # Linearly ramp stochastic depth over blocks: 0 at the stem end,
-    # `stoch_depth` at the last block.
-    denom = max(self.num_blocks - 1, 1)
-    for i in range(self.num_blocks):
-      x = out[f"block_{i}"] = MixerBlock(
-          self.tokens_mlp_dim, self.channels_mlp_dim,
-          drop_p=self.stoch_depth * i / denom,
-          dtype_mm=self.dtype_mm)(x, train=train)
-    x = nn.LayerNorm(name="pre_head_layer_norm")(x)
-    x = out["pre_logits"] = x.mean(axis=1)
+    stem = vit.PatchEmbed(self.hidden_dim, self.patch_size,
+                          dtype_mm=self.dtype_mm,
+                          padding="SAME",  # the nn.Conv default
+                          name="stem")
+    tokens = out["stem"] = stem(jnp.asarray(image, self.dtype_mm))
+    b, width = tokens.shape[0], tokens.shape[-1]
+    x = out["input_tokens"] = tokens.reshape(b, -1, width)
+    for i, block in self._blocks():
+      x = out[f"block_{i}"] = block(x, train=train)
+    pooled = nn.LayerNorm(name="pre_head_layer_norm")(x).mean(axis=1)
+    out["pre_logits"] = pooled
     if not self.num_classes:
-      return x, out
-    logits = nn.Dense(self.num_classes, kernel_init=nn.initializers.zeros,
-                      name="head")(x)
-    out["logits"] = logits
-    return logits, out
+      return pooled, out
+    head = nn.Dense(self.num_classes, name="head",
+                    kernel_init=nn.initializers.zeros)
+    out["logits"] = head(pooled)
+    return out["logits"], out
 
 
 # (hidden_dim, num_blocks, tokens_mlp_dim, channels_mlp_dim) per size.
@@ -116,17 +121,18 @@ _VARIANTS = {
     "H": (1280, 32, 640, 5120),
 }
 
+_GEOM_KEYS = ("hidden_dim", "num_blocks", "tokens_mlp_dim",
+              "channels_mlp_dim")
+
 
 def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-name
   """Builds a Mixer from a variant string like "B/16"."""
-  if variant is not None:
-    size, patch = variant.split("/")
-    width, depth, tok_mlp, chan_mlp = _VARIANTS[size]
-    defaults = dict(patch_size=(int(patch), int(patch)), hidden_dim=width,
-                    num_blocks=depth, tokens_mlp_dim=tok_mlp,
-                    channels_mlp_dim=chan_mlp)
-    kw = {**defaults, **kw}
-  return MlpMixer(num_classes=num_classes, **kw)
+  if variant is None:
+    return MlpMixer(num_classes=num_classes, **kw)
+  size, _, patch = variant.partition("/")
+  geom = dict(zip(_GEOM_KEYS, _VARIANTS[size]),
+              patch_size=(int(patch),) * 2)
+  return MlpMixer(num_classes=num_classes, **{**geom, **kw})
 
 
 _PAPER_CKPTS = {
