@@ -53,6 +53,10 @@ def main():
   ap.add_argument("--npz_dir", default="/tmp/bvt_digits")
   ap.add_argument("--runlocal", action="store_true",
                   help="40-step smoke variant (no quality assertion)")
+  ap.add_argument("--steps", type=int, default=None,
+                  help="override total_steps (shortened CI re-train)")
+  ap.add_argument("--bar", type=float, default=None,
+                  help="override the val/prec@1 bar (use with --steps)")
   ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_r05.json"))
   args = ap.parse_args()
 
@@ -61,7 +65,13 @@ def main():
 
   from big_vision_tpu.configs import quality_digits
   arg = f"npz_dir={args.npz_dir}" + (",runlocal=True" if args.runlocal else "")
+  if args.steps:
+    arg += f",total_steps={args.steps}"
   config = quality_digits.get_config(arg)
+  expected = dict(quality_digits.EXPECTED)
+  if args.bar is not None:
+    expected["val/prec@1"] = args.bar
+    config.expected = dict(expected)
 
   from big_vision_tpu import train
   train.main(config=config, workdir=args.workdir)
@@ -71,7 +81,7 @@ def main():
   with open(os.path.join(args.workdir, "big_vision_metrics.txt")) as f:
     for line in f:
       row = json.loads(line)
-      for k in quality_digits.EXPECTED:
+      for k in expected:
         if k in row:
           achieved[k] = row[k]
           achieved["step"] = row["step"]
@@ -82,11 +92,11 @@ def main():
                f"scans, {n_train} train / {n_test} test stratified split"),
       "steps": int(config.total_steps),
       "model": dict(config.model),
-      "expected": quality_digits.EXPECTED,
+      "expected": expected,
       "achieved": achieved,
       "runlocal": bool(args.runlocal),
       "ok": all(achieved.get(k, 0.0) >= v
-                for k, v in quality_digits.EXPECTED.items()),
+                for k, v in expected.items()),
   }
   with open(args.out, "w") as f:
     json.dump(result, f, indent=1)
