@@ -121,17 +121,14 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
 
   if initialized:
     assert update_len == 1, update_len
-    indices = (0, idx.value[0], 0, 0)
-    k_cache.value = jax.lax.dynamic_update_slice(
-        k_cache.value, k.astype(store_dtype), indices)
-    v_cache.value = jax.lax.dynamic_update_slice(
-        v_cache.value, v.astype(store_dtype), indices)
+    slot = (0, idx.value[0], 0, 0)
+    write = lambda var, new: jax.lax.dynamic_update_slice(
+        var.value, new, slot)
+    k_cache.value = write(k_cache, k.astype(store_dtype))
+    v_cache.value = write(v_cache, v.astype(store_dtype))
     if quant:
-      k_scale.value = jax.lax.dynamic_update_slice(
-          k_scale.value, k_s, indices)
-      v_scale.value = jax.lax.dynamic_update_slice(
-          v_scale.value, v_s, indices)
-    idx.value = idx.value + 1
+      k_scale.value = write(k_scale, k_s)
+      v_scale.value = write(v_scale, v_s)
   else:
     pad = ((0, 0), (0, cache_size - update_len), (0, 0), (0, 0))
     k_cache.value = jnp.pad(k.astype(store_dtype), pad)
@@ -139,7 +136,7 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
     if quant:
       k_scale.value = jnp.pad(k_s, pad)
       v_scale.value = jnp.pad(v_s, pad)
-    idx.value = idx.value + update_len
+  idx.value = idx.value + update_len
 
   if quant:
     # Dequant fuses into the attention matmuls' operand reads (see above);
@@ -193,13 +190,14 @@ class Einsum(nn.Module):
 
 
 class RMSNorm(nn.Module):
+  """Zero-centered-gain RMS norm (gain stored as scale-1, gemma style)."""
 
   @nn.compact
   def __call__(self, x):
-    scale = self.param("scale", nn.initializers.zeros_init(), (x.shape[-1]))
-    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    normed = x * jax.lax.rsqrt(var + 1e-6)
-    return jnp.asarray(normed) * (1 + scale)
+    gain = 1 + self.param("scale", nn.initializers.zeros_init(),
+                          (x.shape[-1]))
+    mean_sq = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return jnp.asarray(x * jax.lax.rsqrt(mean_sq + 1e-6)) * gain
 
 
 class Embedder(nn.Module):
@@ -235,10 +233,11 @@ class Embedder(nn.Module):
     return x * jnp.sqrt(self.embed_dim).astype(x.dtype)
 
   def decode(self, x):
-    if self.quant:
-      logits = jnp.dot(x, self.input_embedding_table.T.astype(x.dtype))
-      return logits * self.input_embedding_scale[:, 0].astype(x.dtype)
-    return jnp.dot(x, self.input_embedding_table.T)
+    table_t = self.input_embedding_table.T
+    if not self.quant:
+      return jnp.dot(x, table_t)
+    row_scales = self.input_embedding_scale[:, 0].astype(x.dtype)
+    return jnp.dot(x, table_t.astype(x.dtype)) * row_scales
 
 
 class Attention(nn.Module):
@@ -269,14 +268,13 @@ class Attention(nn.Module):
   @nn.compact
   def __call__(self, x, positions, attn_mask, decode, deterministic=True,
                seg=None):
-    if self.num_kv_heads == self.num_heads:
-      q, k, v = self.qkv_einsum("BSD,3KDH->3BSKH", x)
-    else:
+    if self.num_kv_heads != self.num_heads:
       q = self.q_einsum("BTD,NDH->BTNH", x)
       k, v = self.kv_einsum("BSD,2KDH->2BSKH", x)
+    else:
+      q, k, v = self.qkv_einsum("BSD,3KDH->3BSKH", x)
 
-    q = _apply_rope(q, positions=positions)
-    k = _apply_rope(k, positions=positions)
+    q, k = (_apply_rope(t, positions=positions) for t in (q, k))
     q_scales = {"rsqrt_head_dim": self.head_dim,
                 "rsqrt_emb_per_head": self.features // self.num_heads}
     if self.query_pre_attn_norm not in q_scales:
@@ -308,24 +306,23 @@ class Attention(nn.Module):
       return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
 
     b, t, n, h = q.shape
-    kk = self.num_kv_heads
-    q = q.reshape(b, t, kk, n // kk, h)  # group queries per kv head
-    logits = jnp.einsum("BTKGH,BSKH->BKGTS", q, k).astype(jnp.float32)
+    grouped = q.reshape(b, t, self.num_kv_heads, n // self.num_kv_heads, h)
+    logits = jnp.einsum("BTKGH,BSKH->BKGTS", grouped, k)
+    logits = logits.astype(jnp.float32)
 
-    if self.attn_logits_softcap:
-      logits = jnp.tanh(logits / self.attn_logits_softcap)
-      logits = logits * self.attn_logits_softcap
+    if cap := self.attn_logits_softcap:
+      logits = cap * jnp.tanh(logits / cap)
 
-    if attn_mask.shape != (b, 1, t, k.shape[1]):
+    expected_mask = (b, 1, t, k.shape[1])
+    if attn_mask.shape != expected_mask:
       raise ValueError(f"Bad mask shape {attn_mask.shape} for q={q.shape} "
                        f"k={k.shape}")
     big_neg = -2.3819763e38  # matches the released gemma code
     masked = jnp.where(attn_mask[:, :, None, :, :], logits, big_neg)
     probs = jax.nn.softmax(masked, axis=-1).astype(k.dtype)
 
-    encoded = jnp.einsum("BKGTS,BSKH->BTKGH", probs, v)
-    encoded = encoded.reshape(b, t, n, h)
-    return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
+    mixed = jnp.einsum("BKGTS,BSKH->BTKGH", probs, v).reshape(b, t, n, h)
+    return self.attn_vec_einsum("BTNH,NHD->BTD", mixed)
 
 
 class FeedForward(nn.Module):
@@ -537,12 +534,10 @@ class Model(nn.Module):
     assert x.dtype == jnp.dtype(self.embed_dtype)
     out["encoded"] = x
 
-    x = RMSNorm(name="final_norm")(x)
-    out["pre_logits"] = x
-    x = embedder.decode(x)
-    out["logits_pre_norm"] = x
-    if self.final_logits_softcap:
-      x = jnp.tanh(x / self.final_logits_softcap) * self.final_logits_softcap
+    x = out["pre_logits"] = RMSNorm(name="final_norm")(x)
+    x = out["logits_pre_norm"] = embedder.decode(x)
+    if cap := self.final_logits_softcap:
+      x = cap * jnp.tanh(x / cap)
     out["logits"] = x
     return x, out
 
@@ -617,15 +612,17 @@ def _load_orbax(path):
   params["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
   # The release nests each mlp einsum one level deeper ({.../w}); ours
   # stores the arrays directly.
+  mlp = params["layers"]["mlp"]
   for name in ("gating_einsum", "linear"):
-    params["layers"]["mlp"][name] = params["layers"]["mlp"][name].pop("w")
+    mlp[name] = mlp[name].pop("w")
   return params
 
 
 def _del_pad_rows(params):
-  emb = params["embedder"]["input_embedding"]
-  if emb.shape[0] == 256_128:  # some releases pad the vocab
-    params["embedder"]["input_embedding"] = jax.device_get(emb)[:256_000]
+  table = params["embedder"]["input_embedding"]
+  if table.shape[0] == 256_128:  # some releases pad the vocab
+    table = jax.device_get(table)[:256_000]
+    params["embedder"]["input_embedding"] = table
 
 
 def _maybe_transpose_gating_einsum(params):

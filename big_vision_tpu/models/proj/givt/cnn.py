@@ -8,9 +8,17 @@ Decoder -> image.
 
 from __future__ import annotations
 
-from typing import Sequence
+import math
+from typing import Any, Sequence
 
+import einops
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from big_vision_tpu.models import common
+from big_vision_tpu.models.proj.givt import vae as _vae
+import big_vision_tpu.utils as u
 
 
 class ResBlock(nn.Module):
@@ -80,41 +88,29 @@ class Decoder(nn.Module):
 # of `proj.givt.vae`.
 # ---------------------------------------------------------------------------
 
-import math
-from typing import Any, Optional
-
-import einops
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from big_vision_tpu.models import common
-from big_vision_tpu.models.proj.givt import vae as _vae
-import big_vision_tpu.utils as u
+_ACTS = {"relu": nn.relu, "swish": nn.swish}
 
 
 def _norm_layer(norm_type, dtype):
-  if norm_type == "GN":
-    return lambda: nn.GroupNorm(dtype=dtype, use_fast_variance=False)
-  if norm_type == "LN":
-    return lambda: nn.LayerNorm(dtype=dtype, use_fast_variance=False)
-  raise NotImplementedError(
-      f"norm_type={norm_type!r}: no released GIVT config uses BN; add a "
-      "batch_stats collection before enabling it.")
-
-
-def _act(name):
-  return {"relu": nn.relu, "swish": nn.swish}[name]
+  makers = {
+      "GN": lambda: nn.GroupNorm(dtype=dtype, use_fast_variance=False),
+      "LN": lambda: nn.LayerNorm(dtype=dtype, use_fast_variance=False),
+  }
+  if norm_type not in makers:
+    raise NotImplementedError(
+        f"norm_type={norm_type!r}: no released GIVT config uses BN; add a "
+        "batch_stats collection before enabling it.")
+  return makers[norm_type]
 
 
 def _avg_pool_tf(x):
   """2x2/2 average pool that EXCLUDES padding cells from the mean (TF
   semantics; flax's avg_pool includes them — ref cnn.py:66-89)."""
-  window, strides = (1, 2, 2, 1), (1, 2, 2, 1)
-  s = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, "SAME")
-  n = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add, window,
-                            strides, "SAME")
-  return s / n
+  dims = (1, 2, 2, 1)
+  pooled, cells = (jax.lax.reduce_window(t, 0.0, jax.lax.add, dims, dims,
+                                         "SAME")
+                   for t in (x, jnp.ones_like(x)))
+  return pooled / cells
 
 
 def get_h_w_pixelshuffle(hw, patch):
@@ -123,6 +119,18 @@ def get_h_w_pixelshuffle(hw, patch):
   h, w = s // ph, s // pw
   assert h * w == hw, f"code_len {hw} incompatible with shuffle {patch}"
   return h, w
+
+
+def _shuffle_tokens(z, ph, pw):
+  """Space-to-depth: fold a (ph, pw) latent tile into one token."""
+  return einops.rearrange(z, "b (h ph) (w pw) c -> b (h w) (c ph pw)",
+                          ph=ph, pw=pw)
+
+
+def _unshuffle_tokens(z, grid_hw, ph, pw):
+  """Depth-to-space inverse of _shuffle_tokens."""
+  return einops.rearrange(z, "b (h w) (c ph pw) -> b (h ph) (w pw) c",
+                          h=grid_hw[0], w=grid_hw[1], ph=ph, pw=pw)
 
 
 class RefResBlock(nn.Module):
@@ -139,91 +147,80 @@ class RefResBlock(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    input_dim = x.shape[-1]
-    residual = x
-    x = self.norm_fn()(x)
-    x = self.activation_fn(x)
-    x = nn.Conv(self.filters, (3, 3), use_bias=False)(x)
-    x = self.norm_fn()(x)
-    x = self.activation_fn(x)
-    x = nn.Conv(self.filters, (3, 3), use_bias=False)(x)
+    residual, input_dim = x, x.shape[-1]
+    for _ in range(2):  # two norm-act-conv stages
+      x = nn.Conv(self.filters, (3, 3), use_bias=False)(
+          self.activation_fn(self.norm_fn()(x)))
     if input_dim != self.filters:
       residual = nn.Conv(self.filters, (1, 1), use_bias=False)(x)
     return x + residual
 
 
-class RefEncoder(nn.Module):
-  """Image -> [B, h, w, embedding_dim] (ref cnn.py:142-190)."""
+class _RefStack(nn.Module):
+  """Shared plumbing of the MaskGIT encoder/decoder stacks."""
   filters: int
   num_res_blocks: int
   channel_multipliers: Sequence[int]
-  embedding_dim: int
-  conv_downsample: bool = False
   norm_type: str = "GN"
   activation_fn_str: str = "swish"
   dtype: Any = jnp.float32
+
+  def _tools(self):
+    """(norm ctor, activation, auto-named residual-block ctor)."""
+    norm_fn = _norm_layer(self.norm_type, self.dtype)
+    act = _ACTS[self.activation_fn_str]
+    counter = iter(range(10_000))
+    def res_block(width):
+      return RefResBlock(width, norm_fn=norm_fn, activation_fn=act,
+                         name=f"ResBlock_{next(counter)}")
+    return norm_fn, act, res_block
+
+
+class RefEncoder(_RefStack):
+  """Image -> [B, h, w, embedding_dim] (ref cnn.py:142-190)."""
+  embedding_dim: int = 32
+  conv_downsample: bool = False
 
   @nn.compact
   def __call__(self, x, train=False):
     del train  # GN/LN only; no batch statistics.
-    norm_fn = _norm_layer(self.norm_type, self.dtype)
-    act = _act(self.activation_fn_str)
-    kw = dict(norm_fn=norm_fn, activation_fn=act)
+    norm_fn, act, res_block = self._tools()
     x = nn.Conv(self.filters, (3, 3), use_bias=False)(x)
-    nblk = 0
+    n_stages = len(self.channel_multipliers)
     for i, mult in enumerate(self.channel_multipliers):
-      filters = self.filters * mult
+      width = self.filters * mult
       for _ in range(self.num_res_blocks):
-        x = RefResBlock(filters, name=f"ResBlock_{nblk}", **kw)(x)
-        nblk += 1
-      if i < len(self.channel_multipliers) - 1:
-        if self.conv_downsample:
-          x = nn.Conv(filters, (4, 4), strides=(2, 2))(x)
-        else:
-          x = _avg_pool_tf(x)
-    for _ in range(self.num_res_blocks):
-      x = RefResBlock(filters, name=f"ResBlock_{nblk}", **kw)(x)
-      nblk += 1
-    x = norm_fn()(x)
-    x = act(x)
-    return nn.Conv(self.embedding_dim, (1, 1))(x)
+        x = res_block(width)(x)
+      if i + 1 < n_stages:
+        x = (nn.Conv(width, (4, 4), strides=(2, 2))(x)
+             if self.conv_downsample else _avg_pool_tf(x))
+    for _ in range(self.num_res_blocks):  # trailing full-width blocks
+      x = res_block(width)(x)
+    return nn.Conv(self.embedding_dim, (1, 1))(act(norm_fn()(x)))
 
 
-class RefDecoder(nn.Module):
+class RefDecoder(_RefStack):
   """[B, h, w, d] -> image (ref cnn.py:194-240): nearest-neighbor
   upsample + conv (not transposed conv)."""
-  filters: int
-  num_res_blocks: int
-  channel_multipliers: Sequence[int]
-  norm_type: str = "GN"
-  activation_fn_str: str = "swish"
   output_dim: int = 3
-  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x, train=False):
     del train
-    norm_fn = _norm_layer(self.norm_type, self.dtype)
-    act = _act(self.activation_fn_str)
-    kw = dict(norm_fn=norm_fn, activation_fn=act)
-    filters = self.filters * self.channel_multipliers[-1]
-    x = nn.Conv(filters, (3, 3), use_bias=True)(x)
-    nblk = 0
-    for _ in range(self.num_res_blocks):
-      x = RefResBlock(filters, name=f"ResBlock_{nblk}", **kw)(x)
-      nblk += 1
+    norm_fn, act, res_block = self._tools()
+    width = self.filters * self.channel_multipliers[-1]
+    x = nn.Conv(width, (3, 3), use_bias=True)(x)
+    for _ in range(self.num_res_blocks):  # leading full-width blocks
+      x = res_block(width)(x)
     for i in reversed(range(len(self.channel_multipliers))):
-      filters = self.filters * self.channel_multipliers[i]
+      width = self.filters * self.channel_multipliers[i]
       for _ in range(self.num_res_blocks):
-        x = RefResBlock(filters, name=f"ResBlock_{nblk}", **kw)(x)
-        nblk += 1
-      if i > 0:
+        x = res_block(width)(x)
+      if i:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
-        x = nn.Conv(filters, (3, 3))(x)
-    x = norm_fn()(x)
-    x = act(x)
-    return nn.Conv(self.output_dim, (3, 3))(x)
+        up = jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+        x = nn.Conv(width, (3, 3))(up)
+    return nn.Conv(self.output_dim, (3, 3))(act(norm_fn()(x)))
 
 
 class Model(_vae.Model):
@@ -246,48 +243,38 @@ class Model(_vae.Model):
   pixel_shuffle_patch_size: tuple = (1, 1)
 
   def setup(self):
-    self.encoder = RefEncoder(
-        filters=self.filters,
-        num_res_blocks=self.num_res_blocks,
-        channel_multipliers=self.channel_multipliers,
-        norm_type=self.norm_type,
-        activation_fn_str=self.activation_fn,
-        embedding_dim=2 * self.codeword_dim,
-        conv_downsample=self.conv_downsample,
-        dtype=self.dtype,
-        name="cnn_encoder")
-    self.decoder = RefDecoder(
-        filters=self.filters,
-        num_res_blocks=self.num_res_blocks,
-        channel_multipliers=self.channel_multipliers,
-        norm_type=self.norm_type,
-        activation_fn_str=self.activation_fn,
-        output_dim=self.output_dim,
-        dtype=self.dtype,
-        name="cnn_decoder")
+    stack_kw = dict(filters=self.filters,
+                    num_res_blocks=self.num_res_blocks,
+                    channel_multipliers=self.channel_multipliers,
+                    norm_type=self.norm_type,
+                    activation_fn_str=self.activation_fn,
+                    dtype=self.dtype)
+    self.encoder = RefEncoder(name="cnn_encoder",
+                              embedding_dim=2 * self.codeword_dim,
+                              conv_downsample=self.conv_downsample,
+                              **stack_kw)
+    self.decoder = RefDecoder(name="cnn_decoder",
+                              output_dim=self.output_dim, **stack_kw)
 
   def encode(self, x, *, train=False):
     if self.malib_ckpt:
       x = (x + 1.0) / 2.0
-    x = self.encoder(x, train=train)
-    assert x.shape[1] == x.shape[2], f"Square latents required: {x.shape}"
-    mu, logvar = jnp.split(x, 2, axis=-1)
+    stats = self.encoder(x, train=train)
+    assert stats.shape[1] == stats.shape[2], (
+        f"Square latents required: {stats.shape}")
+    mu, logvar = jnp.split(stats, 2, axis=-1)
     if self.malib_ckpt:
       logvar = jnp.clip(logvar, -30.0, 20.0)
     ph, pw = self.pixel_shuffle_patch_size
-    to_tokens = lambda z: einops.rearrange(
-        z, "b (h ph) (w pw) c -> b (h w) (c ph pw)", ph=ph, pw=pw)
-    return to_tokens(mu), to_tokens(logvar)
+    return _shuffle_tokens(mu, ph, pw), _shuffle_tokens(logvar, ph, pw)
 
   def decode(self, x, train=False):
     ph, pw = self.pixel_shuffle_patch_size
-    h, w = get_h_w_pixelshuffle(x.shape[1], (ph, pw))
-    x = einops.rearrange(x, "b (h w) (c ph pw) -> b (h ph) (w pw) c",
-                         h=h, w=w, ph=ph, pw=pw)
-    x = self.decoder(x, train=train)
+    grid = get_h_w_pixelshuffle(x.shape[1], (ph, pw))
+    img = self.decoder(_unshuffle_tokens(x, grid, ph, pw), train=train)
     if self.malib_ckpt:
-      x = 2.0 * x - 1.0
-    return jnp.clip(x, -1.0, 1.0)
+      img = 2.0 * img - 1.0
+    return jnp.clip(img, -1.0, 1.0)
 
 
 def load(init_params, init_file, model_params=None, dont_load=(),
@@ -298,17 +285,17 @@ def load(init_params, init_file, model_params=None, dont_load=(),
   del model_params
   assert malib_ckpt or not use_ema_params, (
       "EMA params only exist in malib checkpoints.")
-  if malib_ckpt:
+  if not malib_ckpt:
+    params = u.load_params(init_file)
+  else:
     import flax
     import flax.training.checkpoints
     with jax.transfer_guard("allow"):
       raw = flax.training.checkpoints.restore_checkpoint(init_file, None)
     prefix = "ema_params/" if use_ema_params else "g_params/"
-    flat = [(k.replace(prefix, "cnn_"), v)
-            for k, v in u.tree_flatten_with_names(raw)[0] if prefix in k]
-    params = u.tree_unflatten(flat)
-  else:
-    params = u.load_params(init_file)
-  if init_params is not None:
-    params = common.merge_params(params, init_params, dont_load)
-  return params
+    params = u.tree_unflatten(
+        [(k.replace(prefix, "cnn_"), v)
+         for k, v in u.tree_flatten_with_names(raw)[0] if prefix in k])
+  if init_params is None:
+    return params
+  return common.merge_params(params, init_params, dont_load)

@@ -80,21 +80,19 @@ class EncoderDecoderBlock(nn.Module):
                deterministic=True):
     drop = nn.Dropout(rate=self.dropout_rate)
 
-    x = _wlc(nn.LayerNorm(name="LayerNorm1", use_bias=False)(targets))
-    x = _wlc(self._attn("SelfAttn", decode=self.decode)(
-        x, mask=decoder_mask, deterministic=deterministic))
-    x = _wlc(targets + drop(x, deterministic))
+    def residual(x, i, branch):
+      ln = nn.LayerNorm(name=f"LayerNorm{i}", use_bias=False)
+      return _wlc(x + drop(_wlc(branch(_wlc(ln(x)))), deterministic))
 
+    x = residual(targets, 1, lambda h: self._attn(
+        "SelfAttn", decode=self.decode)(h, mask=decoder_mask,
+                                        deterministic=deterministic))
     if encoded is not None:
-      y = _wlc(nn.LayerNorm(name="LayerNorm2", use_bias=False)(x))
-      y = _wlc(self._attn("CrossAttn")(y, encoded,
-                                       deterministic=deterministic))
-      x = _wlc(x + drop(y, deterministic))
-
-    z = _wlc(nn.LayerNorm(name="LayerNorm3", use_bias=False)(x))
-    z = _wlc(vit.MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout_rate,
-                          name="MLP")(z, deterministic))
-    out = _wlc(x + z)
+      x = residual(x, 2, lambda h: self._attn("CrossAttn")(
+          h, encoded, deterministic=deterministic))
+    mlp = vit.MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout_rate,
+                       name="MLP")
+    out = residual(x, 3, lambda h: mlp(h, deterministic))
     return out, out
 
 
@@ -118,10 +116,10 @@ class Decoder(nn.Module):
     if self.style == "masked" and decode:
       raise ValueError("Masked models have no decode cache")
 
-    pos_emb = vit.get_posemb(self, "learn", (1, self.seq_len),
-                             self.emb_dim, "pos_emb")
-    y = common.AddPositionEmbs(decode=decode, name="PosEmbedTargets")(
-        targets, pos_emb)
+    positioner = common.AddPositionEmbs(decode=decode,
+                                        name="PosEmbedTargets")
+    y = positioner(targets, vit.get_posemb(self, "learn", (1, self.seq_len),
+                                           self.emb_dim, "pos_emb"))
 
     block_kw = dict(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
                     dropout_rate=self.dropout_rate, decode=decode)
@@ -135,13 +133,12 @@ class Decoder(nn.Module):
       # restoring; plain axis 1 only at init time.
       spec = 1 if self.is_mutable_collection("params") else (
           partitioning.ScanIn(1))
-      y, reps = nn.scan(
-          block,
-          variable_axes={"params": spec, "cache": 0},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast, length=self.num_layers)(
-              name="EncDecBlock", **block_kw)(
-                  y, encoded, decoder_mask, deterministic)
+      scan_kw = dict(variable_axes={"params": spec, "cache": 0},
+                     split_rngs=dict.fromkeys(["params", "dropout"], True),
+                     in_axes=nn.broadcast)
+      stack = nn.scan(block, length=self.num_layers, **scan_kw)(
+          name="EncDecBlock", **block_kw)
+      y, reps = stack(y, encoded, decoder_mask, deterministic)
       per_block = list(reps)
     else:
       per_block = []
@@ -155,10 +152,10 @@ class Decoder(nn.Module):
     out.update({f"block{l}_rep": jnp.mean(rep, axis=1)
                 for l, rep in enumerate(per_block)})
     y = nn.LayerNorm(name="LayerNorm")(y)
+    head = nn.Dense(self.out_dim, name="LogitsDense",
+                    kernel_init=nn.initializers.zeros)
     out["pre_logits"] = jnp.mean(y, axis=1)
-    raw = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
-                   name="LogitsDense")(y)
-    out["logits"] = raw
+    raw = out["logits"] = head(y)
     return (raw, out) if return_reps else raw
 
 
@@ -217,7 +214,8 @@ class Model(nn.Module):
     return k * (1 + 2 * d)  # shared mixture logits + per-component mean/scale
 
   def setup(self):
-    assert self.posemb_type == "learn" and self.num_mixtures > 0
+    assert self.posemb_type == "learn"
+    assert self.num_mixtures > 0
     if self.multivariate and self.num_mixtures != 1:
       raise ValueError("Multivariate requires num_mixtures == 1")
 
@@ -225,22 +223,24 @@ class Model(nn.Module):
 
     # Label vocabulary = real labels followed by the mode's special slots.
     self.special_labels = self._assign_special_labels()
-    emb_init = (nn.initializers.zeros if self.zero_embedding_init
-                else nn.initializers.normal(stddev=1.0))
-    self.labels_emb = nn.Embed(
-        (self.num_labels or 1) + len(self.special_labels), self.emb_dim,
-        embedding_init=emb_init, name="EmbedLabels")
+    if self.zero_embedding_init:
+      emb_init = nn.initializers.zeros
+    else:
+      emb_init = nn.initializers.normal(stddev=1.0)
+    vocab = (self.num_labels or 1) + len(self.special_labels)
+    self.labels_emb = nn.Embed(vocab, self.emb_dim,
+                               embedding_init=emb_init, name="EmbedLabels")
     self.targets_emb = nn.Dense(self.emb_dim, name="EmbedTargets")
 
     shared = dict(emb_dim=self.emb_dim, mlp_dim=self.mlp_dim,
                   num_heads=self.num_heads, scan=self.scan,
                   remat_policy=self.remat_policy)
+    # Masked mode prepends the label token to the full sequence.
+    dec_seq_len = self.seq_len + int(self.style == "masked")
     self.decoder = Decoder(
+        style=self.style, seq_len=dec_seq_len, out_dim=self.num_logits,
         num_layers=self.num_decoder_layers or self.num_layers,
-        out_dim=self.num_logits,
-        # Masked mode prepends the label token to the full sequence.
-        seq_len=self.seq_len + int(self.style == "masked"),
-        dropout_rate=self.dec_dropout_rate, style=self.style,
+        dropout_rate=self.dec_dropout_rate,
         zero_embedding_init=self.zero_embedding_init, **shared)
 
   def _build_encoder(self):
@@ -273,8 +273,8 @@ class Model(nn.Module):
   def encode(self, image, train=False):
     patches = self.conv(image)
     tokens = patches.reshape(patches.shape[0], -1, patches.shape[-1])
-    encoded, _ = self.encoder(tokens + self.pos_emb_for_encoder,
-                              deterministic=not train)
+    tokens += self.pos_emb_for_encoder
+    encoded, _ = self.encoder(tokens, deterministic=not train)
     return encoded
 
   def embed_labels(self, labels=None, batch_size=None):
@@ -290,9 +290,9 @@ class Model(nn.Module):
 
   def prefill(self, labels=None, batch_size=None, encoded=None,
               drop_labels=None):
-    lab = self.embed_labels(labels=self._drop_labels(drop_labels, labels),
-                            batch_size=batch_size)
-    return self.decoder(lab, encoded=encoded, decode=True)
+    kept = self._drop_labels(drop_labels, labels)
+    first = self.embed_labels(labels=kept, batch_size=batch_size)
+    return self.decoder(first, encoded=encoded, decode=True)
 
   def _decode_ar(self, targets, labels=None, encoded=None, decode=False,
                  train=False):
@@ -310,8 +310,8 @@ class Model(nn.Module):
 
   def _decode_masked(self, targets, input_mask, labels=None, encoded=None,
                      train=False):
-    b, s, _ = targets.shape
-    assert input_mask.shape == (b, s)
+    b, s = input_mask.shape
+    assert targets.shape[:2] == (b, s), (targets.shape, input_mask.shape)
     masked = input_mask[:, :, None]
     if self.mask_style == "replace":
       embedded = jnp.where(masked, self._special_emb((b, s),
@@ -325,10 +325,10 @@ class Model(nn.Module):
       content = jnp.where(masked,
                           self._special_emb((b, s), REPLACE),
                           self.targets_emb(targets))
-      embedded = jnp.concatenate([flag[..., ::2], content[..., ::2]],
-                                 axis=-1)
+      halves = (flag[..., ::2], content[..., ::2])
+      embedded = jnp.concatenate(halves, axis=-1)
     else:
-      raise ValueError(self.mask_style)
+      raise ValueError(f"unsupported mask_style: {self.mask_style!r}")
 
     embedded = jnp.concatenate([self.embed_labels(labels, b), embedded],
                                axis=1)

@@ -39,6 +39,74 @@ import big_vision_tpu.utils as u
 from big_vision_tpu.models import common, vit
 
 
+def load(init_params, init_file, model_params=None, dont_load=()):
+  del model_params
+  ckpt = flax.core.unfreeze(u.load_params(init_file))
+  if init_params is None:
+    return ckpt
+  return common.merge_params(ckpt, init_params, dont_load)
+
+
+def _grid_halves(kind, nh, nw):
+  """Boolean partition-A membership of each token for a spatial kind."""
+  tok = np.arange(nh * nw)
+  patterns = {
+      "vstripes": tok % 2,
+      "hstripes": (tok // nw) % 2,
+      "checkerboard": (tok + tok // nw) % 2,
+  }
+  base = kind.removesuffix("-inv")
+  if base not in patterns:
+    raise ValueError(f"Unknown coupling kind {kind!r}")
+  in_a = patterns[base] == 0
+  return ~in_a if kind.endswith("-inv") else in_a
+
+
+def get_spatial_coupling_init(depth, image_shape, ps, proj_kinds):
+  """[depth, N, N] one-hot masks splitting the token grid in half.
+
+  The first N/2 output slots hold partition A, the rest partition B:
+  vstripes/hstripes alternate columns/rows of patches, checkerboard
+  alternates diagonally; "-inv" swaps the partitions.
+  """
+  assert image_shape[-3] % ps == 0 and image_shape[-2] % ps == 0
+  nh, nw = (side // ps for side in image_shape[-3:-1])
+  n = nh * nw
+
+  def _init(key, dtype):
+    del key
+    w = np.zeros((depth, n, n), np.float64)
+    for i, kind in enumerate(proj_kinds):
+      if kind == "zero":
+        continue
+      in_a = _grid_halves(kind, nh, nw)
+      tok = np.arange(n)
+      w[i, tok[in_a], np.arange(n // 2)] = 1.0
+      w[i, tok[~in_a], np.arange(n // 2, n)] = 1.0
+    return jnp.asarray(w, dtype)
+
+  return _init
+
+
+def get_channels_coupling_init(depth, image_shape, ps, proj_kinds):
+  """[depth, C, C] one-hot masks; "random" = seeded permutation."""
+  assert image_shape[-3] % ps == 0 and image_shape[-2] % ps == 0
+  c = image_shape[-1] * ps * ps
+
+  def _init(key, dtype):
+    def one_layer(i, kind):
+      if kind == "zero":
+        return jnp.zeros((c, c), dtype)
+      if kind != "random":
+        raise ValueError(f"Unknown coupling kind {kind!r}")
+      # key is traced during init, so the permutation stays in jnp.
+      p = jax.random.permutation(jax.random.fold_in(key, i), c)
+      return jnp.zeros((c, c), dtype).at[p, jnp.arange(c)].set(1)
+    return jnp.stack([one_layer(i, k) for i, k in enumerate(proj_kinds)])
+
+  return _init
+
+
 def _mask_to_perm(mask):
   """Recovers gather indices from a one-hot permutation mask.
 
@@ -57,26 +125,27 @@ class DNN(nn.Module):
   (ref jet.py:34-66); the zero-init of final_proj makes every coupling
   start as the identity, which keeps early training stable.
   """
-  depth: int = 1
   emb_dim: int = 256
+  depth: int = 1
   num_heads: int = 4
 
   @nn.compact
   def __call__(self, x, context=None):
     out_dim = x.shape[-1]
     h = nn.Dense(self.emb_dim, name="init_proj")(x)
-    h = h + self.param(
-        "posemb", nn.initializers.normal(stddev=1 / np.sqrt(self.emb_dim)),
-        (1,) + h.shape[1:], jnp.float32)
+    posemb_init = nn.initializers.normal(stddev=self.emb_dim ** -0.5)
+    h += self.param("posemb", posemb_init, (1,) + h.shape[1:], jnp.float32)
 
     if context is not None:
-      h = h + nn.MultiHeadDotProductAttention(
+      xattn = nn.MultiHeadDotProductAttention(
           num_heads=self.num_heads, qkv_features=self.emb_dim,
-          out_kernel_init=nn.initializers.zeros,
-          out_features=h.shape[-1])(h, context)
+          out_features=h.shape[-1],
+          out_kernel_init=nn.initializers.zeros)
+      h += xattn(h, context)
 
-    h, _ = vit.Encoder(depth=self.depth, num_heads=self.num_heads,
-                       name="vit")(h)
+    trunk = vit.Encoder(depth=self.depth, num_heads=self.num_heads,
+                        name="vit")
+    h, _ = trunk(h)
     raw = nn.Dense(2 * out_dim, kernel_init=nn.initializers.zeros,
                    name="final_proj")(h)
     return raw[..., :out_dim], raw[..., out_dim:]
@@ -84,28 +153,31 @@ class DNN(nn.Module):
 
 class Coupling(nn.Module):
   """Affine coupling over tokens; kind 1 = channel split, 0 = spatial."""
-  depth: int = 1
   emb_dim: int = 256
+  depth: int = 1
   num_heads: int = 4
   scale_factor: float = 2.0
+
+  # Spatial halves carry full token count at half width so the conditioner
+  # sees every position; these fold/unfold the channel axis accordingly.
+  _thin = staticmethod(
+      lambda t: einops.rearrange(t, "... n (s c) -> ... (n s) c", s=2))
+  _fat = staticmethod(
+      lambda t: einops.rearrange(t, "... (n s) c -> ... n (s c)", s=2))
 
   def partition(self, x, kind, channel_mask, spatial_mask):
     """Splits x [B, N, K] into visible/transformed halves by `kind`."""
 
     def by_channels(x):
       fwd, _ = _mask_to_perm(channel_mask)
-      x = jnp.take(x, fwd, axis=-1)
-      return x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+      permuted = jnp.take(x, fwd, axis=-1)
+      half = permuted.shape[-1] // 2
+      return permuted[..., :half], permuted[..., half:]
 
     def by_space(x):
       fwd, _ = _mask_to_perm(spatial_mask)
-      x = jnp.take(x, fwd, axis=-2)
-      a, b = jnp.split(x, 2, axis=-2)
-      # Halve the channel dim so each half keeps the full token count
-      # (the conditioner then sees every spatial position).
-      thin = lambda t: einops.rearrange(t, "... n (s c) -> ... (n s) c",
-                                        s=2)
-      return thin(a), thin(b)
+      a, b = jnp.split(jnp.take(x, fwd, axis=-2), 2, axis=-2)
+      return self._thin(a), self._thin(b)
 
     return jax.lax.cond(kind, by_channels, by_space, x)
 
@@ -118,10 +190,8 @@ class Coupling(nn.Module):
 
     def by_space(x1, x2):
       _, inv = _mask_to_perm(spatial_mask)
-      fat = lambda t: einops.rearrange(t, "... (n s) c -> ... n (s c)",
-                                       s=2)
-      x = jnp.concatenate([fat(x1), fat(x2)], axis=-2)
-      return jnp.take(x, inv, axis=-2)
+      stacked = jnp.concatenate([self._fat(x1), self._fat(x2)], axis=-2)
+      return jnp.take(stacked, inv, axis=-2)
 
     return jax.lax.cond(kind, by_channels, by_space, x1, x2)
 
@@ -134,8 +204,9 @@ class Coupling(nn.Module):
     log|det| = sum log scale, negated for the inverse direction.
     """
     x1, x2 = self.partition(x, kind, channel_mask, spatial_mask)
-    bias, raw_scale = DNN(depth=self.depth, emb_dim=self.emb_dim,
-                          num_heads=self.num_heads, name="dnn")(x1, context)
+    conditioner = DNN(depth=self.depth, emb_dim=self.emb_dim,
+                      num_heads=self.num_heads, name="dnn")
+    bias, raw_scale = conditioner(x1, context)
     scale = jax.nn.sigmoid(raw_scale) * self.scale_factor
     x2 = (x2 / scale - bias) if invert else (x2 + bias) * scale
     logdet = jnp.log(self.scale_factor) + jax.nn.log_sigmoid(raw_scale)
@@ -154,31 +225,30 @@ class Coupling(nn.Module):
 
 class Model(nn.Module):
   """Jet flow: one scanned Coupling over `depth` mixed-kind layers."""
+  # Flow geometry.
   depth: int = 2
+  ps: int = 4
+  kinds: Sequence[str] = ("channels", "channels", "spatial")
+  channels_coupling_projs: Sequence[str] = ("random",)
+  spatial_coupling_projs: Sequence[str] = ("checkerboard",
+                                           "checkerboard-inv")
+  # Per-coupling conditioner geometry.
   block_depth: int = 1
   emb_dim: int = 256
   num_heads: int = 4
   scale_factor: float = 2.0
-  ps: int = 4
-  channels_coupling_projs: Sequence[str] = ("random",)
-  spatial_coupling_projs: Sequence[str] = ("checkerboard",
-                                           "checkerboard-inv")
-  kinds: Sequence[str] = ("channels", "channels", "spatial")
 
   def _layer_plan(self):
     """Per-layer (kind_flag, channel_proj_kind, spatial_proj_kind)."""
-    kinds = itertools.cycle(self.kinds)
-    cc = itertools.cycle(self.channels_coupling_projs)
-    sc = itertools.cycle(self.spatial_coupling_projs)
+    pools = {"channels": itertools.cycle(self.channels_coupling_projs),
+             "spatial": itertools.cycle(self.spatial_coupling_projs)}
     plan = []
-    for _ in range(self.depth):
-      k = next(kinds)
-      if k == "channels":
-        plan.append((1, next(cc), "zero"))
-      elif k == "spatial":
-        plan.append((0, "zero", next(sc)))
-      else:
+    for k in itertools.islice(itertools.cycle(self.kinds), self.depth):
+      if k not in pools:
         raise ValueError(f"Unknown coupling kind {k!r}")
+      proj = next(pools[k])
+      plan.append((1, proj, "zero") if k == "channels"
+                  else (0, "zero", proj))
     return zip(*plan)
 
   @nn.compact
@@ -188,36 +258,33 @@ class Model(nn.Module):
     # The masks live as [depth, n, n] one-hot parameters — frozen by the
     # optimizer (FREEZE_ME) and stored in checkpoints, matching the
     # reference layout; each scanned layer turns its slice into indices.
-    c_masks = self.param(
-        "channel_coupling_masks-FREEZE_ME",
-        get_channels_coupling_init(self.depth, x.shape[1:], self.ps,
-                                   c_kinds), jnp.float32)
-    s_masks = self.param(
-        "spatial_coupling_masks-FREEZE_ME",
-        get_spatial_coupling_init(self.depth, x.shape[1:], self.ps,
-                                  s_kinds), jnp.float32)
+    mask_inits = {
+        "channel_coupling_masks-FREEZE_ME": get_channels_coupling_init(
+            self.depth, x.shape[1:], self.ps, c_kinds),
+        "spatial_coupling_masks-FREEZE_ME": get_spatial_coupling_init(
+            self.depth, x.shape[1:], self.ps, s_kinds),
+    }
+    c_masks, s_masks = (self.param(name, init, jnp.float32)
+                        for name, init in mask_inits.items())
 
-    layer = nn.remat(
+    remat_coupling = nn.remat(
         Coupling, prevent_cse=False,
         policy=jax.checkpoint_policies.nothing_saveable,
-        methods=("forward", "inverse"))(
-            name="couplings", depth=self.block_depth, emb_dim=self.emb_dim,
-            num_heads=self.num_heads, scale_factor=self.scale_factor)
+        methods=("forward", "inverse"))
+    layer = remat_coupling(name="couplings", depth=self.block_depth,
+                           emb_dim=self.emb_dim, num_heads=self.num_heads,
+                           scale_factor=self.scale_factor)
 
     def body(m, carry, kind, c, s, context):
       # Direction is a python constant here, so one body serves both
       # maps; the inverse simply scans the layers in reverse.
-      if invert:
-        return m.inverse(carry, kind, c, s, context)
-      return m.forward(carry, kind, c, s, context)
+      step = m.inverse if invert else m.forward
+      return step(carry, kind, c, s, context)
 
-    scanned = nn.scan(
-        body,
-        variable_axes={"params": 0},
-        in_axes=(0, 0, 0, nn.broadcast),
-        split_rngs={"params": True},
-        length=self.depth,
-        reverse=invert)
+    scan_kw = dict(variable_axes={"params": 0},
+                   in_axes=(0, 0, 0, nn.broadcast),
+                   split_rngs={"params": True})
+    scanned = nn.scan(body, length=self.depth, reverse=invert, **scan_kw)
 
     tokens = einops.rearrange(
         x, "b (h hp) (w wp) c -> b (h w) (hp wp c)", hp=self.ps, wp=self.ps)
@@ -239,67 +306,3 @@ class Model(nn.Module):
 
   def __call__(self, x, context=None):
     return self.forward(x, context)
-
-
-def get_channels_coupling_init(depth, image_shape, ps, proj_kinds):
-  """[depth, C, C] one-hot masks; "random" = seeded permutation."""
-  assert image_shape[-3] % ps == 0 and image_shape[-2] % ps == 0
-  c = image_shape[-1] * ps * ps
-
-  def _init(key, dtype):
-    layers = []
-    for i, kind in enumerate(proj_kinds):
-      if kind == "random":
-        # key is traced during init, so the permutation stays in jnp.
-        p = jax.random.permutation(jax.random.fold_in(key, i), c)
-        layers.append(jnp.zeros((c, c), dtype).at[p, jnp.arange(c)].set(1))
-      elif kind == "zero":
-        layers.append(jnp.zeros((c, c), dtype))
-      else:
-        raise ValueError(f"Unknown coupling kind {kind!r}")
-    return jnp.stack(layers)
-
-  return _init
-
-
-def get_spatial_coupling_init(depth, image_shape, ps, proj_kinds):
-  """[depth, N, N] one-hot masks splitting the token grid in half.
-
-  The first N/2 output slots hold partition A, the rest partition B:
-  vstripes/hstripes alternate columns/rows of patches, checkerboard
-  alternates diagonally; "-inv" swaps the partitions.
-  """
-  assert image_shape[-3] % ps == 0 and image_shape[-2] % ps == 0
-  nh, nw = image_shape[-3] // ps, image_shape[-2] // ps
-  n = nh * nw
-
-  def _init(key, dtype):
-    del key
-    w = np.zeros((depth, n, n), np.float64)
-    tok = np.arange(n)
-    for i, kind in enumerate(proj_kinds):
-      if kind.startswith("vstripes"):
-        in_a = tok % 2 == 0
-      elif kind.startswith("hstripes"):
-        in_a = (tok // nw) % 2 == 0
-      elif kind.startswith("checkerboard"):
-        in_a = (tok + tok // nw) % 2 == 0
-      elif kind == "zero":
-        continue
-      else:
-        raise ValueError(f"Unknown coupling kind {kind!r}")
-      if kind.endswith("-inv"):
-        in_a = ~in_a
-      w[i, tok[in_a], np.arange(n // 2)] = 1.0
-      w[i, tok[~in_a], np.arange(n // 2, n)] = 1.0
-    return jnp.asarray(w, dtype)
-
-  return _init
-
-
-def load(init_params, init_file, model_params=None, dont_load=()):
-  del model_params
-  ckpt = flax.core.unfreeze(u.load_params(init_file))
-  if init_params is not None:
-    ckpt = common.merge_params(ckpt, init_params, dont_load)
-  return ckpt

@@ -33,6 +33,25 @@ from big_vision_tpu.models import common, vit
 PERTURB = 0.001
 
 
+def load(init_params, init_file, model_params=None, dont_load=()):
+  """Loads (params, state) from a stage-I checkpoint."""
+  del model_params
+  import flax.training.checkpoints
+  if not init_file.endswith(".npz"):
+    raise ValueError("UViM loader currently supports .npz checkpoints; "
+                     f"got {init_file!r}")
+  ckpt = u.npz_load(init_file)
+  tree = flax.training.checkpoints.convert_pre_linen(
+      {"params": ckpt["params"], "state": ckpt["state"]})
+  params = tree["params"]
+  if "Encoder" in params:  # Historical capitalized module names.
+    params["encoder"] = params.pop("Encoder")
+    params["decoder"] = params.pop("Decoder")
+  if init_params is not None:
+    params = common.merge_params(params, init_params, dont_load)
+  return params, tree["state"]
+
+
 def quantize(x, e):
   """Nearest codeword with straight-through gradient.
 
@@ -46,26 +65,27 @@ def quantize(x, e):
   """
   # argmin_k ||x - e_k||^2 == argmax_k (2 x.e_k - ||e_k||^2): one batched
   # matmul on the MXU; the ||x||^2 term is constant in k and dropped.
-  scores = 2 * jnp.einsum("...d,kd->...k", x, e) - jnp.sum(e * e, axis=-1)
-  idx = jnp.argmax(scores, axis=-1)
-  return x + jax.lax.stop_gradient(e[idx] - x), idx
+  affinity = 2 * jnp.einsum("...d,kd->...k", x, e)
+  idx = jnp.argmax(affinity - jnp.sum(e * e, axis=-1), axis=-1)
+  straight_through = x + jax.lax.stop_gradient(e[idx] - x)
+  return straight_through, idx
 
 
 def split_the_most_frequent_embedding(state):
   """Replaces the least-used codeword with a perturbed copy of the most
   used one, halving its counts (dead-codebook revival)."""
-  key, subkey = jax.random.split(state["rng"])
-  book, usage = state["dictionary"], state["counts"]
-  hot, cold = jnp.argmax(usage), jnp.argmin(usage)
+  book, usage, key = state["dictionary"], state["counts"], state["rng"]
+  key, subkey = jax.random.split(key)
+  hot = jnp.argmax(usage)
+  cold = jnp.argmin(usage)
 
   jitter = jax.random.uniform(subkey, (book.shape[1],), jnp.float32,
                               1.0 - PERTURB, 1.0 + PERTURB)
-  book = book.at[cold].set(book[hot] * jitter)
-  usage = usage.at[cold].set(usage[hot] / 2.0)
-  usage = usage.at[hot].set(usage[hot] / 2.0)
-  # Halve the (count-scaled) codeword storage to match the halved counts.
-  book = book.at[cold].set(book[cold] / 2.0)
-  book = book.at[hot].set(book[hot] / 2.0)
+  # Split: the (count-scaled) codeword storage halves along with the
+  # counts, so the count-normalized codeword survives the split intact.
+  half_hot = book[hot] / 2.0
+  book = book.at[cold].set(half_hot * jitter).at[hot].set(half_hot)
+  usage = usage.at[cold].set(usage[hot] / 2.0).at[hot].divide(2.0)
   return {"rng": key, "dictionary": book, "counts": usage}
 
 
@@ -76,14 +96,14 @@ class Model(nn.Module):
   inputs: Mapping[str, Sequence[int]]
   outputs: Mapping[str, Sequence[int]]
   # --- backbone geometry ---
-  input_size: Sequence[int] = (256, 256)
-  patch_size: Sequence[int] = (8, 8)
   width: int = 768
-  num_heads: int = 12
-  mlp_dim: Optional[int] = None
   enc_depth: int = 6
   dec_depth: int = 6
+  mlp_dim: Optional[int] = None
+  num_heads: int = 12
   posemb: str = "learn"  # or "sincos2d"
+  input_size: Sequence[int] = (256, 256)
+  patch_size: Sequence[int] = (8, 8)
   # --- bottleneck / codebook ---
   code_len: int = 256
   dict_size: int = 512
@@ -104,77 +124,85 @@ class Model(nn.Module):
   reinit: Optional[Sequence[str]] = None
   head_zeroinit: bool = True
 
-  def setup(self):
-    self.grid_size = np.array(self.input_size) // np.array(self.patch_size)
-    n_tokens = np.prod(self.grid_size)
-    d_code = self.codeword_dim or self.width
-
-    self.embeddings = {
-        k: nn.DenseGeneral(name=f"embedding_{k}",
-                           axis=range(-len(shape), 0),
-                           features=(self.width,))
-        for k, shape in self.inputs.items()}
-    head_kw = ({"kernel_init": nn.initializers.zeros}
-               if self.head_zeroinit else {})
-    self.heads = {
-        k: nn.DenseGeneral(name=f"head_{k}", features=shape, **head_kw)
-        for k, shape in self.outputs.items()}
-
-    if self.with_encoder_ctx:
-      self.stem_conv_ctx_enc = self._ctx_stem("ctx_enc_embedding")
-    if self.with_decoder_ctx:
-      self.stem_conv_ctx_dec = self._ctx_stem("ctx_dec_embedding")
-
-    self.pos_embedding_encoder = vit.get_posemb(
-        self, self.posemb, tuple(self.grid_size), self.width,
-        "pos_embedding_encoder")
-    self.encoder = vit.Encoder(name="encoder", num_heads=self.num_heads,
-                               depth=self.enc_depth, dropout=self.dropout,
-                               mlp_dim=self.mlp_dim)
-
-    # Token-count projections of the bottleneck (unused when resizing).
-    if not self.bottleneck_resize:
-      self.bottleneck_downsample = self.param(
-          "bottleneck_downsample", nn.initializers.xavier_uniform(),
-          (n_tokens, self.code_len))
-
-    self.dictionary = self.variable(
-        "state", "dictionary",
-        lambda shape: nn.initializers.normal(
-            stddev=1.0 / np.sqrt(self.dict_size))(
-                self.make_rng("state"), shape),
-        (self.dict_size, d_code))
-    self.counts = self.variable(
-        "state", "counts", jnp.ones, (self.dict_size,))
-
-    if not self.bottleneck_resize:
-      self.bottleneck_upsample = self.param(
-          "bottleneck_upsample", nn.initializers.xavier_uniform(),
-          (self.code_len, n_tokens))
-
-    self.pos_embedding_decoder = vit.get_posemb(
-        self, self.posemb, tuple(self.grid_size), self.width,
-        "pos_embedding_decoder")
-    self.decoder = vit.Encoder(name="decoder", num_heads=self.num_heads,
-                               depth=self.dec_depth, dropout=self.dropout,
-                               mlp_dim=self.mlp_dim)
-    self.encoder_head = nn.Dense(d_code)
-    self.decoder_stem = nn.Dense(self.width)
+  def _trunk(self, side, depth):
+    posemb = vit.get_posemb(self, self.posemb, tuple(self.grid_size),
+                            self.width, f"pos_embedding_{side}")
+    body = vit.Encoder(name=side, num_heads=self.num_heads, depth=depth,
+                       dropout=self.dropout, mlp_dim=self.mlp_dim)
+    return posemb, body
 
   def _ctx_stem(self, name):
     return nn.Conv(self.width, self.patch_size, strides=self.patch_size,
                    padding="VALID", name=name)
 
-  def _resize_tokens(self, x, old_hw, new_hw):
-    """[B, oh*ow, C] -> [B, nh*nw, C] bilinear token-grid resize."""
-    b, _, c = x.shape
-    grid = x.reshape(b, *old_hw, c)
-    grid = jax.image.resize(grid, (b, *new_hw, c), "linear")
-    return grid.reshape(b, -1, c)
+  def setup(self):
+    self.grid_size = np.array(self.input_size) // np.array(self.patch_size)
+    d_code = self.codeword_dim or self.width
+
+    # Per-task stems and readouts.
+    head_kw = ({"kernel_init": nn.initializers.zeros}
+               if self.head_zeroinit else {})
+    self.embeddings = {
+        k: nn.DenseGeneral(name=f"embedding_{k}",
+                           axis=range(-len(shape), 0),
+                           features=(self.width,))
+        for k, shape in self.inputs.items()}
+    self.heads = {
+        k: nn.DenseGeneral(name=f"head_{k}", features=shape, **head_kw)
+        for k, shape in self.outputs.items()}
+    if self.with_encoder_ctx:
+      self.stem_conv_ctx_enc = self._ctx_stem("ctx_enc_embedding")
+    if self.with_decoder_ctx:
+      self.stem_conv_ctx_dec = self._ctx_stem("ctx_dec_embedding")
+
+    # Trunks. NOTE: param creation order here is load-bearing only for rng
+    # streams at init, not for the checkpoint tree (names pin the tree).
+    self.pos_embedding_encoder, self.encoder = self._trunk(
+        "encoder", self.enc_depth)
+    if not self.bottleneck_resize:
+      self.bottleneck_downsample = self.param(
+          "bottleneck_downsample", nn.initializers.xavier_uniform(),
+          (int(np.prod(self.grid_size)), self.code_len))
+
+    # Codebook state: count-scaled codeword sums + discounted counts.
+    def init_book(shape):
+      std = 1.0 / np.sqrt(self.dict_size)
+      return nn.initializers.normal(stddev=std)(self.make_rng("state"),
+                                                shape)
+    self.dictionary = self.variable("state", "dictionary", init_book,
+                                    (self.dict_size, d_code))
+    self.counts = self.variable("state", "counts", jnp.ones,
+                                (self.dict_size,))
+
+    if not self.bottleneck_resize:
+      self.bottleneck_upsample = self.param(
+          "bottleneck_upsample", nn.initializers.xavier_uniform(),
+          (self.code_len, int(np.prod(self.grid_size))))
+    self.pos_embedding_decoder, self.decoder = self._trunk(
+        "decoder", self.dec_depth)
+    self.encoder_head = nn.Dense(d_code)
+    self.decoder_stem = nn.Dense(self.width)
+
+  # --- bottleneck plumbing -------------------------------------------------
 
   def _code_grid(self):
     side = int(np.round(self.code_len ** 0.5))
     return side, side
+
+  def _bottleneck(self, tokens, *, down):
+    """Patch-grid tokens <-> code_len tokens (learned matmul or resize)."""
+    if not self.bottleneck_resize:
+      mat = self.bottleneck_downsample if down else self.bottleneck_upsample
+      return jnp.einsum("bsc,sd->bdc", tokens, mat)
+    src, dst = tuple(self.grid_size), self._code_grid()
+    if not down:
+      src, dst = dst, src
+    b, _, c = tokens.shape
+    grid = jax.image.resize(tokens.reshape(b, *src, c), (b, *dst, c),
+                            "linear")
+    return grid.reshape(b, -1, c)
+
+  # --- codebook maintenance ------------------------------------------------
 
   def get_codewords(self):
     """Count-normalized, L2-normalized codebook."""
@@ -187,8 +215,8 @@ class Model(nn.Module):
     sums = jnp.zeros_like(self.dictionary.value).at[idx].add(
         jax.lax.stop_gradient(targets))
     if self.statistics_axis_name:
-      counts = jax.lax.psum(counts, self.statistics_axis_name)
-      sums = jax.lax.psum(sums, self.statistics_axis_name)
+      counts, sums = (jax.lax.psum(t, self.statistics_axis_name)
+                      for t in (counts, sums))
 
     stats = {"codebook_max_ratio": jnp.max(counts) / jnp.sum(counts),
              "codebook_zeros_ratio": jnp.mean(counts == 0)}
@@ -196,14 +224,16 @@ class Model(nn.Module):
 
   def _apply_codebook_update(self, counts, sums):
     decay = self.dict_momentum
-    state = {"dictionary": self.dictionary.value * decay + sums,
-             "counts": self.counts.value * decay + counts,
-             "rng": self.make_rng("vqvae")}
-    state = jax.lax.while_loop(
+    healthy = jax.lax.while_loop(
         lambda s: jnp.any(s["counts"] < self.min_count),
-        split_the_most_frequent_embedding, state)
-    self.counts.value = state["counts"]
-    self.dictionary.value = state["dictionary"]
+        split_the_most_frequent_embedding,
+        {"dictionary": self.dictionary.value * decay + sums,
+         "counts": self.counts.value * decay + counts,
+         "rng": self.make_rng("vqvae")})
+    self.counts.value = healthy["counts"]
+    self.dictionary.value = healthy["dictionary"]
+
+  # --- encode / decode -----------------------------------------------------
 
   def encode(self, x, *, ctx=None, train=False, update_dict=True):
     aux = {"stem": {k: emb(x[k]) for k, emb in self.embeddings.items()}}
@@ -211,18 +241,11 @@ class Model(nn.Module):
 
     if self.with_encoder_ctx:
       patches = self.stem_conv_ctx_enc(ctx)
-      tokens = tokens + patches.reshape(*tokens.shape[:1], -1,
-                                        patches.shape[-1])
+      tokens += patches.reshape(tokens.shape[0], -1, patches.shape[-1])
 
     tokens, _ = self.encoder(tokens + self.pos_embedding_encoder,
                              deterministic=not train)
-
-    if self.bottleneck_resize:
-      tokens = self._resize_tokens(tokens, tuple(self.grid_size),
-                                   self._code_grid())
-    else:
-      tokens = jnp.einsum("btc,tn->bnc", tokens,
-                          self.bottleneck_downsample)
+    tokens = self._bottleneck(tokens, down=True)
 
     pre_q = aux["bottleneck"] = jax.nn.standardize(
         self.encoder_head(tokens), axis=-1)
@@ -259,17 +282,11 @@ class Model(nn.Module):
     if train and self.code_dropout != "none":
       x = self._code_dropout(x)
 
-    tokens = self.decoder_stem(x)
-    if self.bottleneck_resize:
-      tokens = self._resize_tokens(tokens, self._code_grid(),
-                                   tuple(self.grid_size))
-    else:
-      tokens = jnp.einsum("bnc,nt->btc", tokens, self.bottleneck_upsample)
+    tokens = self._bottleneck(self.decoder_stem(x), down=False)
 
     if self.with_decoder_ctx:
       patches = self.stem_conv_ctx_dec(ctx)
-      tokens = tokens + patches.reshape(*tokens.shape[:1], -1,
-                                        patches.shape[-1])
+      tokens += patches.reshape(tokens.shape[0], -1, patches.shape[-1])
 
     tokens, _ = self.decoder(tokens + self.pos_embedding_decoder)
     logits = {k: head(tokens) for k, head in self.heads.items()}
@@ -280,22 +297,3 @@ class Model(nn.Module):
                                      update_dict=update_dict)
     logits, out_dec = self.decode(quantized, ctx=ctx, train=train)
     return logits, {**out_enc, **out_dec}
-
-
-def load(init_params, init_file, model_params=None, dont_load=()):
-  """Loads (params, state) from a stage-I checkpoint."""
-  del model_params
-  import flax.training.checkpoints
-  if not init_file.endswith(".npz"):
-    raise ValueError("UViM loader currently supports .npz checkpoints; "
-                     f"got {init_file!r}")
-  ckpt = u.npz_load(init_file)
-  tree = flax.training.checkpoints.convert_pre_linen(
-      {"params": ckpt["params"], "state": ckpt["state"]})
-  params = tree["params"]
-  if "Encoder" in params:  # Historical capitalized module names.
-    params["encoder"] = params.pop("Encoder")
-    params["decoder"] = params.pop("Decoder")
-  if init_params is not None:
-    params = common.merge_params(params, init_params, dont_load)
-  return params, tree["state"]

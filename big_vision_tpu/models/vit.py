@@ -50,12 +50,12 @@ def posemb_sincos_2d(h, w, width, temperature=10_000., dtype=jnp.float32):
 
 
 def get_posemb(module, typ, seqshape, width, name, dtype=jnp.float32):
-  if typ == "learn":
-    return module.param(
-        name, nn.initializers.normal(stddev=1 / np.sqrt(width)),
-        (1, int(np.prod(seqshape)), width), dtype)
   if typ == "sincos2d":
     return posemb_sincos_2d(*seqshape, width, dtype=dtype)
+  if typ == "learn":
+    shape = (1, int(np.prod(seqshape)), width)
+    init = nn.initializers.normal(stddev=width ** -0.5)
+    return module.param(name, init, shape, dtype)
   raise ValueError(f"Unknown posemb type: {typ}")
 
 
@@ -137,17 +137,17 @@ class MultiHeadAttention(nn.Module):
 class MlpBlock(nn.Module):
   """Feed-forward block. Ref vit.py:57."""
   mlp_dim: Optional[int] = None  # Defaults to 4x input dim
-  dropout: float = 0.0
   dtype_mm: str = "float32"
+  dropout: float = 0.0
   use_bias: bool = True
 
   @nn.compact
   def __call__(self, x, deterministic=True):
     d = x.shape[-1]
-    dense = lambda features: nn.Dense(
-        features, dtype=self.dtype_mm, use_bias=self.use_bias,
-        kernel_init=nn.initializers.xavier_uniform(),
-        bias_init=nn.initializers.normal(stddev=1e-6))
+    init_kw = dict(kernel_init=nn.initializers.xavier_uniform(),
+                   bias_init=nn.initializers.normal(stddev=1e-6))
+    dense = lambda features: nn.Dense(features, dtype=self.dtype_mm,
+                                      use_bias=self.use_bias, **init_kw)
     h = nn.gelu(_constrain(dense(self.mlp_dim or 4 * d)(x)))
     h = nn.Dropout(rate=self.dropout)(h, deterministic)
     return dense(d)(h)
@@ -181,10 +181,9 @@ class Encoder1DBlock(nn.Module):
             delta, delta, mask=mask, deterministic=deterministic, seg=seg)
     x = out["+sa"] = x + drop(_constrain(delta), deterministic)
 
-    delta = norm()(x)
-    delta = out["mlp"] = MlpBlock(
-        mlp_dim=self.mlp_dim, dropout=self.dropout,
-        dtype_mm=self.dtype_mm)(delta, deterministic)
+    ff = MlpBlock(mlp_dim=self.mlp_dim, dtype_mm=self.dtype_mm,
+                  dropout=self.dropout)
+    delta = out["mlp"] = ff(norm()(x), deterministic)
     x = out["+mlp"] = x + drop(_constrain(delta), deterministic)
     return _constrain(x), out
 
@@ -207,31 +206,31 @@ class Encoder(nn.Module):
                     attn_impl=self.attn_impl, dtype_mm=self.dtype_mm,
                     dropout=self.dropout)
     if self.scan:
-      block = nn.remat(
-          Encoder1DBlock,
-          prevent_cse=False,
-          static_argnums=(2,),  # 0=self, 2=deterministic
-          policy=getattr(jax.checkpoint_policies, self.remat_policy, None))
-      x, scan_out = nn.scan(
-          block, length=self.depth, in_axes=nn.broadcast,
-          variable_axes={"params": 0},
-          split_rngs={"dropout": True, "params": True},
-      )(name="encoderblock", **block_kw)(x, deterministic, mask, seg)
+      remat_policy = getattr(jax.checkpoint_policies, self.remat_policy,
+                             None)
+      block = nn.remat(Encoder1DBlock, prevent_cse=False,
+                       policy=remat_policy,
+                       static_argnums=(2,))  # 0=self, 2=deterministic
+      scan_kw = dict(length=self.depth, in_axes=nn.broadcast,
+                     variable_axes={"params": 0},
+                     split_rngs={"dropout": True, "params": True})
+      stack = nn.scan(block, **scan_kw)(name="encoderblock", **block_kw)
+      x, scan_out = stack(x, deterministic, mask, seg)
       peel = lambda i: jax.tree.map(lambda leaf: leaf[i], scan_out)
       out.update({f"block{i:02d}": peel(i) for i in range(self.depth)})
     else:
       for i in range(self.depth):
-        x, out[f"block{i:02d}"] = Encoder1DBlock(
-            name=f"encoderblock_{i}", **block_kw)(x, deterministic, mask,
-                                                  seg)
+        layer = Encoder1DBlock(name=f"encoderblock_{i}", **block_kw)
+        x, out[f"block{i:02d}"] = layer(x, deterministic, mask, seg)
       out["pre_ln"] = x
-    return nn.LayerNorm(name="encoder_norm")(x), out
+    final_norm = nn.LayerNorm(name="encoder_norm")
+    return final_norm(x), out
 
 
 class MAPHead(nn.Module):
   """Multihead attention pooling. Ref vit.py:163."""
-  mlp_dim: Optional[int] = None
   num_heads: int = 12
+  mlp_dim: Optional[int] = None
   dtype_mm: str = "float32"
 
   @nn.compact
@@ -287,12 +286,13 @@ class _Model(nn.Module):
   """ViT. Ref vit.py:186."""
   num_classes: Optional[int] = None
   # Architecture.
-  patch_size: Sequence[int] = (16, 16)
-  depth: int = 12
   width: int = 768
+  depth: int = 12
   mlp_dim: Optional[int] = None
   num_heads: int = 12
+  patch_size: Sequence[int] = (16, 16)
   posemb: str = "learn"  # or "sincos2d"
+  # Readout & regularization.
   pool_type: str = "gap"  # gap / map / tok / 0 / none
   rep_size: Union[int, bool] = False
   head_zeroinit: bool = True
@@ -319,12 +319,12 @@ class _Model(nn.Module):
     x = nn.Dropout(rate=self.dropout)(x, not train)
 
     # Trunk.
-    x, out["encoder"] = Encoder(
-        depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-        dropout=self.dropout, attn_impl=self.attn_impl,
-        dtype_mm=self.dtype_mm, scan=self.scan,
-        remat_policy=self.remat_policy,
-        name="Transformer")(x, deterministic=not train)
+    trunk = Encoder(name="Transformer", depth=self.depth,
+                    num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                    dropout=self.dropout, attn_impl=self.attn_impl,
+                    dtype_mm=self.dtype_mm, scan=self.scan,
+                    remat_policy=self.remat_policy)
+    x, out["encoder"] = trunk(x, deterministic=not train)
     out["encoded"] = x
 
     # Readout: pooled vector + 2-D token grid, each through the same
@@ -346,13 +346,14 @@ class _Model(nn.Module):
     if self.num_classes:
       reps = classify(self, reps, self.num_classes, self.head_zeroinit)
       out.update({f"logits{k}": v for k, v in reps.items()})
-
     return reps[""], out
 
 
 def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-name
   """Factory; linen dataclass fields can't be overridden post-hoc."""
-  return _Model(num_classes, **{**decode_variant(variant), **kw})
+  cfg = decode_variant(variant)
+  cfg.update(kw)
+  return _Model(num_classes, **cfg)
 
 
 # (width, depth, mlp_dim, num_heads) per size letter; values are the
@@ -391,12 +392,11 @@ def resample_posemb(old, new):
   if old.shape == new.shape:
     return old
   import scipy.ndimage
-  gs_old = int(np.sqrt(old.shape[1]))
-  gs_new = int(np.sqrt(new.shape[1]))
-  grid = old.reshape(gs_old, gs_old, -1)
-  grid = scipy.ndimage.zoom(grid, (gs_new / gs_old, gs_new / gs_old, 1),
+  side_old, side_new = (int(np.sqrt(p.shape[1])) for p in (old, new))
+  zoom = (side_new / side_old, side_new / side_old, 1)
+  grid = scipy.ndimage.zoom(old.reshape(side_old, side_old, -1), zoom,
                             order=1)
-  return grid.reshape(1, gs_new * gs_new, -1)
+  return grid.reshape(1, side_new * side_new, -1)
 
 
 def fix_old_checkpoints(params):
@@ -459,9 +459,8 @@ def scan_to_pyloop(params_scan):
 
 def load(init_params, init_file, model_cfg, dont_load=()):  # pylint: disable=invalid-name
   """Loads a ViT checkpoint (any historical layout), with posemb resample."""
-  init_file = VANITY_NAMES.get(init_file, init_file)
-  restored = u.load_params(init_file)
-  restored = fix_old_checkpoints(restored)
+  restored = fix_old_checkpoints(
+      u.load_params(VANITY_NAMES.get(init_file, init_file)))
 
   if model_cfg.get("scan") and "encoderblock" not in restored["Transformer"]:
     restored = pyloop_to_scan(restored)

@@ -42,6 +42,34 @@ import big_vision_tpu.utils as u
 NamedSharding = jax.sharding.NamedSharding
 P = jax.sharding.PartitionSpec
 
+LOG2 = np.log(2)
+
+
+def _quantized_noise(images, noise_scale, rng):
+  """RGB-noise curriculum: noise as if added to the uint8 pixels."""
+  u8 = jnp.round((images + 1) * 127.5)
+  u8 += noise_scale * jax.random.normal(rng, u8.shape)
+  return jnp.round(u8) / 127.5 - 1
+
+
+def _cosine_noise_schedule(config, progress):
+  """Cosine-annealed RGB noise scale, or None when disabled."""
+  top = config.get("noise_scale", 0.0)
+  if not top > 0.0:
+    return None
+  floor = config.get("noise_min", 0.0)
+  return floor + (top - floor) * 0.5 * (1 + jnp.cos(jnp.pi * progress))
+
+
+def _batch_masked_mean(batch):
+  """mean() respecting both a per-example condition and batch["_mask"]."""
+  def mean(x, where=None):
+    if (vm := batch.get("_mask")) is not None:
+      vm = vm.astype(bool)
+      where = vm if where is None else (where & vm)
+    return jnp.mean(x, where=where)
+  return mean
+
 
 def main(argv=None, *, config=None, workdir=None):
   prev_guard = getattr(jax.config, "jax_transfer_guard", None) or "allow"
@@ -81,60 +109,63 @@ def _main(argv=None, *, config=None, workdir=None):
   # Iterator built AFTER the resume ladder so a resumed run can seek the
   # raw stream to its exact sample position (sample-exact resume).
   ntrain_img = input_pipeline.total_training_examples(config.input)
-
   total_steps = u.steps("total", config, ntrain_img, batch_size)
-  def get_steps(name, default=ValueError, cfg=config):
-    return u.steps(name, cfg, ntrain_img, batch_size, total_steps, default)
+  get_steps = functools.partial(u.steps, config=config, data_size=ntrain_img,
+                                batch_size=batch_size,
+                                total_steps=total_steps)
+
   chrono.inform(first_step=0, total_steps=total_steps, global_bs=batch_size,
                 steps_per_epoch=ntrain_img / batch_size)
 
-  # Parameter-free patch-PCA "tokenizer".
+  # ------------------------------------------------------------------
+  # Models: parameter-free patch-PCA tokenizer, transformer, Jet flow.
+  # ------------------------------------------------------------------
+
   assert config.patch_pca.model_name == "proj.jetformer.patch_pca", (
       "JetFormer uses proj.jetformer.patch_pca as the embedder.")
-  pca_mod = importlib.import_module(
-      f"big_vision_tpu.models.{config.patch_pca.model_name}")
-  patch_pca = pca_mod.Model(**config.patch_pca.get("model", {}))
+
+  def build(name, **kw):
+    mod = importlib.import_module(f"big_vision_tpu.models.{name}")
+    return mod, mod.Model(**kw)
+
+  _, patch_pca = build(config.patch_pca.model_name,
+                       **config.patch_pca.get("model", {}))
+  model_mod, model = build(config.model_name, **config.get("model", {}))
+  adaptor = None
+  if config.get("adaptor_name"):
+    adaptor = build(config.adaptor_name, **config.adaptor.model)[1]
 
   def patch_pca_encode(images, rng=None, reparametrize=True):
-    mu, logvar = patch_pca.apply({"params": {}}, images,
-                                 method=patch_pca.encode, rngs=rng)
-    if reparametrize:
-      assert rng is not None and "dropout" in rng
-      return patch_pca.apply({"params": {}}, mu, logvar,
-                             method=patch_pca.reparametrize, rngs=rng)
-    return mu
-
-  model_mod = importlib.import_module(
-      f"big_vision_tpu.models.{config.model_name}")
-  model = model_mod.Model(**config.get("model", {}))
-
-  if config.get("adaptor_name"):
-    adaptor_mod = importlib.import_module(
-        f"big_vision_tpu.models.{config.adaptor_name}")
-    adaptor = adaptor_mod.Model(**config.adaptor.model)
-  else:
-    adaptor = None
+    stats = patch_pca.apply({"params": {}}, images,
+                            method=patch_pca.encode, rngs=rng)
+    if not reparametrize:
+      return stats[0]  # mu
+    assert rng is not None and "dropout" in rng
+    return patch_pca.apply({"params": {}}, *stats,
+                           method=patch_pca.reparametrize, rngs=rng)
 
   def adaptor_apply(params, seq, inverse=False):
-    seq = predict_fns.unflatten_latents(seq)
+    direction = adaptor.inverse if inverse else adaptor.forward
     seq, sum_log_det = adaptor.apply(
-        {"params": params}, seq,
-        method=adaptor.inverse if inverse else adaptor.forward)
+        {"params": params}, predict_fns.unflatten_latents(seq),
+        method=direction)
     return predict_fns.flatten_latents(seq), sum_log_det
 
+  noise_dim = config.get("latent_noise_dim", 0)
+
   def _strip_noise_dims(image_tokens):
-    if (noise_dim := config.get("latent_noise_dim", 0)) > 0:
+    if noise_dim > 0:
       image_tokens = image_tokens[..., :-noise_dim]
       assert image_tokens.shape[-1] == model.out_dim
     return image_tokens
 
-  img_shape = config.init_shapes[0]
-  txt_shape = config.init_shapes[1]
+  img_shape, txt_shape = config.init_shapes[:2]
 
   def init(rng):
     images = jnp.zeros(img_shape, jnp.float32)
     text = jnp.zeros(txt_shape, jnp.int32)
     image_tokens = patch_pca_encode(images, rng={"dropout": rng})
+    params_adaptor = {}
     if adaptor is not None:
       rng, rng_adaptor = jax.random.split(rng)
       seq = predict_fns.unflatten_latents(image_tokens)
@@ -142,13 +173,10 @@ def _main(argv=None, *, config=None, workdir=None):
           rng_adaptor, seq, method=adaptor.forward)
       params_adaptor = adaptor_vars["params"]
       image_tokens = predict_fns.flatten_latents(seq)
-    else:
-      params_adaptor = {}
     image_tokens = _strip_noise_dims(image_tokens)
     text_first = jnp.full((images.shape[0],), False)
-    params = model.init(rng, text, image_tokens,
-                        text_first_mask=text_first)["params"]
-    params = dict(params)
+    params = dict(model.init(rng, text, image_tokens,
+                             text_first_mask=text_first)["params"])
     params["params_adaptor"] = params_adaptor
     return params
 
@@ -189,45 +217,42 @@ def _main(argv=None, *, config=None, workdir=None):
   # ------------------------------------------------------------------
 
   def loss_fn(params, batch, rng, noise_scale=None, train=True):
-    text, images = batch["text"], batch["image"]
+    images = batch["image"]
+    text = batch["text"]
+    bs = len(images)
     text_mask = batch.get("text_mask")
     if text_mask is not None:
       text_mask = text_mask.astype(bool)
     text_loss = batch.get("text_loss", jnp.ones(text.shape, bool))
     text_loss = text_loss.astype(bool)
 
-    rng, rng_dropout, rng_order, rng_droplabels, rng_noise = (
-        jax.random.split(rng, 5))
-    rng_dropout = {"dropout": rng_dropout}
-    bs = images.shape[0]
+    keys = jax.random.split(rng, 5)
+    rng, rng_order, rng_droplabels, rng_noise = keys[:4]
+    rng_dropout = {"dropout": keys[4]}
     text_first_mask = jax.random.bernoulli(
         rng_order, config.get("text_prefix_prob", 0.5), (bs,))
 
     if noise_scale is not None:
-      # RGB-noise curriculum: noise as if added to the uint8 pixels.
       if not config.get("rgb_noise_on_image_prefix", True):
-        noise_scale = jnp.where(text_first_mask, noise_scale, 0.0)
-        noise_scale = noise_scale[:, None, None, None]
-      images = jnp.round((images + 1) * 127.5)
-      images = images + noise_scale * jax.random.normal(rng_noise,
-                                                        images.shape)
-      images = jnp.round(images) / 127.5 - 1
+        # Only noise examples whose image is the SUFFIX (text-first).
+        noise_scale = jnp.where(text_first_mask, noise_scale,
+                                0.0)[:, None, None, None]
+      images = _quantized_noise(images, noise_scale, rng_noise)
 
+    # Image pixels -> flow tokens, tracking the flow's log-determinant.
     image_tokens = patch_pca_encode(images, rng_dropout)
+    sum_log_det = jnp.zeros((bs,))
     if adaptor is not None:
       image_tokens, sum_log_det = adaptor_apply(
           params["params_adaptor"], image_tokens)
-    else:
-      sum_log_det = jnp.zeros((bs,))
 
-    if (noise_dim := config.get("latent_noise_dim", 0)) > 0:
+    noise_nll = 0.0
+    if noise_dim > 0:
       # Factor the last channels out against a standard-normal prior.
       assert model.out_dim + noise_dim == image_tokens.shape[-1]
-      image_tokens, noise = jnp.split(image_tokens, [model.out_dim], -1)
-      noise_nll = 0.5 * jnp.sum(noise ** 2 + jnp.log(2 * jnp.pi),
+      image_tokens, factored = jnp.split(image_tokens, [model.out_dim], -1)
+      noise_nll = 0.5 * jnp.sum(factored ** 2 + jnp.log(2 * jnp.pi),
                                 axis=(1, 2))
-    else:
-      noise_nll = 0.0
 
     if train and (in_std := config.get("input_noise_std", 0.0)) > 0.0:
       # Teacher-forcing input noise for sampling robustness.
@@ -235,104 +260,97 @@ def _main(argv=None, *, config=None, workdir=None):
       std = jax.random.uniform(rng_std, (bs, 1, 1), minval=0.0,
                                maxval=in_std)
       std = jnp.where(text_first_mask[:, None, None], std, 0.0)
-      image_tokens = image_tokens + std * jax.random.normal(
-          rng_in, image_tokens.shape)
+      image_tokens += std * jax.random.normal(rng_in, image_tokens.shape)
 
-    if train:
-      drop_prefix = model.get_drop_labels(rng_droplabels, batch_size=bs)
-    else:
-      drop_prefix = None
+    drop_prefix = (model.get_drop_labels(rng_droplabels, batch_size=bs)
+                   if train else None)
     if drop_prefix is None:
       drop_prefix = jnp.full((bs,), False)
-    drop_prefix = drop_prefix & text_first_mask
+    drop_prefix &= text_first_mask
 
     if config.get("stop_grad_nvp_prefix", False):
       # The flow acts as a frozen encoder when the image is the prefix.
-      image_tokens = jnp.where(
-          text_first_mask[:, None, None], image_tokens,
-          jax.lax.stop_gradient(image_tokens))
+      frozen = jax.lax.stop_gradient(image_tokens)
+      keep_grads = text_first_mask[:, None, None]
+      image_tokens = jnp.where(keep_grads, image_tokens, frozen)
 
     *_, pmf, pdf, _ = model.apply(
         {"params": params}, text, image_tokens, train=train,
         text_first_mask=text_first_mask, text_input_mask=text_mask,
         drop_prefix=drop_prefix, rngs=rng_dropout)
 
-    nll_txt = -pmf.log_prob(text)  # [B, T]
-    nll_txt = jnp.mean(nll_txt, axis=1, where=text_loss)
+    nll_txt = jnp.mean(-pmf.log_prob(text), axis=1, where=text_loss)
 
     # Image NLL in bits/subpixel, incl. flow logdet and the /127.5 rescale.
     num_subpixels = np.prod(images.shape[1:])
     nll_img_tok = (jnp.sum(-pdf.log_prob(image_tokens), axis=1)
-                   + noise_nll) / num_subpixels / jnp.log(2)
-    logdet = (sum_log_det / num_subpixels - jnp.log(127.5)) / jnp.log(2)
+                   + noise_nll) / num_subpixels / LOG2
+    logdet = (sum_log_det / num_subpixels - jnp.log(127.5)) / LOG2
     nll_image = nll_img_tok - logdet
 
-    def mean(x, where=None):
-      if (vm := batch.get("_mask")) is not None:
-        vm = vm.astype(bool)
-        where = vm if where is None else (where & vm)
-      return jnp.mean(x, where=where)
-
-    metrics = {
-        "nll_text_prefix": mean(nll_txt,
-                                where=text_first_mask & ~drop_prefix),
-        "nll_text_suffix": mean(nll_txt, where=~text_first_mask),
-        "nll_image_prefix": mean(nll_image,
-                                 where=~text_first_mask & ~drop_prefix),
-        "nll_image_suffix": mean(nll_image, where=text_first_mask),
-    }
+    mean = _batch_masked_mean(batch)
+    # Per-order breakdown; "prefix" rows exclude CFG-dropped prefixes.
+    breakdown = (
+        ("nll_text_prefix", nll_txt, text_first_mask & ~drop_prefix),
+        ("nll_text_suffix", nll_txt, ~text_first_mask),
+        ("nll_image_prefix", nll_image, ~text_first_mask & ~drop_prefix),
+        ("nll_image_suffix", nll_image, text_first_mask),
+    )
+    metrics = {k: mean(v, where=w) for k, v, w in breakdown}
 
     text_w = config.get("text_loss_weight", 1.0)
     if config.get("loss_on_prefix", True):
-      valid_txt = (text_first_mask & ~drop_prefix) | ~text_first_mask
-      valid_img = (~text_first_mask & ~drop_prefix) | text_first_mask
-      metrics.update({
-          "nll_text": mean(nll_txt, where=valid_txt),
-          "nll_image": mean(nll_image, where=valid_img),
-          "logdet": mean(logdet),
-      })
-      loss = (mean(nll_txt, where=valid_txt) * text_w
-              + mean(nll_image, where=valid_img))
+      # Both orders contribute; CFG-dropped prefixes contribute nothing.
+      valid_txt = ~text_first_mask | (text_first_mask & ~drop_prefix)
+      valid_img = text_first_mask | (~text_first_mask & ~drop_prefix)
+      metrics["nll_text"] = mean(nll_txt, where=valid_txt)
+      metrics["nll_image"] = mean(nll_image, where=valid_img)
+      metrics["logdet"] = mean(logdet)
+      loss = metrics["nll_text"] * text_w + metrics["nll_image"]
     else:
-      metrics.update({
-          "nll_text": mean(nll_txt, where=~text_first_mask),
-          "nll_image": mean(nll_image, where=text_first_mask),
-          "nll_image_tokens": mean(nll_img_tok, where=text_first_mask),
-          "logdet": mean(logdet, where=text_first_mask),
-      })
+      # Suffix-only training: each example contributes its suffix NLL.
+      metrics["nll_text"] = mean(nll_txt, where=~text_first_mask)
+      metrics["nll_image"] = mean(nll_image, where=text_first_mask)
+      metrics["nll_image_tokens"] = mean(nll_img_tok,
+                                         where=text_first_mask)
+      metrics["logdet"] = mean(logdet, where=text_first_mask)
       loss = mean(jnp.where(~text_first_mask, nll_txt * text_w, nll_image))
 
     metrics["loss"] = loss
     return loss, metrics
 
-  @functools.partial(
-      jax.jit, donate_argnums=(0,),
-      out_shardings=(train_state_sharding, repl_sharding))
+  # ------------------------------------------------------------------
+  # One jitted SPMD update.
+  # ------------------------------------------------------------------
+
+  update_jit_kw = dict(donate_argnums=(0,),
+                       out_shardings=(train_state_sharding, repl_sharding))
+
+  @functools.partial(jax.jit, **update_jit_kw)
   def update_fn(train_state, rng, batch):
+    measurements = {}
     step_count = bv_optim.get_count(train_state["opt"], jittable=True)
     rng = jax.random.fold_in(rng, step_count)
-    measurements = {}
-    progress = step_count / total_steps
-
-    if config.get("noise_scale", 0.0) > 0.0:
-      noise_min = config.get("noise_min", 0.0)
-      noise_scale = ((config.noise_scale - noise_min)
-                     * (1 + jnp.cos(jnp.pi * progress)) * 0.5) + noise_min
+    noise_scale = _cosine_noise_schedule(config,
+                                         step_count / total_steps)
+    if noise_scale is not None:
       measurements["noise_scale"] = noise_scale
-    else:
-      noise_scale = None
 
     _, rng_model = jax.random.split(rng)
     params, opt = train_state["params"], train_state["opt"]
-    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        params, batch, rng_model, noise_scale=noise_scale)
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(p, batch, rng_model, noise_scale=noise_scale),
+        has_aux=True)
+    (loss, metrics), grads = grad_fn(params)
     updates, opt = tx.update(grads, opt, params)
-    params = optax.apply_updates(params, updates)
-    new_train_state = {"params": params, "opt": opt}
+    new_train_state = {"params": optax.apply_updates(params, updates),
+                       "opt": opt}
+    params = new_train_state["params"]
     if ema_decay > 0.0:
+      def ema_step(prev, new):
+        return ema_decay * prev + (1 - ema_decay) * new
       new_train_state["params_ema"] = jax.tree.map(
-          lambda pe, p: ema_decay * pe + (1 - ema_decay) * p,
-          train_state["params_ema"], params)
+          ema_step, train_state["params_ema"], params)
 
     measurements["training_loss"] = loss
     gs = jax.tree.leaves(bv_optim.replace_frozen(config.schedule, grads, 0.))
@@ -383,16 +401,16 @@ def _main(argv=None, *, config=None, workdir=None):
   def validation_fn(train_state, batch, *, use_ema=False):
     params = train_state["params_ema" if use_ema else "params"]
     _, aux = loss_fn(params, batch, jax.random.PRNGKey(0), train=False)
-    return jax.tree.map(
-        lambda x: jnp.broadcast_to(x, batch["text"].shape[:1]), aux)
+    per_example = batch["text"].shape[:1]
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, per_example), aux)
 
   def sample_images_fn(train_state, batch, *, decode_len=None,
                        use_ema=False):
     params = train_state["params_ema" if use_ema else "params"]
     sic = config.get("sample_images", {})
-    batch = dict(batch)
-    if batch["text"].ndim < 2:
-      batch["text"] = batch["text"][:, None]
+    text = batch["text"]
+    batch = {**batch,
+             "text": text if text.ndim >= 2 else text[:, None]}
     out = predict_fns.sample_image_latents(
         params, batch, model=model,
         decode_len=decode_len or config.get("decode_len", 256),
@@ -400,10 +418,11 @@ def _main(argv=None, *, config=None, workdir=None):
         temperature=sic.get("temperature", 1.0),
         temperature_probs=sic.get("temperature_probs", 1.0))
     image_tokens = out["out_tokens"]
-    if (noise_dim := config.get("latent_noise_dim", 0)) > 0:
-      noise = jax.random.normal(jax.random.PRNGKey(0),
-                                image_tokens.shape[:-1] + (noise_dim,))
-      image_tokens = jnp.concatenate([image_tokens, noise], axis=-1)
+    if noise_dim > 0:
+      # Sampled latents get fresh factored-out noise channels.
+      tail = jax.random.normal(jax.random.PRNGKey(0),
+                               image_tokens.shape[:-1] + (noise_dim,))
+      image_tokens = jnp.concatenate([image_tokens, tail], axis=-1)
     images = predict_fns.decode_images(
         params.get("params_adaptor", {}), image_tokens,
         adaptor=adaptor, patch_pca=patch_pca)

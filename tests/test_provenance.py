@@ -1,17 +1,21 @@
 """Provenance ratchet: token similarity vs the reference may only go DOWN.
 
 Runs tools/simcheck.py's sweep (comments/docstrings stripped, difflib token
-ratio vs the same-named reference file) and enforces two things:
+ratio vs the same-named reference file) and enforces:
 
 1. No file outside the pinned ratchet table may be >= 0.60 similar to its
    reference counterpart — new or newly-edited code must be original.
-2. Files in the ratchet table may not EXCEED their pinned similarity
-   (+ a small tolerance for tokenizer drift). Lowering a value below 0.60
-   means the file graduates: remove its row.
+2. Files over 1,000 tokens face a TIGHTER 0.50 gate: long files can hide
+   long identical runs under a 0.60 whole-file score (VERDICT r4 weak #2).
+3. Files in the ratchet table may not EXCEED their pinned similarity.
+   Lowering a value below its gate means the file graduates: remove its
+   row (enforced — the table can only shrink).
+4. configs/ stays exempt as published-hyperparameter tables, EXCEPT
+   configs/common.py, which is logic and is gated here explicitly
+   (VERDICT r4: "move it out of the blanket exemption").
 
-The table documents WHY each remaining file sits above the gate; the goal
-is an empty table. configs/ are exempt in simcheck itself (published
-hyperparameters).
+The table documents WHY each remaining file sits above its gate; the goal
+is an empty table.
 """
 
 import os
@@ -24,20 +28,29 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import simcheck  # noqa: E402
 
-# file -> (max allowed similarity, why it is still above the 0.60 gate)
+# file -> (max allowed similarity, why it is still above its gate)
 RATCHET = {
     # The sharding-rule mini-language semantics ARE the spec being matched
     # (VERDICT r3 classed this as unavoidable-similarity category (b)).
     "sharding.py": (0.75, "rule semantics are the compat surface"),
-    # Checkpoint-compatible param trees + the public config call surface
-    # pin much of the structure; being worked down, must not regrow.
-    "models/proj/paligemma/paligemma.py": (0.77, "ratchet: rewrite pending"),
+    # 3 tiny fully-pinned functions (deterministic RNG keying, weighted
+    # choice, combo product); the metric saturates on 234 tokens and the
+    # VERDICT r4 line-level diff called it a false positive.
     "trainers/proj/flexi/common.py": (0.70, "small file; metric saturates"),
-    "models/proj/givt/givt.py": (0.66, "ratchet: 0.796->0.639 in r4"),
-    "models/ppp/gemma.py": (0.62, "ratchet: shared tensor layout w/ ckpts"),
+    # parse_arg/pack_arg/format_str semantics are the config-string
+    # language every reference config depends on; rewritten (105 vs 188
+    # lines) but saturated on pinned behavior. Un-exempted from the
+    # configs/ carve-out per VERDICT r4; ratcheted instead.
+    "configs/common.py": (0.80, "config-string language is the spec"),
 }
 
 GATE = 0.60
+GATE_BIG = 0.50  # files > BIG_TOKENS tokens
+BIG_TOKENS = 1000
+
+
+def _gate_for(row):
+    return GATE_BIG if row["tokens"] > BIG_TOKENS else GATE
 
 
 @pytest.mark.slow
@@ -45,22 +58,26 @@ def test_similarity_ratchet():
     if not os.path.isdir(simcheck.REF):
         pytest.skip("reference tree not present")
     results = simcheck.sweep()
-    current = {r["file"]: r["similarity"] for r in results if not r["exempt"]}
+    rows = {r["file"]: r for r in results
+            if not r["exempt"] or r["file"] == "configs/common.py"}
     over, regressed = [], []
-    for file, sim in current.items():
+    for file, row in rows.items():
+        sim = row["similarity"]
         pinned = RATCHET.get(file)
         if pinned is not None:
             if sim > pinned[0]:
                 regressed.append((file, sim, pinned[0]))
-        elif sim >= GATE:
-            over.append((file, sim))
+        elif sim >= _gate_for(row):
+            over.append((file, sim, row["tokens"]))
     assert not over, (
-        f"files >= {GATE} similarity to the reference and not in the "
-        f"ratchet table (rewrite them, do not extend the table): {over}")
+        "files over their provenance gate (0.60, or 0.50 if >1k tokens) "
+        f"and not in the ratchet table (rewrite them, do not extend the "
+        f"table): {over}")
     assert not regressed, (
         f"ratcheted files regressed above their pinned similarity: "
         f"{regressed}")
-    # Rows whose file now scores below the gate (or vanished) must be
+    # Rows whose file now scores below its gate (or vanished) must be
     # removed so the ratchet only ever shrinks.
-    done = [f for f in RATCHET if current.get(f, 0.0) < GATE]
+    done = [f for f in RATCHET
+            if f not in rows or rows[f]["similarity"] < _gate_for(rows[f])]
     assert not done, f"ratchet rows can graduate (delete them): {done}"
