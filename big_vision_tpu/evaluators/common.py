@@ -24,39 +24,48 @@ import big_vision_tpu.input_pipeline as input_pipeline
 import big_vision_tpu.utils as u
 
 
+def _normalize_spec(name, cfg, config, get_steps, devices):
+  """One eval spec -> (module, pred_key, pred_kw, prefix, logsteps, kw)."""
+  cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+  meta = {
+      "module": cfg.pop("type", name),
+      "pred_key": cfg.pop("pred", "predict"),
+      "pred_kw": cfg.pop("pred_kw", None),
+      "prefix": cfg.pop("prefix", f"{name}/"),
+  }
+  cfg.pop("skip_first", None)
+  meta["logsteps"] = get_steps("log", cfg)
+  for typ in ("steps", "epochs", "examples", "percent"):
+    cfg.pop(f"log_{typ}", None)
+  # Batch-size resolution ladder: per-eval > eval-global > train.
+  fallbacks = (config.get("batch_size_eval"),
+               config.get("input.batch_size"), config.get("batch_size"))
+  cfg["batch_size"] = cfg.get("batch_size") or next(
+      (b for b in fallbacks if b), None)
+  if devices is not None:
+    cfg["devices"] = devices
+  return meta, cfg
+
+
 def from_config(config, predict_fns, write_note=lambda s: s,
                 get_steps=lambda key, cfg: cfg[f"{key}_steps"],
                 devices=None):
   """Instantiates [(name, evaluator, logsteps, prefix), ...] from config."""
   evaluators = []
-  specs = config.get("evals", {})
-  for name, cfg in specs.items():
+  for name, raw in config.get("evals", {}).items():
     write_note(name)
-    cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
-    module = cfg.pop("type", name)
-    pred_key = cfg.pop("pred", "predict")
-    pred_kw = cfg.pop("pred_kw", None)
-    prefix = cfg.pop("prefix", f"{name}/")
-    cfg.pop("skip_first", None)
-    logsteps = get_steps("log", cfg)
-    for typ in ("steps", "epochs", "examples", "percent"):
-      cfg.pop(f"log_{typ}", None)
-    cfg["batch_size"] = (cfg.get("batch_size")
-                         or config.get("batch_size_eval")
-                         or config.get("input.batch_size")
-                         or config.get("batch_size"))
-    if devices is not None:
-      cfg["devices"] = devices
-    mod = importlib.import_module(f"big_vision_tpu.evaluators.{module}")
-    try:
-      predict_fn = predict_fns[pred_key]
-    except KeyError as e:
-      raise ValueError(
-          f"Unknown predict_fn {pred_key!r}; have: {list(predict_fns)}") from e
-    if pred_kw is not None:
-      predict_fn = CacheablePartial(predict_fn, flax.core.freeze(pred_kw))
-    evaluators.append((name, mod.Evaluator(predict_fn, **cfg),
-                       logsteps, prefix))
+    meta, kw = _normalize_spec(name, raw, config, get_steps, devices)
+    mod = importlib.import_module(
+        f"big_vision_tpu.evaluators.{meta['module']}")
+    if meta["pred_key"] not in predict_fns:
+      raise ValueError(f"Unknown predict_fn {meta['pred_key']!r}; "
+                       f"have: {list(predict_fns)}")
+    predict_fn = predict_fns[meta["pred_key"]]
+    if meta["pred_kw"] is not None:
+      predict_fn = CacheablePartial(predict_fn,
+                                    flax.core.freeze(meta["pred_kw"]))
+    evaluators.append((name, mod.Evaluator(predict_fn, **kw),
+                       meta["logsteps"], meta["prefix"]))
   return evaluators
 
 
@@ -67,14 +76,16 @@ class CacheablePartial:
   kwargs: Any  # flax FrozenDict
 
   def __call__(self, *args, **kwargs):
-    return functools.partial(self.fn, **self.kwargs)(*args, **kwargs)
+    bound = functools.partial(self.fn, **self.kwargs)
+    return bound(*args, **kwargs)
 
 
 _PIPELINE_CACHE = {}
 
 
-def eval_input_pipeline(data, pp_fn, batch_size, devices, keep_on_cpu=(),
-                        cache="pipeline", prefetch=1, warmup=False):
+def eval_input_pipeline(data, pp_fn, batch_size, devices, *,
+                        keep_on_cpu=(), cache="pipeline", prefetch=1,
+                        warmup=False):
   """(get_data_iter, steps) for an eval dataset, with pipeline caching.
 
   cache levels (reference evaluators/common.py:128-134), cheap to rich:
@@ -173,7 +184,6 @@ def resolve_outfile(outfile, split="", **kw):
     pass
   if "{workdir}" in outfile and not workdir:
     return None
-  return outfile.format(
-      workdir=workdir,
-      split="".join(c if c not in "[]%:" else "_" for c in (split or "")),
-      step=getattr(u.chrono, "prev_step", None), **kw)
+  safe_split = "".join("_" if c in "[]%:" else c for c in (split or ""))
+  return outfile.format(workdir=workdir, split=safe_split,
+                        step=getattr(u.chrono, "prev_step", None), **kw)

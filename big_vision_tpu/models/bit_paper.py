@@ -25,94 +25,6 @@ from big_vision_tpu.models import convnets as cn
 _CONV = dict(ws="rms", eps=1e-10, use_bias=False)
 _GN = dict(msq=True, eps=1e-5)
 
-
-class RootBlock(nn.Module):
-  width: int
-
-  @nn.compact
-  def __call__(self, x):
-    x = cn.WSConv(self.width, 7, 2, padding=[(3, 3), (3, 3)], **_CONV,
-                  name="conv_root")(x)
-    return nn.max_pool(x, (3, 3), strides=(2, 2),
-                       padding=[(1, 1), (1, 1)])
-
-
-class ResidualUnit(nn.Module):
-  """Pre-activation bottleneck: GN+relu precede each conv."""
-  nmid: Optional[int] = None
-  strides: Sequence[int] = (1, 1)
-
-  @nn.compact
-  def __call__(self, x):
-    mid = self.nmid or x.shape[-1] // 4
-    wide = 4 * mid
-    stride = tuple(self.strides)
-
-    shortcut = x
-    y = nn.relu(cn.GroupNorm(**_GN, name="gn1")(x))
-    # Projection sees the *normalized* input — a pre-act detail that
-    # differs from the V1 flavor in models/bit.py.
-    if stride != (1, 1) or x.shape[-1] != wide:
-      shortcut = cn.WSConv(wide, 1, stride, **_CONV, name="conv_proj")(y)
-
-    y = cn.WSConv(mid, 1, **_CONV, name="conv1")(y)
-    y = nn.relu(cn.GroupNorm(**_GN, name="gn2")(y))
-    y = cn.WSConv(mid, 3, stride, padding=[(1, 1), (1, 1)], **_CONV,
-                  name="conv2")(y)
-    y = nn.relu(cn.GroupNorm(**_GN, name="gn3")(y))
-    y = cn.WSConv(wide, 1, **_CONV, name="conv3")(y)
-    return y + shortcut
-
-
-class ResNetStage(nn.Module):
-  block_size: int
-  nmid: Optional[int] = None
-  first_stride: Sequence[int] = (1, 1)
-
-  @nn.compact
-  def __call__(self, x):
-    taps = {}
-    for i in range(self.block_size):
-      stride = self.first_stride if i == 0 else (1, 1)
-      name = f"unit{i + 1:02d}"
-      x = taps[name] = ResidualUnit(self.nmid, strides=stride,
-                                    name=name)(x)
-    return x, taps
-
-
-class Model(nn.Module):
-  """ResNetV2 with GN+WS (BiT paper flavor)."""
-  num_classes: Optional[int] = None
-  width: int = 1
-  depth: Union[int, Sequence[int]] = 50
-  head_zeroinit: bool = True
-
-  @nn.compact
-  def __call__(self, image, *, train=False):
-    del train
-    plan = bit.get_block_desc(self.depth)
-    base = int(64 * self.width)
-    taps = {}
-
-    x = taps["stem"] = RootBlock(width=base, name="root_block")(image)
-    for i, nblocks in enumerate(plan):
-      x, taps[f"stage{i + 1}"] = ResNetStage(
-          nblocks, base * 2 ** i,
-          first_stride=(1, 1) if i == 0 else (2, 2),
-          name=f"block{i + 1}")(x)
-
-    x = taps["norm_pre_head"] = cn.GroupNorm(**_GN, name="norm-pre-head")(x)
-    x = taps["pre_logits_2d"] = nn.relu(x)
-    x = taps["pre_logits"] = jnp.mean(x, axis=(1, 2))
-
-    if self.num_classes:
-      kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
-      head = nn.Dense(self.num_classes, name="head", **kw)
-      taps["logits_2d"] = head(taps["pre_logits_2d"])
-      x = taps["logits"] = head(x)
-    return x, taps
-
-
 def load(init_params, init_file, model_cfg, dont_load=()):
   """Loads BiT-{L,M,S} paper checkpoints or npz files."""
   vanity = {
@@ -133,7 +45,6 @@ def load(init_params, init_file, model_cfg, dont_load=()):
 
   params = maybe_convert_big_transfer_format(u.load_params(fname))
   return common.merge_params(params, init_params, dont_load)
-
 
 def maybe_convert_big_transfer_format(params_tf):
   """Converts the original TF BiT release layout to this module's tree."""
@@ -173,3 +84,86 @@ def maybe_convert_big_transfer_format(params_tf):
         tree["conv_proj"] = {"kernel": flat[projs[0]]}
       params[block][unit] = tree
   return params
+
+class RootBlock(nn.Module):
+  width: int
+
+  @nn.compact
+  def __call__(self, x):
+    x = cn.WSConv(self.width, 7, 2, padding=[(3, 3), (3, 3)], **_CONV,
+                  name="conv_root")(x)
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)])
+
+class ResidualUnit(nn.Module):
+  """Pre-activation bottleneck: GN+relu precede each conv."""
+  nmid: Optional[int] = None
+  strides: Sequence[int] = (1, 1)
+
+  @nn.compact
+  def __call__(self, x):
+    mid = self.nmid or x.shape[-1] // 4
+    wide = 4 * mid
+    stride = tuple(self.strides)
+    preact = lambda i, t: nn.relu(cn.GroupNorm(**_GN, name=f"gn{i}")(t))
+
+    y = preact(1, x)
+    # Projection sees the *normalized* input — a pre-act detail that
+    # differs from the V1 flavor in models/bit.py.
+    needs_proj = stride != (1, 1) or x.shape[-1] != wide
+    shortcut = (cn.WSConv(wide, 1, stride, **_CONV, name="conv_proj")(y)
+                if needs_proj else x)
+
+    y = cn.WSConv(mid, 1, **_CONV, name="conv1")(y)
+    y = cn.WSConv(mid, 3, stride, padding=[(1, 1), (1, 1)], **_CONV,
+                  name="conv2")(preact(2, y))
+    y = cn.WSConv(wide, 1, **_CONV, name="conv3")(preact(3, y))
+    return y + shortcut
+
+class ResNetStage(nn.Module):
+  block_size: int
+  nmid: Optional[int] = None
+  first_stride: Sequence[int] = (1, 1)
+
+  @nn.compact
+  def __call__(self, x):
+    taps = {}
+    for i in range(self.block_size):
+      stride = self.first_stride if i == 0 else (1, 1)
+      name = f"unit{i + 1:02d}"
+      x = taps[name] = ResidualUnit(self.nmid, strides=stride,
+                                    name=name)(x)
+    return x, taps
+
+class Model(nn.Module):
+  """ResNetV2 with GN+WS (BiT paper flavor)."""
+  num_classes: Optional[int] = None
+  depth: Union[int, Sequence[int]] = 50
+  width: int = 1
+  head_zeroinit: bool = True
+
+  @nn.compact
+  def __call__(self, image, *, train=False):
+    del train
+    plan = bit.get_block_desc(self.depth)
+    base = int(64 * self.width)
+    taps = {}
+
+    x = taps["stem"] = RootBlock(width=base, name="root_block")(image)
+    for i, nblocks in enumerate(plan):
+      x, taps[f"stage{i + 1}"] = ResNetStage(
+          nblocks, base * 2 ** i,
+          first_stride=(1, 1) if i == 0 else (2, 2),
+          name=f"block{i + 1}")(x)
+
+    x = taps["norm_pre_head"] = cn.GroupNorm(**_GN, name="norm-pre-head")(x)
+    x = taps["pre_logits_2d"] = nn.relu(x)
+    x = taps["pre_logits"] = jnp.mean(x, axis=(1, 2))
+
+    if not self.num_classes:
+      return x, taps
+    kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
+    head = nn.Dense(self.num_classes, name="head", **kw)
+    taps["logits_2d"] = head(taps["pre_logits_2d"])
+    x = taps["logits"] = head(x)
+    return x, taps

@@ -22,12 +22,25 @@ import big_vision_tpu.utils as u
 from big_vision_tpu.models import common, vit
 
 
-def shift_right(x, axis=1, constant_values=0):
-  """Shifts right along `axis`, dropping the last slice (teacher forcing)."""
-  pad = [(0, 0)] * x.ndim
-  pad[axis] = (1, 0)
-  keep = tuple(slice(-1 if i == axis else None) for i in range(x.ndim))
-  return jnp.pad(x, pad, constant_values=constant_values)[keep]
+def load(init_params, init_files, model_params=None,
+         dont_load=("head/kernel", "head/bias", "cls")):
+  """Loads a combined checkpoint or just the encoder."""
+  whole_model = isinstance(init_files, str)
+  if whole_model:
+    import flax.training.checkpoints
+    ckpt = flax.training.checkpoints.convert_pre_linen(
+        u.load_params(init_files))
+    ckpt = common.merge_params(ckpt, init_params, dont_load)
+  else:
+    assert set(init_files) == {"encoder"}, "Only encoder init supported"
+    ckpt = flax.core.freeze(init_params).unfreeze()
+    ckpt["encoder"] = vit.load(ckpt["encoder"], init_files["encoder"],
+                               model_cfg={}, dont_load=dont_load)
+  enc = ckpt["encoder"]
+  enc["pos_embedding"] = vit.resample_posemb(
+      old=enc["pos_embedding"],
+      new=init_params["encoder"]["pos_embedding"])
+  return ckpt
 
 
 def _sharded(x):
@@ -39,18 +52,27 @@ def _sharded(x):
 MlpBlock = vit.MlpBlock
 
 
+def shift_right(x, axis=1, constant_values=0):
+  """Shifts right along `axis`, dropping the last slice (teacher forcing)."""
+  pad = [(0, 0)] * x.ndim
+  pad[axis] = (1, 0)
+  padded = jnp.pad(x, pad, constant_values=constant_values)
+  return jax.lax.slice_in_dim(padded, 0, x.shape[axis], axis=axis)
+
+
 class EncoderDecoderBlock(nn.Module):
   """Self-attn (causal/cached) + cross-attn + MLP, pre-norm residuals."""
-  mlp_dim: int
   num_heads: int
-  dropout_rate: float = 0.0
-  decode: bool = False
+  mlp_dim: int
   use_bias: bool = True
+  decode: bool = False
+  dropout_rate: float = 0.0
 
   def _attn(self, name, decode=False):
     return nn.MultiHeadDotProductAttention(
-        num_heads=self.num_heads, use_bias=False, broadcast_dropout=False,
-        dropout_rate=self.dropout_rate, decode=decode, name=name)
+        name=name, decode=decode, num_heads=self.num_heads,
+        dropout_rate=self.dropout_rate, use_bias=False,
+        broadcast_dropout=False)
 
   def _norm(self, name):
     return nn.LayerNorm(name=name, use_bias=self.use_bias)
@@ -72,9 +94,9 @@ class EncoderDecoderBlock(nn.Module):
           deterministic=deterministic)
       x = _sharded(x + drop(_sharded(ca), deterministic))
 
-    mlp = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout_rate,
-                   use_bias=self.use_bias, name="MLP")(
-                       _sharded(self._norm("LayerNorm3")(x)), deterministic)
+    ff = MlpBlock(name="MLP", mlp_dim=self.mlp_dim,
+                  dropout=self.dropout_rate, use_bias=self.use_bias)
+    mlp = ff(_sharded(self._norm("LayerNorm3")(x)), deterministic)
     return _sharded(x + _sharded(mlp)), None
 
 
@@ -112,27 +134,29 @@ class Decoder(nn.Module):
             pick(parallel, jnp.ones_like(decoder_mask), decoder_mask))
 
   @nn.compact
-  def __call__(self, encoded, targets, pos_emb, decoder_mask=None,
-               decode=False, deterministic=True,
+  def __call__(self, encoded, targets, pos_emb, *, deterministic=True,
+               decoder_mask=None, decode=False,
                max_decode_length=None):  # max_decode_length: API compat
     del max_decode_length
     tokens = targets.astype("int32")
     if not decode:
-      if self.masked_pred_prob > 0.0 and not deterministic:
-        tokens, decoder_mask = self._parallel_or_ar(tokens, decoder_mask)
-      else:
+      train_parallel = self.masked_pred_prob > 0.0 and not deterministic
+      if not train_parallel:
         tokens = shift_right(tokens)
+      else:
+        tokens, decoder_mask = self._parallel_or_ar(tokens, decoder_mask)
 
-    has_mask_token = int(self.masked_pred_prob > 0.0)
-    y = nn.Embed(self.output_vocab_size + has_mask_token, self.emb_dim,
-                 name="EmbedTargets",
-                 embedding_init=nn.initializers.normal(stddev=1.0))(tokens)
-    y = common.AddPositionEmbs(decode=decode, name="PosEmbedTargets")(
-        y, pos_emb)
+    # One extra embedding row serves as [MASK] in parallel-pred mode.
+    rows = self.output_vocab_size + int(self.masked_pred_prob > 0.0)
+    vocab = nn.Embed(rows, self.emb_dim, name="EmbedTargets",
+                     embedding_init=nn.initializers.normal(stddev=1.0))
+    positioned = common.AddPositionEmbs(decode=decode,
+                                        name="PosEmbedTargets")
+    y = positioned(vocab(tokens), pos_emb)
 
-    block_kw = dict(num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-                    dropout_rate=self.dropout_rate, decode=decode,
-                    use_bias=self.use_bias)
+    block_kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
+                    use_bias=self.use_bias, decode=decode,
+                    dropout_rate=self.dropout_rate)
     if self.scan:
       policy = getattr(jax.checkpoint_policies, self.remat_policy, None)
       block = nn.remat(EncoderDecoderBlock, static_argnums=(-1,),
@@ -140,35 +164,32 @@ class Decoder(nn.Module):
       from flax.linen import partitioning
       params_spec = (1 if self.is_mutable_collection("params")
                      else partitioning.ScanIn(1))
-      y, _ = nn.scan(
-          block,
-          variable_axes={"params": params_spec, "cache": 0},
-          split_rngs={"params": True, "dropout": True},
-          in_axes=nn.broadcast,
-          length=self.num_layers)(name="EncDecBlock", **block_kw)(
-              y, encoded, decoder_mask, deterministic)
+      scan_kw = dict(variable_axes={"params": params_spec, "cache": 0},
+                     split_rngs=dict.fromkeys(["params", "dropout"], True),
+                     in_axes=nn.broadcast)
+      stack = nn.scan(block, length=self.num_layers, **scan_kw)(
+          name="EncDecBlock", **block_kw)
+      y, _ = stack(y, encoded, decoder_mask, deterministic)
     else:
       for layer in range(self.num_layers):
-        y, _ = EncoderDecoderBlock(name=f"EncDecBlock{layer}",
-                                   **block_kw)(
-                                       y, encoded,
-                                       decoder_mask=decoder_mask,
-                                       deterministic=deterministic)
+        block = EncoderDecoderBlock(name=f"EncDecBlock{layer}", **block_kw)
+        y, _ = block(y, encoded, decoder_mask=decoder_mask,
+                     deterministic=deterministic)
 
-    return nn.Dense(self.output_vocab_size,
-                    kernel_init=nn.initializers.zeros,
-                    name="LogitsDense")(nn.LayerNorm(name="LayerNorm")(y))
+    head = nn.Dense(self.output_vocab_size, name="LogitsDense",
+                    kernel_init=nn.initializers.zeros)
+    return head(nn.LayerNorm(name="LayerNorm")(y))
 
 
 class Model(nn.Module):
   """ViT encoder + captioning decoder."""
   # Encoder geometry (decoder_* fields default to these when 0).
-  num_layers: int = 6
-  num_heads: int = 8
   emb_dim: int = 512
   mlp_dim: int = 2048
-  patches: Sequence[int] = (16, 16)
+  num_layers: int = 6
+  num_heads: int = 8
   input_seq_len: int = 768
+  patches: Sequence[int] = (16, 16)
   posemb_type: str = "learn"
   enc_dropout_rate: float = 0.0
   patch_dropout: float = 0.0
@@ -190,11 +211,11 @@ class Model(nn.Module):
 
   def setup(self):
     self.encoder = vit.Model(
-        width=self.emb_dim, patch_size=tuple(self.patches),
-        num_heads=self.num_heads, depth=self.num_layers,
-        posemb=self.posemb_type, dropout=self.enc_dropout_rate,
-        remat_policy=self.remat_policy, scan=self.scan,
-        mlp_dim=self.mlp_dim)
+        posemb=self.posemb_type, patch_size=tuple(self.patches),
+        width=self.emb_dim, mlp_dim=self.mlp_dim,
+        depth=self.num_layers, num_heads=self.num_heads,
+        dropout=self.enc_dropout_rate, scan=self.scan,
+        remat_policy=self.remat_policy)
     # Decoder geometry defaults to the encoder's unless overridden.
     self.pos_emb_for_decoder = vit.get_posemb(
         self, self.posemb_type, seqshape=(1, self.seq_len),
@@ -214,41 +235,21 @@ class Model(nn.Module):
         remat_policy=self.remat_policy, scan=self.scan)
 
   def encode(self, image, train=False, return_enc_features=False):
-    _, out = self.encoder(image, train=train)
-    if return_enc_features:
-      return out["encoded"], out
-    return out["encoded"]
+    out = self.encoder(image, train=train)[1]
+    if not return_enc_features:
+      return out["encoded"]
+    return out["encoded"], out
 
   def decode(self, encoded, targets, decode=False, train=False,
              max_decode_length=None):
-    return self.decoder(
-        encoded, targets, pos_emb=self.pos_emb_for_decoder,
-        decoder_mask=None if decode else nn.make_causal_mask(targets),
-        decode=decode, deterministic=not train,
-        max_decode_length=max_decode_length)
+    causal = None if decode else nn.make_causal_mask(targets)
+    return self.decoder(encoded, targets, self.pos_emb_for_decoder,
+                        deterministic=not train, decoder_mask=causal,
+                        decode=decode, max_decode_length=max_decode_length)
 
   def __call__(self, image, text, *, decode=False, train=False,
                return_enc_features=False):
     if return_enc_features:
       return self.encode(image, train=train, return_enc_features=True)
-    return self.decode(self.encode(image, train=train), text,
-                       decode=decode, train=train)
-
-
-def load(init_params, init_files, model_params=None,
-         dont_load=("head/kernel", "head/bias", "cls")):
-  """Loads a combined checkpoint or just the encoder."""
-  if isinstance(init_files, str):
-    import flax.training.checkpoints
-    ckpt = flax.training.checkpoints.convert_pre_linen(
-        u.load_params(init_files))
-    ckpt = common.merge_params(ckpt, init_params, dont_load)
-  else:
-    assert set(init_files) == {"encoder"}, "Only encoder init supported"
-    ckpt = flax.core.freeze(init_params).unfreeze()
-    ckpt["encoder"] = vit.load(ckpt["encoder"], init_files["encoder"],
-                               model_cfg={}, dont_load=dont_load)
-  ckpt["encoder"]["pos_embedding"] = vit.resample_posemb(
-      old=ckpt["encoder"]["pos_embedding"],
-      new=init_params["encoder"]["pos_embedding"])
-  return ckpt
+    memory = self.encode(image, train=train)
+    return self.decode(memory, text, decode=decode, train=train)

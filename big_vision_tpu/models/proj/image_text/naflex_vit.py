@@ -27,9 +27,16 @@ from big_vision_tpu.ops import flash_attention as fa
 
 
 def _decode_posemb(posemb):
-  if m := re.fullmatch(r"learn_2d(\(\d+\))", posemb):
-    return "learn_2d", int(m.groups()[0][1:-1])
-  return posemb, None
+  m = re.fullmatch(r"learn_2d\((\d+)\)", posemb)
+  if m is None:
+    return posemb, None
+  return "learn_2d", int(m.group(1))
+
+
+# Gather spec picking one posemb row per (y, x) patch coordinate.
+_COORD_GATHER = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0, 1),
+    start_index_map=(0, 1, 2))
 
 
 def _pos_emb_resize(pos_emb, shapes, coords, l):
@@ -38,18 +45,18 @@ def _pos_emb_resize(pos_emb, shapes, coords, l):
   `l` bounds the per-side patch count (static shape for the scaled grid);
   resolutions beyond l*patch_size would NaN — raise `l` post-hoc if needed.
   """
+  width = pos_emb.shape[-1]
+  canon_hw = jnp.asarray(pos_emb.shape[:2])
+
   def resize_fn(shape, coords):
     emb = jax.image.scale_and_translate(
-        pos_emb, shape=(l, l, pos_emb.shape[-1]), spatial_dims=(0, 1),
-        scale=shape / jnp.asarray(pos_emb.shape[:2]),
-        translation=jnp.asarray([0.0, 0.0]),
+        pos_emb, shape=(l, l, width), spatial_dims=(0, 1),
+        scale=shape / canon_hw, translation=jnp.zeros(2),
         method="bilinear", antialias=True)
-    gather_dim = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0, 1),
-        start_index_map=(0, 1, 2))
-    return jax.lax.gather(
-        emb, jnp.pad(coords, [[0, 0], [0, 1]]), gather_dim,
-        [1, 1, emb.shape[-1]], mode="fill")
+    idx = jnp.pad(coords, [[0, 0], [0, 1]])
+    return jax.lax.gather(emb, idx, _COORD_GATHER, [1, 1, width],
+                          mode="fill")
+
   return jax.vmap(resize_fn)(shapes, coords)
 
 
@@ -67,10 +74,10 @@ def masked_pool(x, keep, pool_type):
 class _Model(nn.Module):
   """NaFlex ViT over (patches, type, yidx, xidx) tuples."""
   num_classes: Optional[int] = None
-  depth: int = 12
   width: int = 768
-  num_heads: int = 12
+  depth: int = 12
   mlp_dim: Optional[int] = None
+  num_heads: int = 12
   pool_type: str = "gap"  # map / gap / max / none
   rep_size: Union[int, bool] = False
   head_zeroinit: bool = True
@@ -95,8 +102,8 @@ class _Model(nn.Module):
     patches = jnp.asarray(patches, self.dtype_mm)
     if self.patchln_pre:
       patches = nn.LayerNorm(name="patchln_pre")(patches)
-    x = out["stem"] = nn.Dense(
-        self.width, name="embedding", dtype=self.dtype_mm)(patches)
+    stem = nn.Dense(self.width, name="embedding", dtype=self.dtype_mm)
+    x = out["stem"] = stem(patches)
     if self.patchln_post:
       x = nn.LayerNorm(name="patchln_post")(x)
 
@@ -105,13 +112,13 @@ class _Model(nn.Module):
     kind, grid = _decode_posemb(self.posemb)
     if kind != "learn_2d":
       raise ValueError(f"Unknown posemb {self.posemb!r}")
-    table = self.param(
-        "pos_embedding",
-        nn.initializers.normal(stddev=1 / np.sqrt(self.width)),
-        (self.nposemb, self.nposemb, self.width), self.dtype_mm)
+    table_shape = (self.nposemb, self.nposemb, self.width)
+    table = self.param("pos_embedding",
+                       nn.initializers.normal(stddev=self.width ** -0.5),
+                       table_shape, self.dtype_mm)
     coords = jnp.stack([yabs, xabs], axis=-1)
-    x = x + _pos_emb_resize(table, coords.max(axis=1) + 1, coords,
-                            grid or 64)
+    grids_hw = coords.max(axis=1) + 1
+    x += _pos_emb_resize(table, grids_hw, coords, grid or 64)
     out["with_posemb"] = x
 
     # Padding-only masking == segment ids (1 valid / 0 pad) for the fused
@@ -121,11 +128,12 @@ class _Model(nn.Module):
     else:
       sa_mask, seg = valid[..., :, None] & valid[..., None, :], None
 
-    x, out["encoder"] = vit.Encoder(
-        depth=self.depth, num_heads=self.num_heads, mlp_dim=self.mlp_dim,
-        attn_impl=self.attn_impl, dtype_mm=self.dtype_mm, scan=self.scan,
-        remat_policy=self.remat_policy, name="Transformer")(
-            x, deterministic=not train, mask=sa_mask, seg=seg)
+    trunk = vit.Encoder(name="Transformer", depth=self.depth,
+                        num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+                        attn_impl=self.attn_impl, dtype_mm=self.dtype_mm,
+                        scan=self.scan, remat_policy=self.remat_policy)
+    x, out["encoder"] = trunk(x, deterministic=not train, mask=sa_mask,
+                              seg=seg)
     out["encoded"] = x
 
     if self.pool_type == "map":
@@ -148,7 +156,8 @@ class _Model(nn.Module):
 
 
 def Model(num_classes=None, *, variant=None, **kw):  # pylint: disable=invalid-name
-  cfg = {**vit.decode_variant(variant), **kw}
+  cfg = dict(vit.decode_variant(variant))
+  cfg.update(kw)
   cfg.pop("patch_size", None)  # patching happens in pp
   return _Model(num_classes, **cfg)
 

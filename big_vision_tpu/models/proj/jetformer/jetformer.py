@@ -50,16 +50,15 @@ def right_align(x, attn_mask, input_mask):
   it); every consumer masks those positions out via `attn_mask` columns and
   the returned right-aligned `input_mask`, so the two are equivalent.
   """
-  assert x.ndim == 2 and attn_mask.ndim == 2 and input_mask.ndim == 1
-  if x.shape[0] == 0:
+  assert (x.ndim, attn_mask.ndim, input_mask.ndim) == (2, 2, 1)
+  length = x.shape[0]
+  if length == 0:
     return x, attn_mask, input_mask
-  seqlen = jnp.sum(input_mask)
   # Stable sort of [False..True] = the right-alignment permutation.
   order = jnp.argsort(input_mask.astype(jnp.int32), stable=True)
-  x = x[order]
-  attn_mask = attn_mask[order][:, order]
-  input_mask = jnp.arange(x.shape[0]) >= (x.shape[0] - seqlen)
-  return x, attn_mask, input_mask
+  n_valid = jnp.sum(input_mask)
+  aligned_mask = jnp.arange(length) >= (length - n_valid)
+  return x[order], attn_mask[order][:, order], aligned_mask
 
 
 square_plus = distributions.square_plus
@@ -67,6 +66,7 @@ square_plus = distributions.square_plus
 
 class Model(nn.Module):
   """JetFormer decoder-only model (ref jetformer.py:220)."""
+  # Gemma-style backbone geometry.
   width: int
   depth: int
   mlp_dim: int
@@ -74,31 +74,30 @@ class Model(nn.Module):
   num_kv_heads: int
   head_dim: int
   norm_eps: float = 1e-6
-
-  dropout: float = 0.0
-  dropout_bdims: tuple = ()
-  cache_dtype: Optional[str] = None
+  # Execution knobs.
   embed_dtype: str = "float32"
+  head_dtype: str = "float32"
+  cache_dtype: Optional[str] = None
   scan: bool = False
   remat_policy: str = "none"
-
+  dropout: float = 0.0
+  dropout_bdims: tuple = ()
+  # Text side: vocabulary + special ids.
   vocab_size: int = 1000
   bos_id: Optional[int] = None
   boi_id: Optional[int] = None
   nolabel_id: Optional[int] = None
+  untie_output_vocab: bool = False
   # Repeat the text vocab this many times (class-conditional generation with
   # text_len=1 gets `num_vocab_repeats` distinct class embeddings).
   num_vocab_repeats: int = 1
   causal_mask_on_prefix: bool = True
-  untie_output_vocab: bool = False
-
+  # Image side: GMM head over soft tokens.
+  out_dim: int = 32
   num_mixtures: int = 4
   multivariate: bool = False
-  out_dim: int = 32
   scale_tol: float = 1e-6
-  head_dtype: str = "float32"
   per_modality_final_norm: bool = False
-
   drop_labels_probability: float = 0.0  # >0 enables CFG training.
 
   @property
@@ -113,21 +112,19 @@ class Model(nn.Module):
     if self.multivariate and self.num_mixtures != 1:
       raise ValueError("Multivariate GMM requires num_mixtures == 1.")
 
-    self.text_emb = nn.Embed(
-        self.vocab_size * self.num_vocab_repeats, self.width,
-        name="EmbedText",
-        embedding_init=nn.initializers.normal(stddev=1.0))
+    normal1 = nn.initializers.normal(stddev=1.0)
+    vocab_rows = self.vocab_size * self.num_vocab_repeats
+    self.text_emb = nn.Embed(vocab_rows, self.width, name="EmbedText",
+                             embedding_init=normal1)
     if self.untie_output_vocab:
       assert self.num_vocab_repeats == 1
-      self._text_logits = nn.Dense(
-          self.vocab_size, name="LogitsText",
-          kernel_init=nn.initializers.normal(stddev=1.0))
+      self._text_logits = nn.Dense(self.vocab_size, name="LogitsText",
+                                   kernel_init=normal1)
 
     self.img_emb = nn.Dense(self.width, name="EmbedImage")
-    self._img_logits = nn.Dense(
-        self.num_logits, kernel_init=nn.initializers.zeros,
-        name="LogitsImage", dtype=self.head_dtype)
-
+    self._img_logits = nn.Dense(self.num_logits, name="LogitsImage",
+                                dtype=self.head_dtype,
+                                kernel_init=nn.initializers.zeros)
     if self.per_modality_final_norm:
       self.text_norm = gemma.RMSNorm(name="TextNorm")
       self.img_norm = gemma.RMSNorm(name="ImageNorm")
@@ -172,20 +169,21 @@ class Model(nn.Module):
     Outputs are positionally right-aligned too: x_out[:, -1:] is the last
     valid prefilled token of every example (ref jetformer.py:323).
     """
-    _, prefill_len, _ = x.shape
+    prefill_len = x.shape[1]
     x, attn_mask, input_mask = right_align(x, attn_mask, input_mask)
     seq_len = jnp.sum(input_mask, axis=-1)
 
-    self.put_variable("cache", "seq_len", seq_len)
-    self.put_variable("cache", "cache_begin", prefill_len - seq_len)
-    self.put_variable("cache", "cache_end",
-                      jnp.full(seq_len.shape, prefill_len))
+    # Valid-window bookkeeping for extend_cache.
+    window = {"seq_len": seq_len,
+              "cache_begin": prefill_len - seq_len,
+              "cache_end": jnp.full(seq_len.shape, prefill_len)}
+    for key, value in window.items():
+      self.put_variable("cache", key, value)
 
-    attn_mask = jnp.pad(
-        attn_mask, ((0, 0), (0, 0), (0, cache_size - prefill_len)))
+    pad_cols = ((0, 0), (0, 0), (0, cache_size - prefill_len))
     x, _ = self._backbone_prelogits(
-        x, positions=jnp.cumsum(input_mask, axis=-1) - 1, mask=attn_mask,
-        decode=True)
+        x, positions=jnp.cumsum(input_mask, axis=-1) - 1,
+        mask=jnp.pad(attn_mask, pad_cols), decode=True)
     return x
 
   def extend_cache(self, x):
@@ -280,24 +278,24 @@ class Model(nn.Module):
                            text_first_mask, text_input_mask=None,
                            drop_prefix=None, shift=True):
     """Builds the interleaved sequence for both orders (ref :501)."""
-    assert text_tokens is not None and image_tokens is not None
+    assert text_tokens is not None
+    assert image_tokens is not None
+    txt_prefix = text_first_mask
     if text_input_mask is None:
       text_input_mask = jnp.full(text_tokens.shape, True)
-    txt_prefix = text_first_mask
 
     # Embed each modality once.
-    if self.num_vocab_repeats > 1:
+    repeats = self.num_vocab_repeats
+    if repeats > 1:
       # Class-conditional mode: r copies of the (length-1) text, each shifted
       # into its own vocab slice, so every repeat gets a distinct embedding.
-      offsets = jnp.repeat(
-          jnp.arange(self.num_vocab_repeats) * self.vocab_size,
-          text_tokens.shape[1])[None]
-      widen = lambda t: jnp.tile(t, (1, self.num_vocab_repeats)) + offsets
-      nolabel = self.text_emb(widen(
-          jnp.full_like(text_tokens, self.nolabel_id)))
+      slice_of = jnp.arange(repeats) * self.vocab_size
+      offsets = jnp.repeat(slice_of, text_tokens.shape[1])[None]
+      widen = lambda t: jnp.tile(t, (1, repeats)) + offsets
+      nolabel_ids = jnp.full_like(text_tokens, self.nolabel_id)
+      nolabel = self.text_emb(widen(nolabel_ids))
       text_tokens = widen(text_tokens)
-      text_input_mask = jnp.tile(text_input_mask,
-                                 (1, self.num_vocab_repeats))
+      text_input_mask = jnp.tile(text_input_mask, (1, repeats))
     else:
       nolabel = self.lookup_token(self.nolabel_id, batch_size=1)
     x_txt = self.text_emb(text_tokens)
@@ -357,15 +355,15 @@ class Model(nn.Module):
   def lookup_token(self, token_id, batch_size):
     """Embeds a static special token (bos/boi/nolabel)."""
     assert isinstance(token_id, int)
-    return jnp.repeat(
-        self.text_emb(jnp.full((1, 1), token_id)), batch_size, axis=0)
+    one = self.text_emb(jnp.full((1, 1), token_id))
+    return jnp.repeat(one, batch_size, axis=0)
 
   def text_logits(self, pre_logits):
     if self.per_modality_final_norm:
       pre_logits = self.text_norm(pre_logits)
-    if self.untie_output_vocab:
-      return self._text_logits(pre_logits)
-    return self.text_emb.attend(pre_logits)
+    head = (self._text_logits if self.untie_output_vocab
+            else self.text_emb.attend)
+    return head(pre_logits)
 
   def img_logits(self, pre_logits):
     if self.per_modality_final_norm:
@@ -373,14 +371,15 @@ class Model(nn.Module):
     return self._img_logits(pre_logits)
 
   def get_drop_labels(self, rng, batch_size):
-    if (p := self.drop_labels_probability) > 0:
-      return jax.random.uniform(rng, shape=(batch_size,)) <= p
-    return None
+    p = self.drop_labels_probability
+    if not p > 0:
+      return None
+    return jax.random.uniform(rng, shape=(batch_size,)) <= p
 
 
 def load(init_params, init_files, model_params=None, dont_load=()):
   """Loads params from a checkpoint and merges into init_params."""
   del model_params
   assert isinstance(init_files, str), init_files
-  ckpt_params = u.load_params(init_files)
-  return common.merge_params(ckpt_params, init_params, dont_load)
+  return common.merge_params(u.load_params(init_files), init_params,
+                             dont_load)
