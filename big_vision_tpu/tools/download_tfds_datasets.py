@@ -31,6 +31,10 @@ def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument("datasets", nargs="*", metavar="DATASET",
                       help=f"TFDS names; default: {', '.join(DEFAULT_DATASETS)}")
+  if argv is not None:
+    # absl-style argv (matching the reference's app.run(main) convention):
+    # argv[0] is the program name, not a dataset.
+    argv = argv[1:]
   args = parser.parse_args(argv)
 
   try:
