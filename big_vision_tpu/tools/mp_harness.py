@@ -96,6 +96,73 @@ def launch(tmpdir, nproc=2, devices_per_proc=4, timeout=1500,
   return "\n".join(texts)
 
 
+class YesNoTok:
+  """Stub tokenizer: token 2 = 'yes', 3 = 'no', 1 = eos."""
+  eos_token = 1
+
+  def to_str(self, tokens, *, stop_at_eos=True):
+    import numpy as np
+    words = []
+    for t in np.asarray(tokens).reshape(-1):
+      if stop_at_eos and t == 1:
+        break
+      words.append({2: "yes", 3: "no"}.get(int(t), "?"))
+    return " ".join(words)
+
+  def to_int(self, text, **kw):
+    inv = {"yes": 2, "no": 3}
+    return [inv[w] for w in text.split()]
+
+
+def eval_exactness_setup(n=13):
+  """(data, decode_fn) for the CPU-scored eval-exactness check.
+
+  The pixel value encodes the example index, so the fake decode's answer
+  depends only on example CONTENT — any process/device topology must
+  yield identical metrics. n=13 over batch 8 makes per-process counts
+  ragged (7/6 on 2 procs) and forces padded batch slots, exercising the
+  `_mask`/infinite-padding contract (ref input_pipeline.py:176-236) and
+  the cross-process sufficient-statistics reduction
+  (ref evaluators/common.py:167-228).
+  """
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  data = {
+      "image": [np.full((2, 2, 3), i, np.float32) for i in range(n)],
+      "question_id": np.arange(100, 100 + n),
+      # Model says yes on even idx; GT is yes on idx % 3 == 0.
+      "answer": ["yes" if i % 3 == 0 else "no" for i in range(n)],
+  }
+
+  @jax.jit
+  def decode_from_pixels(img):
+    idx = jnp.round(jnp.mean(img, axis=(1, 2, 3))).astype(jnp.int32)
+    tok = jnp.where(idx % 2 == 0, 2, 3)
+    return jnp.stack([tok, jnp.ones_like(tok)], axis=1)  # [B, 2] + eos
+
+  return data, lambda train_state, batch: decode_from_pixels(batch["image"])
+
+
+def run_eval_exactness(devices, batch_size=8):
+  """Runs the vqa DecodeScorer at both cache levels; returns metric dicts."""
+  import big_vision_tpu.pp.tokenizer as bvt_tok
+  from big_vision_tpu.evaluators.proj.paligemma.transfers import vqa
+
+  bvt_tok.get_tokenizer = lambda spec: YesNoTok()  # stub, no sp model
+  data, decode = eval_exactness_setup()
+  out = {}
+  for cache in ("none", "final_data"):
+    ev = vqa.Evaluator(decode, tokenizer="stub", outfile=None,
+                       data=dict(name="arrays", data=data), pp_fn="",
+                       devices=devices, batch_size=batch_size, cache=cache)
+    out[cache] = {k: (v.item() if hasattr(v, "item") else v)
+                  for k, v in ev.run(None)}
+  assert out["none"] == out["final_data"], out
+  return out
+
+
 def _worker(coord, pid, nproc, tmpdir, smoke_arg):
   import jax
   jax.config.update("jax_platforms", "cpu")
@@ -131,6 +198,13 @@ def _worker(coord, pid, nproc, tmpdir, smoke_arg):
   assert len(merged) == want, (len(merged), want)
   assert sorted(r["pid"] for r in merged) == sorted(
       p for p in range(nproc) for _ in range(2 + p)), merged
+
+  # CPU-scored evaluator with ragged per-process counts, both cache
+  # levels; every process computes the same global metrics (process_sum).
+  eval_metrics = run_eval_exactness(list(jax.devices()))
+  if pid == 0:
+    with open(os.path.join(tmpdir, "mp_eval_exactness.json"), "w") as f:
+      json.dump(eval_metrics, f)
 
   if pid == 0:  # Only process 0 has the metric files.
     def losses(wd):

@@ -82,3 +82,19 @@ def test_two_process_train_resume_eval_matches_single_process(tmp_path):
   v1, v2 = step0_val(rows1), step0_val(rows2)
   assert v1["val/prec@1"] == v2["val/prec@1"], (v1, v2)
   np.testing.assert_allclose(v1["val/loss"], v2["val/loss"], rtol=1e-5)
+
+  # CPU-scored evaluator exactness: the 2-process run (ragged 7/6 example
+  # split, both cache levels) must yield the SAME metrics as this process
+  # running it single-process on its 8-device mesh — proving the
+  # `_mask`/infinite-padding contract and the cross-process
+  # sufficient-statistics reduction under process_count > 1.
+  import jax
+  with open(tmp_path / "mp_eval_exactness.json") as f:
+    mp_eval = json.load(f)
+  sp_eval = mp_harness.run_eval_exactness(list(jax.devices()))
+  for cache in ("none", "final_data"):
+    a, b = mp_eval[cache], sp_eval[cache]
+    assert a["num"] == b["num"] == 13, (a, b)
+    assert a["acc"] == b["acc"], (a, b)
+    assert a["acc_any"] == b["acc_any"], (a, b)
+    np.testing.assert_allclose(a["anls"], b["anls"], rtol=1e-12)
