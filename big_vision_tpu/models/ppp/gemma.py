@@ -334,20 +334,26 @@ class FeedForward(nn.Module):
   @nn.compact
   def __call__(self, x):
     if self.quant:
-      w_gating = self.param(
+      w_q = self.param(
           "gating_einsum", nn.initializers.zeros_init(),
           (2, self.features, self.hidden_dim), jnp.int8)
       gating_scale = self.param(
           "gating_einsum_scale", nn.initializers.ones_init(),
           (2, 1, self.hidden_dim), jnp.float32)
-      w_gating = _dequant(w_gating, gating_scale, x.dtype)
+      # Dequantize each gating half separately so every convert+scale has
+      # exactly ONE consuming matmul: a shared dequant of the (2, F, H)
+      # stack has two consumers, which stops XLA fusing it into the dot
+      # operand reads and materializes the bf16 weights in HBM (measured
+      # 2.2x slower per gating pair on v5e).
+      gate = nn.gelu(jnp.dot(x, _dequant(w_q[0], gating_scale[0], x.dtype)))
+      acts = gate * jnp.dot(x, _dequant(w_q[1], gating_scale[1], x.dtype))
     else:
       w_gating = self.param(
           "gating_einsum",
           trunc_norm_init(in_axis=(1,), out_axis=(0, 2)),
           (2, self.features, self.hidden_dim))
-    gate = nn.gelu(jnp.dot(x, w_gating[0]))
-    acts = gate * jnp.dot(x, w_gating[1])
+      gate = nn.gelu(jnp.dot(x, w_gating[0]))
+      acts = gate * jnp.dot(x, w_gating[1])
     if self.quant:
       w_linear = self.param(
           "linear", nn.initializers.zeros_init(),
