@@ -78,6 +78,7 @@ def get_sampler(spec):
 
 
 def _decode_jit(params, batch, rng, *, model, max_decode_len, eos_token,
+                cache_extra=0,
                 sampler_spec, mask_key="mask_input"):
   """One fully-jitted decode: prefill then while_loop over extend_cache."""
   sampler = get_sampler(sampler_spec)
@@ -95,7 +96,12 @@ def _decode_jit(params, batch, rng, *, model, max_decode_len, eos_token,
       variables, images, text, input_mask=input_mask.astype(bool),
       mask_ar=mask_ar, method=model.embed_image_and_text)
 
-  cache_size = x.shape[1] + max_decode_len
+  # cache_extra over-allocates KV slots beyond prefill+decode. The extra
+  # slots stay masked padding, but the AR step still streams them from
+  # HBM — which is exactly the long-context serving condition, so a
+  # short-prompt benchmark can measure cache-bound decode without paying
+  # a (quadratic-memory) long prefill.
+  cache_size = x.shape[1] + max_decode_len + cache_extra
   logits, cache_vars = model.apply(
       variables, x, full_mask, full_ar, cache_size=cache_size,
       method=model.prefill_cache, mutable=["cache"])
@@ -241,7 +247,8 @@ def _device_only(batch):
 
 
 def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
-                     sampler="greedy", best_of_n=1, beam_size=2):
+                     sampler="greedy", best_of_n=1, beam_size=2,
+                     cache_extra=0):
   """Returns {"logits", "decode", "decode_with_logp", "beam_decode"}.
 
   The kwargs are DEFAULTS: every returned decode fn also accepts them
@@ -262,10 +269,10 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
   # evaluators sweeping max_decode_len would otherwise grow memory without
   # limit. Eviction only costs a recompile.
   @functools.lru_cache(maxsize=8)
-  def decode_core(mdl, eos, smp):
+  def decode_core(mdl, eos, smp, cx):
     return jax.jit(functools.partial(
         _decode_jit, model=model, max_decode_len=mdl,
-        eos_token=eos, sampler_spec=smp))
+        eos_token=eos, sampler_spec=smp, cache_extra=cx))
 
   @functools.lru_cache(maxsize=8)
   def beam_core(mdl, eos, bs):
@@ -275,10 +282,11 @@ def make_predict_fns(model, *, max_decode_len=64, eos_token=1,
 
   def decode_with_logp(train_state, batch, rng=None, *,
                        max_decode_len=max_decode_len, eos_token=eos_token,
-                       sampler=sampler, best_of_n=best_of_n):
+                       sampler=sampler, best_of_n=best_of_n,
+                       cache_extra=cache_extra):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     batch = _device_only(batch)
-    core = decode_core(max_decode_len, eos_token, sampler)
+    core = decode_core(max_decode_len, eos_token, sampler, cache_extra)
     if best_of_n == 1:
       return core(train_state["params"], batch, rng)
     # Best-of-n: replicate the batch, decode, keep max-logp candidates.

@@ -300,3 +300,25 @@ def test_gemma_scan_pyloop_param_conversion():
     out_merged, _ = m_loop.apply({"params": merged}, tokens)
     np.testing.assert_allclose(np.asarray(out_scan),
                                np.asarray(out_merged), atol=1e-5)
+
+
+def test_cache_extra_padding_does_not_change_greedy_decode():
+  """Over-allocated (masked) KV slots must be read-invisible.
+
+  cache_extra pads the cache beyond prefill+decode so serving benches can
+  measure long-context decode cost without a long prefill; the padded
+  slots are never written and must be denied by the cache mask, so the
+  decoded tokens and logp must be bit-identical to cache_extra=0.
+  """
+  model, params, img, txt = make_tiny_pg()
+  batch = {"image": img, "text": txt,
+           "mask_input": jnp.ones_like(txt, bool),
+           "mask_ar": jnp.zeros_like(txt)}
+  fns0 = predict_fns.make_predict_fns(model, max_decode_len=8, eos_token=1,
+                                      sampler="greedy")
+  fns7 = predict_fns.make_predict_fns(model, max_decode_len=8, eos_token=1,
+                                      sampler="greedy", cache_extra=7)
+  t0, lp0 = fns0["decode_with_logp"]({"params": params}, batch)
+  t7, lp7 = fns7["decode_with_logp"]({"params": params}, batch)
+  np.testing.assert_array_equal(np.asarray(t0), np.asarray(t7))
+  np.testing.assert_array_equal(np.asarray(lp0), np.asarray(lp7))

@@ -36,7 +36,8 @@ def _fetch(x):
 
 
 def build(variant, img_variant, res, batch, prefill_len, decode_len,
-          quant=None, cache_dtype="bfloat16", base_params=None):
+          quant=None, cache_dtype="bfloat16", base_params=None,
+          cache_extra=0):
   """Returns (decode_fn(iters, decode_len) -> wall_s, meta, params)."""
   from big_vision_tpu.models.ppp import gemma
   from big_vision_tpu.models.proj.paligemma import paligemma
@@ -69,7 +70,8 @@ def build(variant, img_variant, res, batch, prefill_len, decode_len,
   init_s = time.perf_counter() - t0
 
   fns = predict_fns.make_predict_fns(model, max_decode_len=decode_len,
-                                     eos_token=-1, sampler="greedy")
+                                     eos_token=-1, sampler="greedy",
+                                     cache_extra=cache_extra)
   state = {"params": params}
 
   def run(decode_len_, iters=1):
@@ -91,6 +93,7 @@ def build(variant, img_variant, res, batch, prefill_len, decode_len,
   meta = dict(llm_variant=variant, llm_quant=quant, cache_dtype=cache_dtype,
               img_variant=img_variant, res=res, batch=batch,
               prefill_len=prefill_len, decode_len=decode_len,
+              cache_extra=cache_extra,
               param_bytes=param_bytes, init_s=round(init_s, 1))
   return run, half, meta, params
 
@@ -114,6 +117,12 @@ def main():
   ap.add_argument("--iters", type=int, default=3)
   ap.add_argument("--tiny", action="store_true")
   ap.add_argument("--skip_gemma2", action="store_true")
+  ap.add_argument("--skip_pairs", action="store_true")
+  ap.add_argument("--xl_t", action="store_true",
+                  help="add the T~4.3k cache-bound crossover section")
+  ap.add_argument("--merge_into", default=None,
+                  help="read this existing artifact and only add/replace "
+                       "the sections this invocation runs")
   ap.add_argument("--out", default=os.path.join(REPO, "SERVING_r05.json"))
   args = ap.parse_args()
 
@@ -132,34 +141,41 @@ def main():
   result = {"date": str(datetime.date.today()),
             "device": jax.devices()[0].device_kind,
             "interleaved_pairs": [], "gemma2_gqa_long_t": []}
+  if args.merge_into and os.path.exists(args.merge_into):
+    with open(args.merge_into) as f:
+      result.update({k: v for k, v in json.load(f).items()
+                     if k not in ("date", "device")})
 
   # --- Section 1: same-phase interleaved bf16/int8 pairs -----------------
-  print("building bf16 ...", flush=True)
-  run_bf16, half, meta_bf16, params = build(**base)
-  print("building int8 (reuses bf16 params) ...", flush=True)
-  run_int8, _, meta_int8, _ = build(**base, quant="int8",
-                                    base_params=params)
-  byte_ratio = meta_bf16["param_bytes"] / meta_int8["param_bytes"]
+  if not args.skip_pairs:
+    result["interleaved_pairs"] = []
+    print("building bf16 ...", flush=True)
+    run_bf16, half, meta_bf16, params = build(**base)
+    print("building int8 (reuses bf16 params) ...", flush=True)
+    run_int8, _, meta_int8, _ = build(**base, quant="int8",
+                                      base_params=params)
+    byte_ratio = meta_bf16["param_bytes"] / meta_int8["param_bytes"]
 
-  for pair in range(args.pairs):
-    a = measure(run_bf16, base["decode_len"], half, args.iters)
-    b = measure(run_int8, base["decode_len"], half, args.iters)
-    row = {"pair": pair, "bf16": a, "int8": b}
-    if a["ar_step_ms"] and b["ar_step_ms"]:
-      row["step_ratio_bf16_over_int8"] = round(
-          a["ar_step_ms"] / b["ar_step_ms"], 3)
-      row["bf16_tok_per_sec"] = round(
-          base["batch"] / (a["ar_step_ms"] / 1e3), 1)
-      row["int8_tok_per_sec"] = round(
-          base["batch"] / (b["ar_step_ms"] / 1e3), 1)
-    result["interleaved_pairs"].append(row)
-    print(json.dumps(row), flush=True)
-  result["weight_byte_ratio_bf16_over_int8"] = round(byte_ratio, 3)
-  result["meta_bf16"] = meta_bf16
-  result["meta_int8"] = meta_int8
+    for pair in range(args.pairs):
+      a = measure(run_bf16, base["decode_len"], half, args.iters)
+      b = measure(run_int8, base["decode_len"], half, args.iters)
+      row = {"pair": pair, "bf16": a, "int8": b}
+      if a["ar_step_ms"] and b["ar_step_ms"]:
+        row["step_ratio_bf16_over_int8"] = round(
+            a["ar_step_ms"] / b["ar_step_ms"], 3)
+        row["bf16_tok_per_sec"] = round(
+            base["batch"] / (a["ar_step_ms"] / 1e3), 1)
+        row["int8_tok_per_sec"] = round(
+            base["batch"] / (b["ar_step_ms"] / 1e3), 1)
+      result["interleaved_pairs"].append(row)
+      print(json.dumps(row), flush=True)
+    result["weight_byte_ratio_bf16_over_int8"] = round(byte_ratio, 3)
+    result["meta_bf16"] = meta_bf16
+    result["meta_int8"] = meta_int8
 
   # --- Section 2: gemma2 GQA long-T, bf16 vs int8 KV cache ---------------
   if not args.skip_gemma2:
+    result["gemma2_gqa_long_t"] = []
     print("building gemma2 GQA long-T (bf16 cache) ...", flush=True)
     run_c16, half2, meta_c16, params2 = build(**long_t)
     print("building gemma2 GQA long-T (int8 cache) ...", flush=True)
@@ -176,6 +192,41 @@ def main():
       print(json.dumps(row), flush=True)
     result["meta_kv_bf16"] = meta_c16
     result["meta_kv_int8"] = meta_c8
+
+  # --- Section 3: gemma2 GQA T~4.3k — the cache-bound crossover ----------
+  # At T=1024 (section 2) the KV cache is ~14% of per-step HBM traffic and
+  # int8 KV is inside phase noise. Here cache_extra pads the KV cache to
+  # ~4.3k slots (the AR step streams every slot from HBM whether written
+  # or masked padding, so this IS the long-context decode cost — without
+  # the quadratic-memory long prefill, which OOMs one chip at T~4k):
+  # 3.7 GB of bf16 cache next to 5.4 GB of weights, so halving cache
+  # bytes is ~1.25x and the full int8 path (int8 weights + int8 KV:
+  # 2.8 + 1.9 GB) is ~2x per step.
+  if args.xl_t:
+    xl = dict(variant="gemma2_2b", img_variant="B/16", res=224,
+              batch=8, prefill_len=32, decode_len=384, cache_extra=3688)
+    result["gemma2_gqa_xl_t"] = []
+    print("building gemma2 T4k (bf16 w, bf16 kv) ...", flush=True)
+    run_a, half3, meta_a, params3 = build(**xl)
+    print("building gemma2 T4k (bf16 w, int8 kv) ...", flush=True)
+    run_b, _, meta_b, _ = build(**xl, cache_dtype="int8",
+                                base_params=params3)
+    print("building gemma2 T4k (int8 w, int8 kv) ...", flush=True)
+    run_c, _, meta_c, _ = build(**xl, quant="int8", cache_dtype="int8",
+                                base_params=params3)
+    for pair in range(max(args.pairs - 1, 1)):
+      a = measure(run_a, xl["decode_len"], half3, args.iters)
+      b = measure(run_b, xl["decode_len"], half3, args.iters)
+      c = measure(run_c, xl["decode_len"], half3, args.iters)
+      row = {"pair": pair, "w16_kv16": a, "w16_kv8": b, "w8_kv8": c}
+      if a["ar_step_ms"] and b["ar_step_ms"] and c["ar_step_ms"]:
+        row["step_ratio_kv8"] = round(a["ar_step_ms"] / b["ar_step_ms"], 3)
+        row["step_ratio_full_int8"] = round(
+            a["ar_step_ms"] / c["ar_step_ms"], 3)
+      result["gemma2_gqa_xl_t"].append(row)
+      print(json.dumps(row), flush=True)
+    result["meta_xl_w16_kv16"] = meta_a
+    result["meta_xl_w8_kv8"] = meta_c
 
   with open(args.out, "w") as f:
     json.dump(result, f, indent=1)
