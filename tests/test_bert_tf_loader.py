@@ -11,6 +11,10 @@ verified, not just that loading doesn't crash.
 import numpy as np
 import pytest
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 tf = pytest.importorskip("tensorflow")
 
 WIDTH, DEPTH, HEADS, MLP = 32, 2, 2, 64

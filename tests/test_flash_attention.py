@@ -9,6 +9,10 @@ import pytest
 
 from big_vision_tpu.ops import attention, flash_attention
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def rand_qkv(b=2, t=48, h=2, d=32, tkv=None, seed=0):
   rs = np.random.RandomState(seed)

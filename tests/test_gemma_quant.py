@@ -13,6 +13,10 @@ import pytest
 
 from big_vision_tpu.models.ppp import gemma
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 TOKENS = np.array([[3, 7, 11, 2, 9, 1, 4, 5]], np.int32)
 
 

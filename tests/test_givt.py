@@ -8,6 +8,10 @@ import pytest
 from big_vision_tpu.models.proj.givt import (decode, distributions, givt,
                                              parallel_decode, vae)
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def test_per_channel_mixture_logprob_matches_manual():
   rs = np.random.RandomState(0)

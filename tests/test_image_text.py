@@ -8,6 +8,10 @@ from big_vision_tpu.models.proj.image_text import text_transformer, two_towers
 from big_vision_tpu.parallel import contrastive
 from big_vision_tpu.pp.tokenizer import get_tokenizer
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 P = jax.sharding.PartitionSpec
 
 

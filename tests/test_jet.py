@@ -1,11 +1,16 @@
 """Jet flow: invertibility and log-det consistency."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from big_vision_tpu.models.proj.jet import jet
 from big_vision_tpu.trainers.proj.jet.train import nll_bits_per_dim
+
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
 
 
 def make_flow():

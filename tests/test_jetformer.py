@@ -14,6 +14,10 @@ from big_vision_tpu.models.proj.givt import distributions
 from big_vision_tpu.models.proj.jetformer import jetformer, patch_pca
 from big_vision_tpu.trainers.proj.jetformer import predict_fns
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

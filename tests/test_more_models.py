@@ -6,6 +6,10 @@ import pytest
 from big_vision_tpu.models import bit_paper
 from big_vision_tpu.models.proj.flexi import vit as flexi_vit
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def test_bit_paper_forward():
   model = bit_paper.Model(num_classes=10, depth=26, width=0.5)

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def test_givt_vit_vae_roundtrip_shapes():
   from big_vision_tpu.models.proj.givt import vit as givt_vit

@@ -11,6 +11,10 @@ from big_vision_tpu.models.ppp import gemma
 from big_vision_tpu.models.proj.paligemma import (gemma_bv, paligemma,
                                                   predict_fns)
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 VOCAB = 256
 
 

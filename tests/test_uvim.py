@@ -7,6 +7,10 @@ import pytest
 
 from big_vision_tpu.models.proj.uvim import decode, vit as uvit, vtt
 
+# Multi-minute on the 1-CPU CI host (jit compiles dominate): heavy tier.
+pytestmark = pytest.mark.heavy
+
+
 
 def make_vqvae():
   model = uvit.Model(
