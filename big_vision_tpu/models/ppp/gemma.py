@@ -82,17 +82,28 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
   gemma_bv.py makes that valid) which keeps the update a plain
   dynamic_update_slice - no per-example scatter.
 
-  cache_dtype="int8" stores K/V as int8 with per-(batch, slot, head) f32
+  Storage layout is [batch, kv_head, slot, head_dim] — NOT the [B, T, K, H]
+  layout the projections produce. The AR step's dominant HBM read is the
+  full cache, and its consumers (QK^T / PV) contract over head_dim with
+  (batch, kv_head) as batch dims, so slot-major-per-head storage makes
+  that read a contiguous [S, H] plane per (b, k) instead of K-strided
+  rows; the tiny per-token update pays the transpose instead.
+
+  cache_dtype="int8" stores K/V as int8 with per-(batch, head, slot) f32
   scales (absmax over head_dim, the only axis the attention contractions
   consume, so dequantization commutes with both the QK^T and the PV
-  matmul). The dequant multiply fuses into the attention einsum's operand
-  read, so long-context AR steps stream ~1 byte per cache element instead
-  of 2 — the cache is the dominant HBM read once
+  matmul). The scales are returned separately and folded into the
+  logits/probs by the consumer, so the cache read stays a pure
+  int8->bf16 convert: long-context AR steps stream ~1 byte per cache
+  element instead of 2 — the cache is the dominant HBM read once
   batch*T*layers*kv_heads*head_dim rivals the (possibly already int8)
   weight bytes.
   """
   initialized = module.has_variable("cache", "idx")
   batch_size, update_len, num_heads, head_dim = k.shape
+  # [B, T, K, H] -> storage layout [B, K, T, H] (see docstring).
+  k = k.transpose(0, 2, 1, 3)
+  v = v.transpose(0, 2, 1, 3)
   compute_dtype = k.dtype
   cache_dtype = cache_dtype or k.dtype
   quant = cache_dtype == "int8"
@@ -105,14 +116,14 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
         "pass cache_dtype='int8' to get the quantized KV cache.")
 
   idx = module.variable("cache", "idx", jnp.zeros, (batch_size,), jnp.int32)
-  kv_shape = (batch_size, cache_size, num_heads, head_dim)
+  kv_shape = (batch_size, num_heads, cache_size, head_dim)
   store_dtype = jnp.int8 if quant else cache_dtype
   k_cache = module.variable("cache", "k_cache", jnp.zeros, kv_shape,
                             store_dtype)
   v_cache = module.variable("cache", "v_cache", jnp.zeros, kv_shape,
                             store_dtype)
   if quant:
-    s_shape = (batch_size, cache_size, num_heads, 1)
+    s_shape = (batch_size, num_heads, cache_size, 1)
     k_scale = module.variable("cache", "k_scale", jnp.zeros, s_shape,
                               jnp.float32)
     v_scale = module.variable("cache", "v_scale", jnp.zeros, s_shape,
@@ -121,7 +132,7 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
 
   if initialized:
     assert update_len == 1, update_len
-    slot = (0, idx.value[0], 0, 0)
+    slot = (0, 0, idx.value[0], 0)
     write = lambda var, new: jax.lax.dynamic_update_slice(
         var.value, new, slot)
     k_cache.value = write(k_cache, k.astype(store_dtype))
@@ -130,7 +141,7 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
       k_scale.value = write(k_scale, k_s)
       v_scale.value = write(v_scale, v_s)
   else:
-    pad = ((0, 0), (0, cache_size - update_len), (0, 0), (0, 0))
+    pad = ((0, 0), (0, 0), (0, cache_size - update_len), (0, 0))
     k_cache.value = jnp.pad(k.astype(store_dtype), pad)
     v_cache.value = jnp.pad(v.astype(store_dtype), pad)
     if quant:
@@ -142,7 +153,7 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
     # Return the converted (UNscaled) cache plus the per-slot scales: the
     # scales commute through both attention contractions, so the consumer
     # folds them into the [.., T, S]-shaped logits/probs instead of the
-    # [B, S, K, H] operand — the big cache read is then a pure int8->bf16
+    # [B, K, S, H] operand — the big cache read is then a pure int8->bf16
     # convert (measured 1.28x over multiply-on-operand at T=4.3k; padded
     # slots carry scale 0 so they still contribute exactly 0).
     return (k_cache.value.astype(compute_dtype),
@@ -310,14 +321,18 @@ class Attention(nn.Module):
         encoded = _fa.flash_attention(qf, k, v, seg=seg)
       return self.attn_vec_einsum("BTNH,NHD->BTD", encoded)
 
+    # Decode reads the cache in its [B, K, S, H] storage layout (contiguous
+    # [S, H] plane per batch dim of the contraction); training contracts
+    # the projections in their native [B, S, K, H].
+    kv = "BKSH" if decode else "BSKH"
     # Per-slot int8 cache scales commute through both contractions
     # (absmax over H, the contracted axis), so they're applied to the
     # [B,K,G,T,S] logits/probs — B*K*G*S elements — instead of the
-    # [B,S,K,H] operands: the cache read stays a pure int8->bf16 convert.
-    fold = (lambda s: s.transpose(0, 2, 3, 1)[:, :, :, None, :])  # ->[B,K,1,1,S]
+    # [B,K,S,H] operands: the cache read stays a pure int8->bf16 convert.
+    fold = (lambda s: s[..., 0][:, :, None, None, :])  # [B,K,S,1]->[B,K,1,1,S]
     b, t, n, h = q.shape
     grouped = q.reshape(b, t, self.num_kv_heads, n // self.num_kv_heads, h)
-    logits = jnp.einsum("BTKGH,BSKH->BKGTS", grouped, k)
+    logits = jnp.einsum(f"BTKGH,{kv}->BKGTS", grouped, k)
     logits = logits.astype(jnp.float32)
     if kv_scales is not None:
       logits = logits * fold(kv_scales[0])
@@ -325,7 +340,7 @@ class Attention(nn.Module):
     if cap := self.attn_logits_softcap:
       logits = cap * jnp.tanh(logits / cap)
 
-    expected_mask = (b, 1, t, k.shape[1])
+    expected_mask = (b, 1, t, k.shape[kv.index("S")])
     if attn_mask.shape != expected_mask:
       raise ValueError(f"Bad mask shape {attn_mask.shape} for q={q.shape} "
                        f"k={k.shape}")
@@ -336,7 +351,7 @@ class Attention(nn.Module):
       probs = probs * fold(kv_scales[1])
     probs = probs.astype(k.dtype)
 
-    mixed = jnp.einsum("BKGTS,BSKH->BTKGH", probs, v).reshape(b, t, n, h)
+    mixed = jnp.einsum(f"BKGTS,{kv}->BTKGH", probs, v).reshape(b, t, n, h)
     return self.attn_vec_einsum("BTNH,NHD->BTD", mixed)
 
 

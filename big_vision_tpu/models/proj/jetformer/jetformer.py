@@ -190,10 +190,12 @@ class Model(nn.Module):
     """Extends the cache by one token `x` [B, 1, E]; returns pre-logits."""
     assert x.shape[1] == 1, "extend_cache is one token at a time"
     cache = self.variables["cache"]["decoder"]["layers"]
+    # Cache storage is [..., kv_heads, cache_size, head_dim]; scan adds a
+    # leading layer axis, so shape[-2] is the cache size either way.
     if self.scan:
-      cache_size = cache["attn"]["k_cache"].shape[2]
+      cache_size = cache["attn"]["k_cache"].shape[-2]
     else:
-      cache_size = cache["0"]["attn"]["k_cache"].shape[1]
+      cache_size = cache["0"]["attn"]["k_cache"].shape[-2]
 
     positions = self.get_variable("cache", "seq_len")
     self.put_variable("cache", "seq_len", positions + 1)

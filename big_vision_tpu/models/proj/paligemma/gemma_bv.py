@@ -130,16 +130,16 @@ class Model(nn.Module):
   def extend_cache(self, x):
     """One-token cache extension; returns [B, 1, V] logits."""
     assert x.shape[1] == 1, "extend_cache is one token at a time"
-    # Cache layout is [..., cache_size, heads, head_dim] in BOTH layer
-    # layouts (scan: [L, B, S, H, D]; per-layer pyloop: [B, S, H, D]),
-    # so shape[-3] reads the cache size regardless of self.model.scan
-    # (reference supports scan only: gemma_bv.py:163-167).
+    # Cache storage is [..., kv_heads, cache_size, head_dim] in BOTH layer
+    # layouts (scan adds a leading layer axis), so shape[-2] reads the
+    # cache size regardless of self.model.scan (reference supports scan
+    # only: gemma_bv.py:163-167).
     from flax import traverse_util
     k_caches = [v for path, v in
                 traverse_util.flatten_dict(self.variables["cache"]).items()
                 if path[-1] == "k_cache"]
     assert k_caches, "extend_cache called before prefill_cache"
-    cache_size = k_caches[0].shape[-3]
+    cache_size = k_caches[0].shape[-2]
 
     bump = lambda slot, v: (self.put_variable("cache", slot, v), v)[1]
     positions = self.get_variable("cache", "seq_len")
