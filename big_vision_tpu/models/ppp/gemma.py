@@ -150,15 +150,15 @@ def _update_kv_cache(module, k, v, cache_size, cache_dtype):
   idx.value = idx.value + update_len
 
   if quant:
-    # Return the converted (UNscaled) cache plus the per-slot scales: the
-    # scales commute through both attention contractions, so the consumer
-    # folds them into the [.., T, S]-shaped logits/probs instead of the
+    # Return the RAW int8 cache plus the per-slot scales: the scales
+    # commute through both attention contractions, so the consumer folds
+    # them into the [.., T, S]-shaped logits/probs instead of the
     # [B, K, S, H] operand — the big cache read is then a pure int8->bf16
     # convert (measured 1.28x over multiply-on-operand at T=4.3k; padded
-    # slots carry scale 0 so they still contribute exactly 0).
-    return (k_cache.value.astype(compute_dtype),
-            v_cache.value.astype(compute_dtype),
-            (k_scale.value, v_scale.value))
+    # slots carry scale 0 so they still contribute exactly 0). The fused
+    # decode kernel (ops/decode_attention.py) skips even the convert:
+    # it DMAs the int8 plane to VMEM and dequantizes on-chip.
+    return k_cache.value, v_cache.value, (k_scale.value, v_scale.value)
   return (k_cache.value.astype(compute_dtype),
           v_cache.value.astype(compute_dtype), None)
 
@@ -264,6 +264,7 @@ class Attention(nn.Module):
   attn_logits_softcap: Optional[float]
   cache_dtype: Optional[str] = None
   attn_impl: str = "xla"
+  decode_impl: str = "xla"  # "flash": fused Pallas AR-step kernel
   quant: bool = False
 
   def setup(self):
@@ -299,6 +300,26 @@ class Attention(nn.Module):
       k, v, kv_scales = _update_kv_cache(
           self, k, v, cache_size=attn_mask.shape[-1],
           cache_dtype=self.cache_dtype)
+      from big_vision_tpu.ops import decode_attention as _da
+      if (self.decode_impl == "flash" and q.shape[1] == 1
+          and _da.fits(k.shape[2], k.shape[3], k.dtype.itemsize)):
+        # Fused AR step: reads the cache plane in its storage dtype (int8
+        # stays 1 byte/element on the HBM->VMEM DMA), dequantizes on-chip,
+        # one masked softmax per (batch, kv_head). Falls through to the
+        # einsum path for prefill (q_len > 1) or VMEM-overflowing planes.
+        b, _, n, h = q.shape
+        grouped = q[:, 0].reshape(b, self.num_kv_heads,
+                                  n // self.num_kv_heads, h)
+        ks, vs = kv_scales if kv_scales else (None, None)
+        mixed = _da.decode_attention(
+            grouped, k, v, attn_mask[:, 0, 0, :], k_scale=ks, v_scale=vs,
+            logits_softcap=self.attn_logits_softcap or 0.0)
+        return self.attn_vec_einsum(
+            "BTNH,NHD->BTD", mixed.reshape(b, 1, n, h))
+      if kv_scales is not None:
+        # XLA einsum path over a quantized cache: pure int8->bf16 convert
+        # on the operands; the scales fold into the logits/probs below.
+        k, v = k.astype(q.dtype), v.astype(q.dtype)
 
     if (self.attn_impl in ("flash", "ring") and not decode
         and seg is not None and not self.attn_logits_softcap):
@@ -412,6 +433,7 @@ class Block(nn.Module):
   dropout_bdims: tuple = ()
   cache_dtype: Optional[str] = None
   attn_impl: str = "xla"
+  decode_impl: str = "xla"
   quant: bool = False
 
   def setup(self):
@@ -423,7 +445,8 @@ class Block(nn.Module):
     attn_kw = dict(features=self.embed_dim,
                    query_pre_attn_norm=self.query_pre_attn_norm,
                    attn_logits_softcap=self.attn_logits_softcap,
-                   cache_dtype=self.cache_dtype, attn_impl=self.attn_impl)
+                   cache_dtype=self.cache_dtype, attn_impl=self.attn_impl,
+                   decode_impl=self.decode_impl)
     self.attn = Attention(num_heads=self.num_heads, head_dim=self.head_dim,
                           num_kv_heads=self.num_kv_heads, quant=self.quant,
                           **attn_kw)
@@ -523,6 +546,10 @@ class Model(nn.Module):
   scan: bool = False
   remat_policy: str = "none"
   attn_impl: str = "xla"
+  # AR-step attention: "flash" uses the fused Pallas decode kernel
+  # (ops/decode_attention.py) — reads the KV cache in storage dtype and
+  # dequantizes in VMEM; the einsum path is the fallback/default.
+  decode_impl: str = "xla"
   # Weight-only int8 serving mode (beyond the reference): params carry int8
   # weights + per-output-channel scales (see quantize_params). Decode is
   # weight-read-bound, so halving weight bytes ~halves the AR step.
@@ -563,7 +590,7 @@ class Model(nn.Module):
         attn_logits_softcap=self.attn_logits_softcap,
         dropout=self.dropout, dropout_bdims=self.dropout_bdims,
         cache_dtype=self.cache_dtype, attn_impl=self.attn_impl,
-        quant=self.quant)
+        decode_impl=self.decode_impl, quant=self.quant)
     run = decoder_stack(self, self.depth, self.scan, self.remat_policy,
                         block_kw)
     x = run(x, positions, mask, decode, deterministic, seg)

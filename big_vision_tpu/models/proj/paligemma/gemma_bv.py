@@ -23,7 +23,7 @@ from big_vision_tpu.models.ppp import gemma
 
 # Model fields forwarded verbatim into the gemma config.
 _FORWARDED = ("scan", "remat_policy", "dropout", "dropout_bdims",
-              "cache_dtype", "attn_impl", "quant")
+              "cache_dtype", "attn_impl", "decode_impl", "quant")
 # Model fields forwarded only when not None (config keeps its default).
 _OPTIONAL = ("vocab_size", "final_logits_softcap", "attn_logits_softcap")
 
@@ -66,6 +66,7 @@ class Model(nn.Module):
   quant: bool = False
   scan: bool = True
   attn_impl: str = "xla"
+  decode_impl: str = "xla"  # "flash": fused Pallas AR step (serving)
   cache_dtype: Optional[str] = "bfloat16"
   remat_policy: str = "nothing_saveable"
   dropout: float = 0.0
