@@ -91,10 +91,10 @@ def _kernel(q_ref, k_ref, v_ref, *refs, softcap, quant):
   s = jax.lax.dot_general(q, k_ref[0].astype(cd), (((1,), (1,)), ((), ())),
                           preferred_element_type=jnp.float32)  # [GP, S]
   if quant:
-    s = s * ks_ref[...]                        # [1, S] f32 per-slot scales
+    s = s * ks_ref[0]                          # [1, S] f32 per-slot scales
   if softcap:
     s = softcap * jnp.tanh(s / softcap)
-  valid = m_ref[...] > 0                       # [1, S]
+  valid = m_ref[0] > 0                         # [1, S]
   s = jnp.where(valid, s, NEG_INF)
   m = jnp.max(s, axis=-1, keepdims=True)
   # Zero masked entries explicitly: a fully-masked row would otherwise get
@@ -103,7 +103,7 @@ def _kernel(q_ref, k_ref, v_ref, *refs, softcap, quant):
   l = jnp.sum(p, axis=-1, keepdims=True)
   l = jnp.where(l == 0, 1.0, l)
   if quant:
-    p = p * vs_ref[...]
+    p = p * vs_ref[0]
   o = jax.lax.dot_general(p.astype(cd), v_ref[0].astype(cd),
                           (((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)  # [GP, H]
@@ -146,16 +146,21 @@ def decode_attention(q, k, v, mask, *, k_scale=None, v_scale=None,
   if g < _GP:
     qf = jnp.pad(qf, ((0, 0), (0, _GP - g), (0, 0)))
   kf, vf = flat(k, pad_axis=1), flat(v, pad_axis=1)   # [BK, S_pad, H]
+  # Mask/scale rows ride as [N, 1, S_pad] so each program's (1, 1, S_pad)
+  # block has its last two dims equal to the array's — Mosaic requires
+  # block dims be (8, 128)-divisible or full (a bare [N, S_pad] with a
+  # 1-row block fails lowering when N isn't a multiple of 8).
   maskf = mask.astype(jnp.int32)               # [B, S_pad]
   if s_pad != s:
     maskf = jnp.pad(maskf, ((0, 0), (0, s_pad - s)))
+  maskf = maskf[:, None, :]                    # [B, 1, S_pad]
   scale_args = ()
   scale_specs = []
   if quant:
-    # [B, K, S, 1] -> [BK, S_pad] f32, consumed as a [1, S] row block.
+    # [B, K, S, 1] -> [BK, 1, S_pad] f32, consumed as a [1, S] row block.
     scale_args = tuple(
-        flat(x[..., 0], pad_axis=1) for x in (k_scale, v_scale))
-    scale_specs = [_bspec((1, s_pad), lambda i: (i, 0))] * 2
+        flat(x[..., 0], pad_axis=1)[:, None, :] for x in (k_scale, v_scale))
+    scale_specs = [_bspec((1, 1, s_pad), lambda i: (i, 0, 0))] * 2
 
   kernel = functools.partial(_kernel, softcap=float(logits_softcap or 0.0),
                              quant=quant)
@@ -167,7 +172,7 @@ def decode_attention(q, k, v, mask, *, k_scale=None, v_scale=None,
           _bspec((1, s_pad, h), lambda i: (i, 0, 0)),
           _bspec((1, s_pad, h), lambda i: (i, 0, 0)),
           *scale_specs,
-          _bspec((1, s_pad), lambda i: (i // kh, 0)),
+          _bspec((1, 1, s_pad), lambda i: (i // kh, 0, 0)),
       ],
       out_specs=_bspec((1, _GP, h), lambda i: (i, 0, 0)),
       out_shape=jax.ShapeDtypeStruct((bk, _GP, h), q.dtype),

@@ -37,7 +37,7 @@ def _fetch(x):
 
 def build(variant, img_variant, res, batch, prefill_len, decode_len,
           quant=None, cache_dtype="bfloat16", base_params=None,
-          cache_extra=0):
+          cache_extra=0, decode_impl="xla"):
   """Returns (decode_fn(iters, decode_len) -> wall_s, meta, params)."""
   from big_vision_tpu.models.ppp import gemma
   from big_vision_tpu.models.proj.paligemma import paligemma
@@ -45,7 +45,8 @@ def build(variant, img_variant, res, batch, prefill_len, decode_len,
 
   img = dict(variant=img_variant, pool_type="none", scan=True,
              dtype_mm="bfloat16")
-  llm = dict(variant=variant, scan=False, cache_dtype=cache_dtype)
+  llm = dict(variant=variant, scan=False, cache_dtype=cache_dtype,
+             decode_impl=decode_impl)
   rng = jax.random.PRNGKey(0)
   image = jnp.zeros((batch, res, res, 3), jnp.float32)
   text = jnp.ones((batch, prefill_len), jnp.int32)
@@ -93,7 +94,7 @@ def build(variant, img_variant, res, batch, prefill_len, decode_len,
   meta = dict(llm_variant=variant, llm_quant=quant, cache_dtype=cache_dtype,
               img_variant=img_variant, res=res, batch=batch,
               prefill_len=prefill_len, decode_len=decode_len,
-              cache_extra=cache_extra,
+              cache_extra=cache_extra, decode_impl=decode_impl,
               param_bytes=param_bytes, init_s=round(init_s, 1))
   return run, half, meta, params
 
@@ -120,11 +121,19 @@ def main():
   ap.add_argument("--skip_pairs", action="store_true")
   ap.add_argument("--xl_t", action="store_true",
                   help="add the T~4.3k cache-bound crossover section")
+  ap.add_argument("--flash", action="store_true",
+                  help="add the xla-vs-Pallas decode_impl section at T~4.3k")
+  ap.add_argument("--cpu", action="store_true",
+                  help="force the CPU backend (the axon TPU plugin "
+                       "overrides JAX_PLATFORMS=cpu, so --tiny smokes "
+                       "silently run over the tunnel without this)")
   ap.add_argument("--merge_into", default=None,
                   help="read this existing artifact and only add/replace "
                        "the sections this invocation runs")
   ap.add_argument("--out", default=os.path.join(REPO, "SERVING_r05.json"))
   args = ap.parse_args()
+  if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
 
   if args.tiny:
     base = dict(variant="gemma_test", img_variant="mu/16", res=32,
@@ -227,6 +236,52 @@ def main():
       print(json.dumps(row), flush=True)
     result["meta_xl_w16_kv16"] = meta_a
     result["meta_xl_w8_kv8"] = meta_c
+
+  # --- Section 4: decode_impl xla vs flash (fused Pallas AR step) ---------
+  # Same T~4.3k cache-bound shapes as section 3. The Pallas kernel DMAs the
+  # cache plane in its STORAGE dtype (int8 stays 1 byte/element on the
+  # HBM->VMEM read) and dequantizes in VMEM; the XLA einsum path reads int8
+  # through a convert fusion at ~70% of the bf16 byte rate. Interleaved
+  # same-phase pairs, per (cache_dtype, weights) row.
+  if args.flash:
+    if args.tiny:
+      xl = dict(variant="gemma_test", img_variant="mu/16", res=32,
+                batch=2, prefill_len=8, decode_len=16, cache_extra=40)
+    else:
+      xl = dict(variant="gemma2_2b", img_variant="B/16", res=224,
+                batch=8, prefill_len=32, decode_len=384, cache_extra=3688)
+    result["decode_impl_flash"] = []
+    rows = []
+    print("building T4k bf16-kv xla vs flash ...", flush=True)
+    run_x16, halff, meta_x16, params4 = build(**xl)
+    run_f16, _, meta_f16, _ = build(**xl, decode_impl="flash",
+                                    base_params=params4)
+    rows.append(("kv_bf16", run_x16, run_f16))
+    print("building T4k int8-kv xla vs flash ...", flush=True)
+    run_x8, _, _, _ = build(**xl, cache_dtype="int8", base_params=params4)
+    run_f8, _, _, _ = build(**xl, cache_dtype="int8", decode_impl="flash",
+                            base_params=params4)
+    rows.append(("kv_int8", run_x8, run_f8))
+    print("building T4k full-int8 xla vs flash ...", flush=True)
+    run_xq, _, _, _ = build(**xl, quant="int8", cache_dtype="int8",
+                            base_params=params4)
+    run_fq, _, _, _ = build(**xl, quant="int8", cache_dtype="int8",
+                            decode_impl="flash", base_params=params4)
+    rows.append(("w8_kv8", run_xq, run_fq))
+    for pair in range(max(args.pairs - 1, 1)):
+      row = {"pair": pair}
+      for name, run_xla, run_flash in rows:
+        a = measure(run_xla, xl["decode_len"], halff, args.iters)
+        b = measure(run_flash, xl["decode_len"], halff, args.iters)
+        row[name] = {"xla": a, "flash": b}
+        if a["ar_step_ms"] and b["ar_step_ms"]:
+          row[name]["step_ratio_xla_over_flash"] = round(
+              a["ar_step_ms"] / b["ar_step_ms"], 3)
+      result["decode_impl_flash"].append(row)
+      print(json.dumps(row), flush=True)
+    result["meta_flash"] = dict(meta_f16, note=(
+        "xla rows identical but decode_impl=xla; kv_int8/w8_kv8 rows "
+        "identical but cache_dtype/quant per name"))
 
   with open(args.out, "w") as f:
     json.dump(result, f, indent=1)
