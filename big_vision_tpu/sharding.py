@@ -6,10 +6,14 @@ shard_dim). First matching regex wins per parameter. Parity target:
 reference big_vision/sharding.py:38-197; GSPMD then inserts all collectives
 from these annotations.
 
-Design note (differs from the reference internally): specs are always plain
-tuples; flax partitioning boxes (nn.Partitioned / nn.LogicallyPartitioned)
-stay on the params side, and rules that care (logical_partitioning) read the
-axis names off the boxed leaf directly.
+Design notes (internals differ from the reference):
+- One flat pass: leaves are flattened with names once, the winning rule is
+  resolved per leaf inline, and specs never exist as a pytree of tuples —
+  the reference instead builds per-pattern boolean mask trees and runs one
+  whole-tree `tree_map` per tactic op.
+- Specs are always plain tuples; flax partitioning boxes (nn.Partitioned /
+  nn.LogicallyPartitioned) stay on the params side, and rules that care
+  (logical_partitioning) read the axis names off the boxed leaf directly.
 """
 
 from __future__ import annotations
@@ -38,6 +42,15 @@ def _raw(x):
   return x.unbox() if _is_boxed(x) else x
 
 
+def _occupy(spec, dim, axis, pname, rule):
+  """Writes `axis` into slot `dim` of a spec tuple; the slot must be free."""
+  if spec[dim] is not None:
+    raise ValueError(f"{rule}: dim {dim} of {pname} is taken: {spec}")
+  out = list(spec)
+  out[dim] = axis
+  return tuple(out)
+
+
 def infer_sharding(params, strategy, mesh):
   """Returns a NamedSharding pytree for `params` under `strategy`.
 
@@ -45,26 +58,30 @@ def infer_sharding(params, strategy, mesh):
   (from eval_shape over a model with logical annotations); the result is an
   unboxed pytree of NamedShardings.
   """
-  patterns, tactics = zip(*strategy)
+  rules = [
+      (trees.check_and_compile_patterns(pat)[0],
+       [Registry.lookup(f"shardings.{s}")() for s in tactic.split("|")])
+      for pat, tactic in strategy]
+
+  # Names come from the unboxed view (boxes are pytree nodes and would leak
+  # into paths); leaves keep their boxes so rules can read annotations.
   plain = jax.tree.map(_raw, params, is_leaf=_is_boxed)
   named, treedef = trees.tree_flatten_with_names(plain)
-  names = treedef.unflatten([n for n, _ in named])
-  mask_trees = trees.make_mask_trees(plain, list(patterns))
+  leaves = jax.tree.leaves(params, is_leaf=_is_boxed)
 
-  # Boxed leaves kept alongside so rules can read logical annotations.
-  boxed = jax.tree.map(lambda x: x, params, is_leaf=_is_boxed)
-  specs = jax.tree.map(lambda x: (None,) * np.ndim(x), plain)
+  def resolve(pname, leaf, arr):
+    spec = (None,) * np.ndim(arr)
+    for pattern, ops in rules:
+      if not pattern.fullmatch(pname):
+        continue
+      for op in ops:
+        spec = op(spec, mesh, pname, leaf)
+      break  # each leaf is claimed by its first matching pattern only
+    return NamedSharding(mesh, P(*spec))
 
-  for mask_tree, tactic in zip(mask_trees, tactics):
-    for op_str in tactic.split("|"):
-      op = Registry.lookup(f"shardings.{op_str}")()
-      specs = jax.tree.map(
-          lambda x, n, match, spec, op=op: (
-              op(spec, mesh, n, x) if match else spec),
-          boxed, names, mask_tree, specs, is_leaf=_is_boxed)
-
-  return jax.tree.map(lambda spec: NamedSharding(mesh, P(*spec)), specs,
-                      is_leaf=lambda s: isinstance(s, tuple))
+  return treedef.unflatten(
+      [resolve(pname, leaf, arr)
+       for (pname, arr), leaf in zip(named, leaves)])
 
 
 @Registry.register("shardings.replicate")
@@ -72,7 +89,7 @@ def replicate():
   """Explicit full replication (also the default for unmatched params)."""
   def _update(cur_spec, mesh, name, x):
     del x, mesh
-    if not all(axis is None for axis in cur_spec):
+    if any(axis is not None for axis in cur_spec):
       raise ValueError(
           f"Parameter {name} already has spec {cur_spec}; can't replicate.")
     return cur_spec
@@ -86,20 +103,23 @@ def fsdp(axis, min_size_to_shard_mb=4):
   Small tensors (<= min_size_to_shard_mb) stay replicated — the all-gather
   latency would outweigh the memory saved.
   """
-  axis_tuple = (axis,) if isinstance(axis, str) else tuple(axis)
-  axis = axis if isinstance(axis, str) else tuple(axis)
+  mesh_axes = (axis,) if isinstance(axis, str) else tuple(axis)
+  label = axis if isinstance(axis, str) else tuple(axis)
 
   def _update(cur_spec, mesh, name, x):
-    del name
-    x = _raw(x)
-    shape = x.shape
-    axis_size = np.prod([mesh.shape[a] for a in axis_tuple])
-    if np.prod(shape) * x.dtype.itemsize <= min_size_to_shard_mb * 2**20:
+    arr = _raw(x)
+    shape = arr.shape
+    if np.prod(shape) * arr.dtype.itemsize <= min_size_to_shard_mb * 2**20:
       return cur_spec
-    for i in np.argsort(shape)[::-1]:  # largest dim first
-      if shape[i] % axis_size == 0 and cur_spec[i] is None:
-        return cur_spec[:i] + (axis,) + cur_spec[i + 1:]
-    return cur_spec  # nothing divisible & free: stays as-is
+    ways = int(np.prod([mesh.shape[a] for a in mesh_axes]))
+    # Largest dim first; among equal sizes the rightmost dim wins (matches
+    # the reference's reversed-argsort order so layouts stay comparable).
+    ranked = sorted(range(len(shape)), key=lambda i: (shape[i], i))[::-1]
+    dim = next((i for i in ranked
+                if shape[i] % ways == 0 and cur_spec[i] is None), None)
+    if dim is None:
+      return cur_spec  # nothing divisible & free: stays as-is
+    return _occupy(cur_spec, dim, label, name, "fsdp")
   return _update
 
 
@@ -122,14 +142,11 @@ def shard_dim(axis, dim, ignore_ndim_error=False):
   """Shards one explicit dimension (negative ok) along `axis`."""
   def _update(cur_spec, mesh, name, x):
     del mesh, x
-    if abs(dim) >= len(cur_spec):
-      msg = f"shard_dim({axis},{dim}): {name} has spec {cur_spec}"
+    ndim = len(cur_spec)
+    if not -ndim < dim < ndim:
       if ignore_ndim_error:
         return cur_spec
-      raise ValueError(msg)
-    pos = dim if dim >= 0 else dim + len(cur_spec)
-    if cur_spec[pos] is not None:
       raise ValueError(
-          f"shard_dim({axis},{dim}): dim already sharded; {name} {cur_spec}")
-    return cur_spec[:pos] + (axis,) + cur_spec[pos + 1:]
+          f"shard_dim({axis},{dim}): {name} has spec {cur_spec}")
+    return _occupy(cur_spec, dim % ndim, axis, name, f"shard_dim({axis})")
   return _update

@@ -30,9 +30,6 @@ import simcheck  # noqa: E402
 
 # file -> (max allowed similarity, why it is still above its gate)
 RATCHET = {
-    # The sharding-rule mini-language semantics ARE the spec being matched
-    # (VERDICT r3 classed this as unavoidable-similarity category (b)).
-    "sharding.py": (0.75, "rule semantics are the compat surface"),
     # 3 tiny fully-pinned functions (deterministic RNG keying, weighted
     # choice, combo product); the metric saturates on 234 tokens and the
     # VERDICT r4 line-level diff called it a false positive.
