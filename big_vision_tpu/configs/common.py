@@ -7,76 +7,87 @@ pack_arg/arg :139-148, format_str :158). Configs are plain-Python
 
 from __future__ import annotations
 
+import string as _string
+from functools import reduce
+
 import ml_collections as mlc
 
 
-def parse_arg(arg, lazy=False, **spec):
-  """Parses ':res=128,runlocal'-style config args with typed defaults.
+def _bare_to_kv(token, schema):
+  """Expands a single bare value: a schema name (or empty schema) means that
+  bool flag is True; anything else binds to the FIRST schema entry."""
+  if token in schema or not schema:
+    return f"{token}=True"
+  return f"{next(iter(schema))}={token}"
 
-  Single bare value rules: a name from the spec means that bool flag True;
-  otherwise the value binds to the first spec entry.
-  """
-  arg = arg or ""
-  spec = {k: _type_with_default(v) for k, v in spec.items()}
-  result = mlc.ConfigDict(type_safe=False)
 
-  if arg and "," not in arg and "=" not in arg:
-    if arg in spec or not spec:
-      arg = f"{arg}=True"
-    else:
-      arg = f"{next(iter(spec))}={arg}"
-
-  raw_kv = {}
-  for item in arg.split(","):
-    if not item:
+def _split_kv(arg):
+  """',:'-language split; a '=???'-less item is an implicit bool True."""
+  kv = {}
+  for piece in arg.split(","):
+    if not piece:
       continue
-    key, _, val = item.partition("=")
-    raw_kv[key] = val if "=" in item else "True"
+    name, sep, val = piece.partition("=")
+    kv[name] = val if sep else "True"
+  return kv
 
-  for name, (default, type_fn) in spec.items():
-    val = raw_kv.pop(name, None)
-    result[name] = type_fn(val) if val is not None else default
 
-  if raw_kv:
-    if lazy:
-      for k, v in raw_kv.items():
-        result[k] = autotype(v)
-    else:
-      raise ValueError(f"Unhandled config args remain: {raw_kv}")
-  return result
+def parse_arg(arg, lazy=False, **spec):
+  """Parses ':res=128,runlocal'-style config args with typed defaults."""
+  schema = {k: _type_with_default(v) for k, v in spec.items()}
+  text = arg or ""
+  if text and "," not in text and "=" not in text:
+    text = _bare_to_kv(text, schema)
+  kv = _split_kv(text)
+
+  out = mlc.ConfigDict(type_safe=False)
+  for name, (default, cast) in schema.items():
+    out[name] = cast(kv.pop(name)) if name in kv else default
+
+  if kv and not lazy:
+    raise ValueError(f"Unhandled config args remain: {kv}")
+  for extra, text_val in kv.items():
+    out[extra] = autotype(text_val)
+  return out
+
+
+def _strict_bool(x):
+  assert x.lower() in {"true", "false", ""}, f"Bad bool string {x!r}"
+  return x.lower() == "true"
 
 
 def _type_with_default(v):
-  if isinstance(v, bool):
-    def strict_bool(x):
-      assert x.lower() in {"true", "false", ""}, f"Bad bool string {x!r}"
-      return x.lower() == "true"
-    return (v, strict_bool)
   if isinstance(v, (tuple, list)):
     assert len(v) == 2 and isinstance(v[1], type), (
         "Pass (default, type); collection-typed args unsupported (',' is the "
         "delimiter)")
-    return (v[0], v[1])
-  return (v, type(v))
+    default, cast = v
+    return default, cast
+  if isinstance(v, bool):
+    return v, _strict_bool
+  return v, type(v)
 
 
 def autotype(x):
   assert isinstance(x, str)
-  if x.lower() in {"true", "false"}:
-    return x.lower() == "true"
-  try:
-    return int(x)
-  except ValueError:
+  low = x.lower()
+  if low in ("true", "false"):
+    return low == "true"
+  for cast in (int, float):
     try:
-      return float(x)
+      return cast(x)
     except ValueError:
-      return x
+      pass
+  return x
 
 
 def pack_arg(**kw):
-  for v in kw.values():
-    assert "," not in f"{v}", f"Can't use ',' in config_arg value: {v}"
-  return ",".join(f"{k}={v}" for k, v in kw.items())
+  parts = []
+  for k, v in kw.items():
+    text = f"{v}"
+    assert "," not in text, f"Can't use ',' in config_arg value: {v}"
+    parts.append(f"{k}={text}")
+  return ",".join(parts)
 
 
 def arg(**kw):
@@ -85,21 +96,19 @@ def arg(**kw):
 
 
 def _field_ref(config, name):
-  node = config
-  parts = name.split(".")
-  for p in parts[:-1]:
-    node = getattr(node, p)
-  return node.get_ref(parts[-1])
+  *parents, leaf = name.split(".")
+  return reduce(getattr, parents, config).get_ref(leaf)
 
 
 def format_str(format_string, config):
   """Formats '{res}'-style placeholders as *references* into the config, so
   later edits to the referenced fields propagate into the string."""
-  import string
-  output = ""
-  for literal, name, spec, conv in string.Formatter().parse(format_string):
+  chunks = []
+  for literal, name, spec, conv in _string.Formatter().parse(format_string):
     assert not spec and not conv, (spec, conv)
-    output += literal
+    chunks.append(literal)
     if name:
-      output += _field_ref(config, name).to_str()
-  return output
+      # .to_str() yields a lazy FieldReference; summing keeps the whole
+      # result lazy, so it re-renders when the referenced fields change.
+      chunks.append(_field_ref(config, name).to_str())
+  return reduce(lambda acc, part: acc + part, chunks, "")

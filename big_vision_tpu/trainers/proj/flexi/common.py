@@ -7,29 +7,35 @@ values, and the per-combination dict of jitted predict_fns).
 
 from __future__ import annotations
 
-import functools
-import itertools
+from functools import partial
+from itertools import product
 
 import numpy as np
 
 
+def _pcg(seed=None):
+  """A PCG64 Generator; seeded this equals np.random.default_rng(seed)."""
+  return np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+
+
 def mkrng(xid, wid, step):
   """Deterministic host RNG; ids are capped at 0 (local runs use -1)."""
-  return np.random.default_rng((*map(lambda v: max(v, 0), (xid, wid)),
-                                max(step, 0)))
+  return _pcg(tuple(v if v > 0 else 0 for v in (xid, wid, step)))
 
 
 def mkprob(weights):
   """Normalizes a weight list into a probability vector (None passthrough)."""
   if weights is None:
     return None
-  return np.divide(weights, np.sum(weights, dtype=float))
+  arr = np.asarray(weights, dtype=float)
+  return arr / arr.sum()
 
 
 def choice(values, ratios, rng=None):
   """Samples one of `values` with (unnormalized) `ratios` as weights."""
-  sampler = np.random.default_rng() if rng is None else rng
-  return sampler.choice(values, p=mkprob(ratios))
+  sampler = _pcg() if rng is None else rng
+  probs = mkprob(ratios)
+  return sampler.choice(values, p=probs)
 
 
 def mkpredictfns(predict_fn, config, template="predict_{x}"):
@@ -41,8 +47,8 @@ def mkpredictfns(predict_fn, config, template="predict_{x}"):
   """
   arg_names = list(config)
   fns = {}
-  for combo in itertools.product(*(config[a].v for a in arg_names)):
+  for combo in product(*(config[a].v for a in arg_names)):
     kw = dict(zip(arg_names, combo))
     label = "_".join(f"{a}={v}" for a, v in kw.items())
-    fns[template.format(x=label)] = functools.partial(predict_fn, **kw)
+    fns[template.format(x=label)] = partial(predict_fn, **kw)
   return fns

@@ -28,18 +28,11 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import simcheck  # noqa: E402
 
-# file -> (max allowed similarity, why it is still above its gate)
-RATCHET = {
-    # 3 tiny fully-pinned functions (deterministic RNG keying, weighted
-    # choice, combo product); the metric saturates on 234 tokens and the
-    # VERDICT r4 line-level diff called it a false positive.
-    "trainers/proj/flexi/common.py": (0.70, "small file; metric saturates"),
-    # parse_arg/pack_arg/format_str semantics are the config-string
-    # language every reference config depends on; rewritten (105 vs 188
-    # lines) but saturated on pinned behavior. Un-exempted from the
-    # configs/ carve-out per VERDICT r4; ratcheted instead.
-    "configs/common.py": (0.80, "config-string language is the spec"),
-}
+# file -> (max allowed similarity, why it is still above its gate).
+# EMPTY since round 5: every former row (sharding.py 0.735->0.493,
+# flexi/common.py 0.688->0.564, configs/common.py 0.793->0.475) was
+# restructured below its gate. New rows may NOT be added.
+RATCHET = {}
 
 GATE = 0.60
 GATE_BIG = 0.50  # files > BIG_TOKENS tokens
